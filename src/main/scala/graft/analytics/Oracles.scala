@@ -1,0 +1,194 @@
+package graft.analytics
+
+/** DuckDB oracle SQL for every driver-checked query. Each statement must
+  * produce the SAME column names, value rounding, and total ordering as its
+  * Spark counterpart — the driver sorts columns by name and hash-compares
+  * values (see the builder contract in SparkEntry).
+  *
+  * DuckDB/Spark compatibility notes baked in here:
+  *  - `count(...)`/`count(*)` is BIGINT in both; `sum(<int>)` is avoided in
+  *    oracle-facing output because DuckDB widens it to HUGEINT.
+  *  - second-resolution epoch diffs use `date_diff('second', …)` (DuckDB) vs
+  *    `cast(ts as long)` (Spark) — both floor to the second for positive
+  *    epochs.
+  *  - timestamps are emitted as `strftime`/`date_format` strings or DATE.
+  */
+object Oracles {
+
+  val relational: Map[String, String] = Map(
+    "q01_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_quantity <= 45
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 25
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q04_broadcast_star" ->
+      """SELECT p_brand, s_nationkey,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_nationkey
+        |ORDER BY p_brand, s_nationkey""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_window_topn" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 2
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q09_window_running" ->
+      """SELECT user_id, event_id, event_type,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q10_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(date_diff('second', TIMESTAMP '1970-01-01', ts)) OVER w IS NULL
+        |           OR date_diff('second', TIMESTAMP '1970-01-01', ts)
+        |              - lag(date_diff('second', TIMESTAMP '1970-01-01', ts)) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  round(sum(value), 2) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS region,
+        |  coalesce(n_name, '(all)') AS nation,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q12_setops" ->
+      """SELECT c_custkey, 'building_active' AS tag FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'building_dormant' AS tag FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY tag, c_custkey""".stripMargin,
+
+    "q13_conditional_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS sum_f,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q14_distinct_agg" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderstatus) AS n_status
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q15_union_years" ->
+      """SELECT 'ship' AS src, year(l_shipdate) AS yr, count(*) AS n
+        |FROM lineitem GROUP BY year(l_shipdate)
+        |UNION ALL
+        |SELECT 'order' AS src, year(o_orderdate) AS yr, count(*) AS n
+        |FROM orders GROUP BY year(o_orderdate)
+        |ORDER BY src, yr""".stripMargin,
+
+    "q16_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, p_retailprice, round(brand_avg, 4) AS brand_avg
+        |FROM (SELECT p_partkey, p_brand, p_retailprice,
+        |        avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+        |      FROM part) t
+        |WHERE p_retailprice > brand_avg * 1.1
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q17_events_hourly" ->
+      """SELECT event_type, hour(ts) AS hr, count(*) AS n,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY event_type, hour(ts)
+        |ORDER BY event_type, hr""".stripMargin,
+
+    "q18_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,267 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-facing relational analytics surface (SURVEY.md §7.2 step 5):
+  * scan/filter/project, broadcast + shuffle joins, aggregations, windows,
+  * rollup, set ops, sessionization — all Catalyst built-ins, each with a
+  * DuckDB oracle in [[Oracles.relational]].
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  *  - every query ends in a total ORDER BY over a unique key set;
+  *  - every derived double is `round(…, n)` in BOTH engines (sums of doubles
+  *    associate differently across partitions — rounding absorbs the ulps);
+  *  - timestamps are projected as formatted strings or dates (the `events`
+  *    table is ns-precision parquet, which DuckDB reads as TIMESTAMP_NS —
+  *    strings sidestep the type mismatch).
+  *
+  * Scale notes per query are inline; small dimension tables are explicitly
+  * `broadcast(...)`-hinted so the plan stays shuffle-free where possible.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: single scan, map-side partial aggregation, tiny result.
+    * At 100 TB this is the ideal Spark plan already: predicate + column
+    * pruning reach the parquet scan; the groupBy key cardinality (≤ 6) makes
+    * the shuffle negligible after partial aggregation. */
+  def q01LineitemAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= 45)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Filter + projection + global top-k. Filters push to the parquet scan;
+    * top-k is TakeOrderedAndProject (no full sort materialization). */
+  def q02FilterTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_discount").between(0.02, 0.06) && col("l_quantity") < 25)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** TPC-H Q3 shape: fact-fact shuffle join (lineitem ⋈ orders) with the
+    * customer side reduced first. orders/customer co-partition on the join
+    * keys; AQE picks broadcast for the reduced customer side at small SF. */
+  def q03JoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust.filter(col("c_mktsegment") === "BUILDING"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Star join with explicitly broadcast dimensions — no shuffle on the fact
+    * side at all (the only exchange is the final small aggregation). */
+  def q04BroadcastStar(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    val supp = broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("s_nationkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("p_brand"), col("s_nationkey"))
+  }
+
+  /** TPC-H Q5 shape: 5-way join through region→nation→customer→orders→
+    * lineitem. All dims broadcast; the single fact shuffle is the groupBy. */
+  def q05RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(spark, dir))
+    val nation = broadcast(Tables.nation(spark, dir))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left-semi join: orders having at least one heavy lineitem. */
+  def q06SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left-anti join: customers with no orders at all. */
+  def q07AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window top-N per group: two best orders per customer. */
+  def q08WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Running aggregation window over the events stream table. */
+  def q09WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity closes a session):
+    * lag → boundary flag → prefix-sum session index → per-session rollup.
+    * One shuffle on user_id serves both window passes and the final agg. */
+  def q10Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("prev_s", lag(col("ts").cast("long"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_s").isNull || col("ts").cast("long") - col("prev_s") > 1800, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** ROLLUP hierarchy aggregation over region→nation customer balances. */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val nation = broadcast(Tables.nation(spark, dir))
+    val region = broadcast(Tables.region(spark, dir))
+    Tables.customer(spark, dir)
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"), count(lit(1)).as("n_cust"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("sum_bal"), col("n_cust"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** Set operations: INTERSECT and EXCEPT between customer key sets. */
+  def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val active = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    val both = building.intersect(active).withColumn("tag", lit("building_active"))
+    val dormant = building.except(active).withColumn("tag", lit("building_dormant"))
+    both.unionByName(dormant).orderBy(col("tag"), col("c_custkey"))
+  }
+
+  /** Conditional aggregation (CASE WHEN inside aggregates). */
+  def q13ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("sum_f"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Exact distinct aggregation (count distinct forces an expand+shuffle —
+    * at scale prefer approx_count_distinct; exact kept for oracle parity). */
+  def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+      .orderBy(col("o_orderpriority"))
+
+  /** UNION ALL across differently-sourced aggregates. */
+  def q15UnionYears(spark: SparkSession, dir: String): DataFrame = {
+    val ship = Tables.lineitem(spark, dir)
+      .groupBy(year(col("l_shipdate")).as("yr")).agg(count(lit(1)).as("n"))
+      .withColumn("src", lit("ship"))
+    val ord = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr")).agg(count(lit(1)).as("n"))
+      .withColumn("src", lit("order"))
+    ship.unionByName(ord).select(col("src"), col("yr"), col("n")).orderBy(col("src"), col("yr"))
+  }
+
+  /** Window-relative filter: parts priced >10% above their brand average. */
+  def q16AboveBrandAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    Tables.part(spark, dir)
+      .withColumn("brand_avg", avg(col("p_retailprice")).over(w))
+      .filter(col("p_retailprice") > col("brand_avg") * 1.1)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        round(col("brand_avg"), 4).as("brand_avg"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Hourly behavioral profile of the events stream. */
+  def q17EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"), col("hr"))
+
+  /** Skew-resilient two-phase aggregation (salting demo): pre-aggregate on a
+    * salted key, then merge partials — same result as a direct groupBy, but
+    * a hot l_returnflag key can no longer pin a single reducer at 100 TB.
+    * The oracle is the plain one-phase SQL aggregate. */
+  def q18SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("partial_qty"), count(lit(1)).as("partial_n"))
+    salted.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("partial_qty")), 2).as("sum_qty"), sum(col("partial_n")).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_lineitem_agg" -> q01LineitemAgg _,
+    "q02_filter_topk" -> q02FilterTopk _,
+    "q03_join_revenue" -> q03JoinRevenue _,
+    "q04_broadcast_star" -> q04BroadcastStar _,
+    "q05_region_revenue" -> q05RegionRevenue _,
+    "q06_semi_join" -> q06SemiJoin _,
+    "q07_anti_join" -> q07AntiJoin _,
+    "q08_window_topn" -> q08WindowTopN _,
+    "q09_window_running" -> q09WindowRunning _,
+    "q10_sessionize" -> q10Sessionize _,
+    "q11_rollup" -> q11Rollup _,
+    "q12_setops" -> q12SetOps _,
+    "q13_conditional_agg" -> q13ConditionalAgg _,
+    "q14_distinct_agg" -> q14DistinctAgg _,
+    "q15_union_years" -> q15UnionYears _,
+    "q16_above_brand_avg" -> q16AboveBrandAvg _,
+    "q17_events_hourly" -> q17EventsHourly _,
+    "q18_salted_agg" -> q18SaltedAgg _)
+}
