@@ -1,0 +1,480 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (builder-prompt extension surface): deduplication (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash), similarity search (brute-force cosine top-k and a
+  * hyperplane-LSH ANN variant), text analysis (language-ID, quality scoring,
+  * token counting, fingerprinting) and multimodal binary metadata.
+  *
+  * Every operator here is *oracle-checkable*: all hashing is built from
+  * `md5(...)` (identical hex output in Spark and DuckDB), hex→int conversion
+  * uses `instr`-arithmetic that parses the same in both engines, and vector
+  * math is emitted as explicit per-dimension double arithmetic so the IEEE
+  * result is bit-identical on both sides. [[duckdb]] holds the generated
+  * DuckDB mirror for each query.
+  *
+  * Scale design (the real goal is 100 TB, tested at sf≤0.1):
+  *  - shingle/token explosion is the dominant cost; everything downstream of
+  *    `explode` aggregates by doc_id (map-side partial agg) or joins on the
+  *    shingle hash — both shuffle-bounded by total token count, not doc².
+  *  - pairwise similarity is *blocked*: n-gram Jaccard blocks on
+  *    (lang, length-bucket), embedding near-dup blocks on label, LSH bands /
+  *    hyperplane buckets do the blocking for MinHash/ANN — no unblocked
+  *    cross joins anywhere except the deliberately-small brute-force top-k
+  *    baseline (query set is a 1/50 sample, candidates scanned once).
+  *  - skew: shingle frequency filtering is implicit in the distinct-per-doc
+  *    shingling; at production scale a stop-shingle frequency cap (drop
+  *    shingles in > 0.1% of docs) bounds the worst key.
+  */
+object LlmOps {
+
+  // --------------------------------------------------------------- helpers
+
+  /** Whitespace tokens of lowercased text — Spark SQL fragment. */
+  private val toksSpark = raw"filter(split(lower(trim(text)), '\\s+'), t -> t != '')"
+  /** Same tokens — DuckDB fragment. */
+  private val toksDuck = raw"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"
+
+  /** Distinct 3-gram word shingles over a `toks` array column (Spark, 0-based). */
+  private val shinglesSpark =
+    "case when size(toks) >= 3 then array_distinct(transform(sequence(0, size(toks)-3), " +
+      "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) else array() end"
+  /** Same (DuckDB, 1-based lists). */
+  private val shinglesDuck =
+    "list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+
+  /** First-4-hex-chars of an md5 hex column `h` as an integer 0..65535 —
+    * identical text parses in BOTH engines (instr/substr are 1-based in both).
+    * Terms are BIGINT-cast: Spark would otherwise do wrapping 32-bit int
+    * arithmetic where DuckDB widens. */
+  private def hex4(h: String): String =
+    (1 to 4).map(p =>
+      s"(CAST(instr('0123456789abcdef', substr($h, $p, 1)) - 1 AS BIGINT) * CAST(${math.pow(16, 4 - p).toLong} AS BIGINT))")
+      .mkString("(", " + ", ")")
+
+  /** First-8-hex-chars as a long 0..2^32-1 — same portability. */
+  private def hex8(h: String): String =
+    (1 to 8).map(p =>
+      s"(CAST(instr('0123456789abcdef', substr($h, $p, 1)) - 1 AS BIGINT) * CAST(${math.pow(16, 8 - p).toLong} AS BIGINT))")
+      .mkString("(", " + ", ")")
+
+  /** Explicit per-dimension double dot product between two 64-dim float
+    * array columns; `base` is the first index (Spark arrays 0-based, DuckDB
+    * lists 1-based). Left-associated additions → bit-identical IEEE result. */
+  private def dot(a: String, b: String, base: Int): String =
+    (base until base + 64).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
+
+  /** Deterministic hyperplane weights for ANN-LSH: plane p, dim i →
+    * ((first-8-hex of md5("p:i") as long) % 2001 - 1000) / 1000 ∈ [-1, 1].
+    * Materialized as shortest-round-trip literals so Spark and DuckDB parse
+    * the exact same doubles. */
+  private lazy val planes: IndexedSeq[IndexedSeq[String]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    (0 until 8).map { p =>
+      (0 until 64).map { i =>
+        val hex = mdt.digest(s"$p:$i".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val w = (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+        graft.expr.JsNumber.format(w)
+      }
+    }
+  }
+
+  /** Σ_i w[p][i] * e[i] for hyperplane p over array column `e`. */
+  private def planeDot(e: String, p: Int, base: Int): String =
+    (0 until 64).map(i => s"(CAST(${planes(p)(i)} AS DOUBLE) * CAST($e[${base + i}] AS DOUBLE))").mkString(" + ")
+
+  /** LSH bucket id: 8 sign bits of the hyperplane dots. */
+  private def bucketExpr(e: String, base: Int): String =
+    (0 until 8).map(p => s"(CASE WHEN (${planeDot(e, p, base)}) >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token stream
+    * (letter runs | digit runs | single non-alnum). */
+  def txtTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_ws_tokens"),
+        expr(raw"size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))").cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, stopword ratio, punctuation ratio, average
+    * word length → composite score. */
+  def txtQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))").cast("long"))
+      .withColumn("n_punct", length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+      .select(col("doc_id"), col("n_words"), col("n_stop"),
+        round(col("n_stop") / nullif(col("n_words"), lit(0)), 4).as("stop_ratio"),
+        round(col("n_punct") / nullif(length(col("text")), lit(0)), 4).as("punct_ratio"),
+        round(least(lit(1.0), col("n_words") / lit(100.0)) * 0.5
+          + (lit(1.0) - col("n_punct") / nullif(length(col("text")), lit(0))) * 0.5, 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram-marker language ID: count marker-token hits per language,
+    * argmax with a fixed priority order. (The synthetic corpus shares one
+    * vocabulary across langs — the heuristic is exercised for determinism,
+    * not accuracy.) */
+  def txtLangid(spark: SparkSession, dir: String): DataFrame = {
+    val markers = langMarkers.map { case (lang, ws) =>
+      lang -> s"size(filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    }
+    val d = Tables.documents(spark, dir).withColumn("toks", expr(toksSpark))
+    val withScores = markers.foldLeft(d) { case (df, (lang, e)) =>
+      df.withColumn(s"s_$lang", expr(e).cast("long"))
+    }
+    withScores.select(col("doc_id"), col("lang").as("lang_label"),
+        col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+        expr(argmaxCase).as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private val argmaxCase: String =
+    """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |     WHEN s_es >= s_fr THEN 'es'
+      |     ELSE 'fr' END""".stripMargin
+
+  /** Document fingerprinting: md5 of normalized text + a 32-bit integer
+    * fingerprint derived portably from the hex digest. */
+  def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      .withColumn("fp", md5(col("norm")))
+      .select(col("doc_id"), col("fp"), expr(hex8("fp")).cast("long").as("fp32"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: hash-groupBy on content; emit canonical (min doc_id) per
+    * distinct text + multiplicity. One shuffle on the content hash. */
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+  /** N-gram Jaccard near-dup detection, blocked on (lang, length-bucket):
+    * shingle-join within blocks → common counts → |A∩B| / |A∪B|. */
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    def sh = Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("bkt", expr("n_chars div 50"))
+      .select(col("doc_id"), col("lang"), col("bkt"), explode(expr(shinglesSpark)).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("ia", "la", "ba", "s")
+    val b = sh.toDF("ib", "lb", "bb", "s2")
+    val common = a.join(b,
+        col("s") === col("s2") && col("la") === col("lb") && col("ba") === col("bb") && col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("ia", "na"), "ia")
+      .join(sizes.toDF("ib", "nb"), "ib")
+      .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("ia"), col("ib"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("ia"), col("ib"))
+      .limit(200)
+  }
+
+  /** MinHash signatures (k=8 permutations approximated by seeded md5 minima
+    * over the shingle set). The per-doc aggregation is a single map-side
+    * combinable groupBy — scales linearly in total shingle count. */
+  def ddMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), explode(expr(shinglesSpark)).as("s"))
+    val mhs = (0 until 8).map(j => min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))
+    sh.groupBy(col("doc_id"))
+      .agg(mhs.head, mhs.tail: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash-LSH candidate pairs: 4 bands × 2 rows; docs sharing any band
+    * bucket become candidates; estimated similarity = matching minhashes / 8.
+    * Banding bounds candidates without any doc² join. */
+  def ddMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = ddMinhashSig(spark, dir)
+    val bands = sig.selectExpr("doc_id",
+      "stack(4, 0, md5(concat(mh0, mh1)), 1, md5(concat(mh2, mh3)), " +
+        "2, md5(concat(mh4, mh5)), 3, md5(concat(mh6, mh7))) as (band, bh)")
+    val cand = bands.toDF("ia", "band", "bh")
+      .join(bands.toDF("ib", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val est = (0 until 8).map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / 8.0
+    cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
+      .join(sig.as("b"), col("ib") === col("b.doc_id"))
+      .select(col("ia"), col("ib"), round(est, 3).as("est_sim"))
+      .orderBy(col("est_sim").desc, col("ia"), col("ib"))
+      .limit(200)
+  }
+
+  /** 16-bit SimHash over the distinct word set (md5-derived 16-bit token
+    * hashes, per-bit majority vote). */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
+      .withColumn("h", expr(hex4("md5(t)")).cast("long"))
+    val bits = (0 until 16).map(i =>
+      sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
+    val bitSums = tok.groupBy(col("doc_id")).agg(bits.head, bits.tail: _*)
+    bitSums.select(col("doc_id"),
+        (0 until 16).map(i => expr(s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"))
+          .reduce(_ + _).cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding near-dup: top-50 most-similar within-label pairs (label is
+    * the blocking key; cosine emitted as explicit per-dim arithmetic). */
+  def ddEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", expr(dot("embedding", "embedding", 0)))
+    val a = e.select(col("vec_id").as("ia"), col("label"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("label").as("lb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("label") === col("lb") && col("ia") < col("ib"))
+      .withColumn("cos", round(expr(s"(${dot("ea", "eb", 0)}) / sqrt(na * nb)"), 6))
+      .select(col("ia"), col("ib"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("ia"), col("ib"))
+      .limit(50)
+  }
+
+  // ------------------------------------------------------------ similarity
+
+  /** Brute-force cosine top-k: every 50th vector queries the full table.
+    * The exact baseline an ANN variant is judged against. */
+  def simTopkCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", expr(dot("embedding", "embedding", 0)))
+    val q = e.filter(expr("vec_id % 50 = 0"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    q.crossJoin(c).filter(col("qid") =!= col("cid"))
+      .withColumn("cos_exact", expr(s"(${dot("qe", "ce", 0)}) / sqrt(qn * cn)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), round(col("cos_exact"), 6).as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Hyperplane-LSH approximate NN: 8 deterministic hyperplanes → 256
+    * sign-buckets; queries only scan their own bucket. The scale path —
+    * candidate count drops ~256× vs brute force (at some recall cost). */
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", expr(dot("embedding", "embedding", 0)))
+      .withColumn("bucket", expr(bucketExpr("embedding", 0)))
+    val q = e.filter(expr("vec_id % 50 = 0"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"), col("bucket").as("cb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    q.join(c, col("bucket") === col("cb") && col("qid") =!= col("cid"))
+      .withColumn("cos_exact", expr(s"(${dot("qe", "ce", 0)}) / sqrt(qn * cn)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), round(col("cos_exact"), 6).as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal column plumbing: treat content as opaque binary + typed
+    * metadata (byte length, sha256 digest) — the schema/partitioning layer
+    * under decode UDFs (see [[Multimodal]] for the batch decode path). */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha_hex"),
+        col("source"))
+      .orderBy(col("doc_id"))
+
+  // ----------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_tokens" -> txtTokens _,
+    "txt_quality" -> txtQuality _,
+    "txt_langid" -> txtLangid _,
+    "txt_fingerprint" -> txtFingerprint _,
+    "dd_exact" -> ddExact _,
+    "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_minhash_sig" -> ddMinhashSig _,
+    "dd_minhash_pairs" -> ddMinhashPairs _,
+    "dd_simhash" -> ddSimhash _,
+    "dd_embed_topk" -> ddEmbedTopk _,
+    "sim_topk_cosine" -> simTopkCosine _,
+    "sim_ann_lsh" -> simAnnLsh _,
+    "mm_meta" -> mmMeta _)
+
+  // ------------------------------------------------------- DuckDB oracles
+
+  private val baseDuck =
+    s"base AS (SELECT doc_id, lang, source, n_chars, text, $toksDuck AS toks FROM documents)"
+
+  val duckdb: Map[String, String] = Map(
+    "txt_tokens" ->
+      s"""WITH $baseDuck
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      s"""WITH $baseDuck, q AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+         |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct
+         |  FROM base)
+         |SELECT doc_id, n_words, n_stop,
+         |  round(n_stop / nullif(n_words, 0), 4) AS stop_ratio,
+         |  round(n_punct / nullif(length(text), 0), 4) AS punct_ratio,
+         |  round(least(1.0, n_words / 100.0) * 0.5
+         |        + (1.0 - n_punct / nullif(length(text), 0)) * 0.5, 4) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" -> {
+      val scores = langMarkers.map { case (lang, ws) =>
+        s"CAST(len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n  ")
+      s"""WITH $baseDuck, scored AS (
+         |  SELECT doc_id, lang AS lang_label, $scores
+         |  FROM base)
+         |SELECT doc_id, lang_label, s_en, s_de, s_es, s_fr,
+         |  $argmaxCase AS pred_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "txt_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM documents),
+         |f AS (SELECT doc_id, md5(norm) AS fp FROM n)
+         |SELECT doc_id, fp, CAST(${hex8("fp")} AS BIGINT) AS fp32
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "dd_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""WITH $baseDuck, sh AS (
+         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s
+         |  FROM base),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+         |  FROM sh a JOIN sh b
+         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT ia, ib, round(common / (sa.n + sb.n - common), 4) AS jaccard
+         |FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |WHERE round(common / (sa.n + sb.n - common), 4) >= 0.2
+         |ORDER BY jaccard DESC, ia, ib LIMIT 200""".stripMargin,
+
+    "dd_minhash_sig" -> minhashSigDuck,
+
+    "dd_minhash_pairs" ->
+      s"""WITH $baseDuck, sh AS (
+         |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
+         |sig AS (
+         |  SELECT doc_id, ${(0 until 8).map(j => s"min(md5('$j|' || s)) AS mh$j").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until 4).map(bd => s"SELECT doc_id, $bd AS band, md5(mh${2 * bd} || mh${2 * bd + 1}) AS bh FROM sig")
+              .mkString("\n  UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT ia, ib,
+         |  round((${(0 until 8).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0, 3) AS est_sim
+         |FROM cand JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id
+         |ORDER BY est_sim DESC, ia, ib LIMIT 200""".stripMargin,
+
+    "dd_simhash" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT doc_id, unnest(list_distinct(toks)) AS t FROM base),
+         |hashed AS (
+         |  SELECT doc_id, CAST(${hex4("md5(t)")} AS BIGINT) AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id,
+         |    ${(0 until 16).map(i => s"sum(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")}
+         |  FROM hashed GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(${(0 until 16).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin,
+
+    "dd_embed_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS ia, b.vec_id AS ib, a.label AS label,
+         |  round((${dot("a.embedding", "b.embedding", 1)}) / sqrt(a.nrm * b.nrm), 6) AS cos
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |ORDER BY cos DESC, ia, ib LIMIT 50""".stripMargin,
+
+    "sim_topk_cosine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
+         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT qid, rk, cid, round(cos_exact, 6) AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    ${dot("embedding", "embedding", 1)} AS nrm,
+         |    ${bucketExpr("embedding", 1)} AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
+         |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT qid, rk, cid, round(cos_exact, 6) AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha_hex, source
+        |FROM documents ORDER BY doc_id""".stripMargin)
+
+  private def minhashSigDuck: String =
+    s"""WITH $baseDuck, sh AS (
+       |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base)
+       |SELECT doc_id, ${(0 until 8).map(j => s"min(md5('$j|' || s)) AS mh$j").mkString(", ")}
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

@@ -20,8 +20,8 @@ object Oracles {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_extendedprice), 4) AS avg_price,
         |  round(avg(l_discount), 6) AS avg_disc,
@@ -38,13 +38,13 @@ object Oracles {
         |LIMIT 100""".stripMargin,
 
     "q03_join_revenue" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 20""".stripMargin,
 
@@ -61,7 +61,7 @@ object Oracles {
 
     "q05_region_revenue" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -83,7 +83,8 @@ object Oracles {
     "q07_anti_join" ->
       """SELECT c_custkey, c_mktsegment
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q08_window_topn" ->
@@ -103,13 +104,15 @@ object Oracles {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q10_sessionize" ->
-      """WITH flagged AS (
+      """WITH secs AS (
         |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(date_diff('second', TIMESTAMP '1970-01-01', ts)) OVER w IS NULL
-        |           OR date_diff('second', TIMESTAMP '1970-01-01', ts)
-        |              - lag(date_diff('second', TIMESTAMP '1970-01-01', ts)) OVER w > 1800
-        |         THEN 1 ELSE 0 END AS is_new
+        |    epoch_ns(ts) // 1000000000 AS s
         |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts, value, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM secs
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessions AS (
         |  SELECT user_id, ts, value,
@@ -174,9 +177,10 @@ object Oracles {
     "q16_above_brand_avg" ->
       """SELECT p_partkey, p_brand, p_retailprice, round(brand_avg, 4) AS brand_avg
         |FROM (SELECT p_partkey, p_brand, p_retailprice,
-        |        avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+        |        round(sum(p_retailprice) OVER (PARTITION BY p_brand), 2)
+        |          / count(*) OVER (PARTITION BY p_brand) AS brand_avg
         |      FROM part) t
-        |WHERE p_retailprice > brand_avg * 1.1
+        |WHERE p_retailprice > brand_avg * 1.05
         |ORDER BY p_partkey""".stripMargin,
 
     "q17_events_hourly" ->

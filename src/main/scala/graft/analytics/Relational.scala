@@ -33,8 +33,11 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        // sums rounded at the true decimal granularity of the product
+        // (2dp price × 2dp factors) — recovers the exact decimal value, so
+        // partial-aggregation summation order can't flip a rounding boundary
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -59,8 +62,8 @@ object Relational {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust.filter(col("c_mktsegment") === "BUILDING"), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(20)
   }
@@ -93,7 +96,7 @@ object Relational {
       .join(nation, col("c_nationkey") === col("n_nationkey"))
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -108,9 +111,10 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** Left-anti join: customers with no orders at all. */
+  /** Left-anti join: customers with no high-value orders. */
   def q07AntiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(spark, dir).select(col("o_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 250000).select(col("o_custkey"))
     Tables.customer(spark, dir)
       .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -128,7 +132,14 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
-  /** Running aggregation window over the events stream table. */
+  /** Running aggregation window over the events stream table.
+    *
+    * NOTE on `events.ts`: the parquet column is TIMESTAMP(NANOS), which
+    * Spark's reader rejects by default — our sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, so `ts` arrives as a
+    * LongType epoch-nanos value (ordering-equivalent to the timestamp).
+    * DuckDB reads the same column as TIMESTAMP_NS; oracles bridge via
+    * `epoch_ns(ts)`. */
   def q09WindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -141,17 +152,20 @@ object Relational {
 
   /** Gap-based sessionization (30-minute inactivity closes a session):
     * lag → boundary flag → prefix-sum session index → per-session rollup.
-    * One shuffle on user_id serves both window passes and the final agg. */
+    * One shuffle on user_id serves both window passes and the final agg.
+    * `ts` is epoch-nanos long (see q09 note); seconds = ts div 1e9. */
   def q10Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val secs = expr("ts div 1000000000")
     val ev = Tables.events(spark, dir)
-      .withColumn("prev_s", lag(col("ts").cast("long"), 1).over(byUser))
-      .withColumn("is_new", when(col("prev_s").isNull || col("ts").cast("long") - col("prev_s") > 1800, 1).otherwise(0))
+      .withColumn("s", secs)
+      .withColumn("prev_s", lag(col("s"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_s").isNull || col("s") - col("prev_s") > 1800, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     ev.groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
-        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
-        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        expr("date_format(timestamp_micros(min(ts) div 1000), 'yyyy-MM-dd HH:mm:ss')").as("sess_start"),
+        expr("date_format(timestamp_micros(max(ts) div 1000), 'yyyy-MM-dd HH:mm:ss')").as("sess_end"),
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("user_id"), col("session_idx"))
   }
@@ -213,21 +227,25 @@ object Relational {
     ship.unionByName(ord).select(col("src"), col("yr"), col("n")).orderBy(col("src"), col("yr"))
   }
 
-  /** Window-relative filter: parts priced >10% above their brand average. */
+  /** Window-relative filter: parts priced >5% above their brand average. */
   def q16AboveBrandAvg(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))
+    // brand_avg derived from the granularity-rounded sum (p_retailprice is
+    // 1dp, so round(sum, 2) is the exact decimal) — both engines then divide
+    // the same double, making the filter and output deterministic
     Tables.part(spark, dir)
-      .withColumn("brand_avg", avg(col("p_retailprice")).over(w))
-      .filter(col("p_retailprice") > col("brand_avg") * 1.1)
+      .withColumn("brand_avg", round(sum(col("p_retailprice")).over(w), 2) / count(lit(1)).over(w))
+      .filter(col("p_retailprice") > col("brand_avg") * 1.05)
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
         round(col("brand_avg"), 4).as("brand_avg"))
       .orderBy(col("p_partkey"))
   }
 
-  /** Hourly behavioral profile of the events stream. */
+  /** Hourly behavioral profile of the events stream (`ts` epoch-nanos long,
+    * see q09 note). */
   def q17EventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .groupBy(col("event_type"), expr("hour(timestamp_micros(ts div 1000))").as("hr"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
       .orderBy(col("event_type"), col("hr"))
 

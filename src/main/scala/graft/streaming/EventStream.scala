@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface (SURVEY.md §2.9: the reference has no
+  * streaming semantics — this is the driver-facing extension over the
+  * `events` shape): watermarked tumbling-window aggregation plus a
+  * stateful sessionizer via `flatMapGroupsWithState`.
+  *
+  * Both transforms take an un-bounded input DataFrame (`readStream` file /
+  * kafka / memory source — caller's choice) with schema
+  * `(event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,
+  * value DOUBLE)` and return streaming DataFrames; tests drive them with
+  * `MemoryStream` and a memory sink.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(nEvents: Long, sumValue: Double, lastSec: Long)
+  case class SessionOut(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Watermarked 5-minute tumbling-window counts per event_type. Late data
+    * beyond 10 minutes is dropped; state is bounded by the watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Stateful gap sessionization (30-minute inactivity) with
+    * flatMapGroupsWithState — emits a row when an event arrives more than
+    * the gap after the previous one, closing the prior session. (A
+    * production variant would add `GroupStateTimeout` to also close idle
+    * sessions on a clock; kept timeout-free here so semantics are purely
+    * data-driven and deterministic.) */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          events.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if sec - s.lastSec > 1800 =>
+                closed ::= SessionOut(userId, s.nEvents, math.rint(s.sumValue * 100) / 100)
+                cur = Some(SessionState(1, e.value, sec))
+              case Some(s) =>
+                cur = Some(SessionState(s.nEvents + 1, s.sumValue + e.value, sec))
+              case None =>
+                cur = Some(SessionState(1, e.value, sec))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+
+  /** Wire a streaming DataFrame to a memory sink for tests/demos. */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming surface: watermarked window agg + stateful
+  * sessionization, driven through MemoryStream → memory sink. */
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("watermarked tumbling-window counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.windowedCounts(input.toDF()), "win_counts", OutputMode.Append())
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0),
+        Event(3, ts(6), 2, "error", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the earlier windows
+      input.addData(Event(4, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("win_counts").collect()
+        .map(r => (r.getAs[Timestamp]("w_start").toString, r.getAs[String]("event_type"), r.getAs[Long]("n")))
+        .toSet
+      assert(out.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(out.contains(("2024-01-01 10:05:00.0", "error", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes a session after the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.sessionize(input.toDS()).toDF(), "sessions", OutputMode.Append())
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.5),
+        Event(2, ts(10), 7, "click", 2.5))
+      q.processAllAvailable()
+      // 40 minutes later (> 30-min gap) → previous session closes on arrival
+      input.addData(Event(3, ts(50), 7, "click", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[EventStream.SessionOut].collect().toSeq
+      assert(out.contains(EventStream.SessionOut(7, 2, 4.0)))
+    } finally q.stop()
+  }
+}
