@@ -65,9 +65,18 @@ object LlmOps {
 
   /** Explicit per-dimension double dot product between two 64-dim float
     * array columns; `base` is the first index (Spark arrays 0-based, DuckDB
-    * lists 1-based). Left-associated additions → bit-identical IEEE result. */
+    * lists 1-based). Left-associated additions → bit-identical IEEE result.
+    * Used for the DuckDB oracle text. */
   private def dot(a: String, b: String, base: Int): String =
     (base until base + 64).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
+
+  /** Spark-side dot product via higher-order functions: `aggregate` folds
+    * left-to-right from 0.0, so the IEEE result is bit-identical to the
+    * unrolled left-associated chain in [[dot]] — but the Catalyst expression
+    * stays tiny (the 64-term unrolled form generates megabytes of Java and
+    * janino compile time dominates the query). */
+  private def dotHof(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
   /** Deterministic hyperplane weights for ANN-LSH: plane p, dim i →
     * ((first-8-hex of md5("p:i") as long) % 2001 - 1000) / 1000 ∈ [-1, 1].
@@ -84,13 +93,24 @@ object LlmOps {
     }
   }
 
-  /** Σ_i w[p][i] * e[i] for hyperplane p over array column `e`. */
+  /** Σ_i w[p][i] * e[i] for hyperplane p over array column `e` (DuckDB text). */
   private def planeDot(e: String, p: Int, base: Int): String =
     (0 until 64).map(i => s"(CAST(${planes(p)(i)} AS DOUBLE) * CAST($e[${base + i}] AS DOUBLE))").mkString(" + ")
 
-  /** LSH bucket id: 8 sign bits of the hyperplane dots. */
+  /** LSH bucket id: 8 sign bits of the hyperplane dots (DuckDB text). */
   private def bucketExpr(e: String, base: Int): String =
     (0 until 8).map(p => s"(CASE WHEN (${planeDot(e, p, base)}) >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+
+  /** Spark-side plane dot via HOF: weights as a literal double array; the
+    * fold from 0.0 with w*x term order matches [[planeDot]] bit-for-bit. */
+  private def planeDotHof(e: String, p: Int): String = {
+    val ws = planes(p).map(w => s"CAST($w AS DOUBLE)").mkString("array(", ", ", ")")
+    s"aggregate(zip_with($ws, $e, (w, x) -> w * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  }
+
+  /** Spark-side LSH bucket id. */
+  private def bucketHof(e: String): String =
+    (0 until 8).map(p => s"(CASE WHEN (${planeDotHof(e, p)}) >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
 
   // ---------------------------------------------------------- text analysis
 
@@ -210,7 +230,12 @@ object LlmOps {
     * bucket become candidates; estimated similarity = matching minhashes / 8.
     * Banding bounds candidates without any doc² join. */
   def ddMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = ddMinhashSig(spark, dir)
+    // The signature table feeds the band generator AND both sides of the
+    // candidate join — without a cache Spark recomputes the full shingle
+    // explode + 8 md5-min aggregations three times. The cached table is
+    // tiny (one 8-string row per doc), so session-lifetime caching is the
+    // right trade at any scale.
+    val sig = ddMinhashSig(spark, dir).cache()
     val bands = sig.selectExpr("doc_id",
       "stack(4, 0, md5(concat(mh0, mh1)), 1, md5(concat(mh2, mh3)), " +
         "2, md5(concat(mh4, mh5)), 3, md5(concat(mh6, mh7))) as (band, bh)")
@@ -247,11 +272,11 @@ object LlmOps {
     * the blocking key; cosine emitted as explicit per-dim arithmetic). */
   def ddEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", expr(dot("embedding", "embedding", 0)))
+      .withColumn("nrm", expr(dotHof("embedding", "embedding")))
     val a = e.select(col("vec_id").as("ia"), col("label"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("ib"), col("label").as("lb"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("label") === col("lb") && col("ia") < col("ib"))
-      .withColumn("cos", round(expr(s"(${dot("ea", "eb", 0)}) / sqrt(na * nb)"), 6))
+      .withColumn("cos", round(expr(s"(${dotHof("ea", "eb")}) / sqrt(na * nb)"), 6))
       .select(col("ia"), col("ib"), col("label"), col("cos"))
       .orderBy(col("cos").desc, col("ia"), col("ib"))
       .limit(50)
@@ -263,13 +288,13 @@ object LlmOps {
     * The exact baseline an ANN variant is judged against. */
   def simTopkCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", expr(dot("embedding", "embedding", 0)))
+      .withColumn("nrm", expr(dotHof("embedding", "embedding")))
     val q = e.filter(expr("vec_id % 50 = 0"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
     q.crossJoin(c).filter(col("qid") =!= col("cid"))
-      .withColumn("cos_exact", expr(s"(${dot("qe", "ce", 0)}) / sqrt(qn * cn)"))
+      .withColumn("cos_exact", expr(s"(${dotHof("qe", "ce")}) / sqrt(qn * cn)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("cid"), round(col("cos_exact"), 6).as("cos"))
@@ -281,14 +306,14 @@ object LlmOps {
     * candidate count drops ~256× vs brute force (at some recall cost). */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", expr(dot("embedding", "embedding", 0)))
-      .withColumn("bucket", expr(bucketExpr("embedding", 0)))
+      .withColumn("nrm", expr(dotHof("embedding", "embedding")))
+      .withColumn("bucket", expr(bucketHof("embedding")))
     val q = e.filter(expr("vec_id % 50 = 0"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"), col("bucket").as("cb"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
     q.join(c, col("bucket") === col("cb") && col("qid") =!= col("cid"))
-      .withColumn("cos_exact", expr(s"(${dot("qe", "ce", 0)}) / sqrt(qn * cn)"))
+      .withColumn("cos_exact", expr(s"(${dotHof("qe", "ce")}) / sqrt(qn * cn)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("cid"), round(col("cos_exact"), 6).as("cos"))
