@@ -16,6 +16,24 @@ package graft.analytics
 object Oracles {
 
   val relational: Map[String, String] = Map(
+    "cgt_normalize" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'SELL' ELSE 'BUY' END AS kind,
+        |  strftime(o_orderdate, '%d/%m/%Y') AS date,
+        |  'ORD' || CAST(o_custkey % 50 AS VARCHAR) AS asset,
+        |  round(o_totalprice / 1000.0, 6) AS amount,
+        |  CAST(1000.0 AS DOUBLE) AS price,
+        |  round(o_totalprice * 0.001, 6) AS expenses
+        |FROM orders
+        |ORDER BY CAST(o_orderdate AS DATE), o_orderkey""".stripMargin,
+
+    "q19_hash_sample" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -263,7 +263,63 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The reference's whole pipeline shape re-cast at scale: per-row
+    * normalize/project into the canonical transaction record, then a global
+    * chronological sort (range-partitioned shuffle — the cgtcalc pipeline's
+    * only unavoidable shuffle; SURVEY.md §3 trace). Orders stand in for
+    * broker rows: sign-of-status → kind (the Fidelity rule), derived
+    * amounts, dd/MM/yyyy rendering. All arithmetic is per-row → bit-exact
+    * across engines. */
+  def cgtNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "SELL").otherwise("BUY").as("kind"),
+        date_format(col("o_orderdate"), "dd/MM/yyyy").as("date"),
+        concat(lit("ORD"), pmod(col("o_custkey"), lit(50))).as("asset"),
+        round(col("o_totalprice") / 1000.0, 6).as("amount"),
+        lit(1000.0).as("price"),
+        round(col("o_totalprice") * 0.001, 6).as("expenses"))
+      .orderBy(to_date(col("date"), "dd/MM/yyyy"), col("o_orderkey"))
+
+  /** Formatted cgtcalc output lines at scale, through the codegen'd
+    * `js_num` Catalyst expression — no SQL-expressible oracle (JS number
+    * rendering is engine-specific), so the driver records a rows-only
+    * check; byte-level parity is pinned by the golden specs instead. */
+  def cgtLines(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.JsNumber.jsNum
+    cgtNormalize(spark, dir)
+      .select(col("o_orderkey"), concat_ws(" ",
+        col("kind"), col("date"), col("asset"),
+        jsNum(col("amount")), jsNum(col("price")), jsNum(col("expenses"))).as("line"))
+  }
+
+  /** Deterministic hash sampling (portable md5 bucket — the scalable
+    * alternative to rand() sampling): keeps rows whose key digest starts
+    * with '0' (≈1/16), then aggregates. */
+  def q19HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))), 1, 1) === "0")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate distinct counting (HyperLogLog++): the 100 TB path where
+    * q14's exact expand+shuffle is not viable. Sketch values are
+    * engine-specific → no DuckDB oracle (rows-only check). */
+  def q20ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cgt_normalize" -> cgtNormalize _,
+    "cgt_lines" -> cgtLines _,
+    "q19_hash_sample" -> q19HashSample _,
+    "q20_approx_distinct" -> q20ApproxDistinct _,
     "q01_lineitem_agg" -> q01LineitemAgg _,
     "q02_filter_topk" -> q02FilterTopk _,
     "q03_join_revenue" -> q03JoinRevenue _,

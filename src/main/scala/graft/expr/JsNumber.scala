@@ -61,6 +61,13 @@ object JsNumber {
 
   private val fmtUdf = udf((d: java.lang.Double) => if (d == null) null else format(d))
 
-  /** Column form: render a DoubleType column JS-style as StringType. */
-  def jsNum(c: Column): Column = fmtUdf(c)
+  /** Column form: render a DoubleType column JS-style as StringType, via the
+    * codegen'd Catalyst expression
+    * [[org.apache.spark.sql.graft.JsNumberFormat]] (falls back to a plain
+    * Scala UDF if the classic Column bridge is unavailable, e.g. under a
+    * Connect client). */
+  def jsNum(c: Column): Column =
+    try org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.JsNumberFormat(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+    catch { case _: LinkageError => fmtUdf(c) }
 }
