@@ -134,10 +134,10 @@ object LlmOps {
       .withColumn("n_stop", expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))").cast("long"))
       .withColumn("n_punct", length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
       .select(col("doc_id"), col("n_words"), col("n_stop"),
-        round(col("n_stop") / nullif(col("n_words"), lit(0)), 4).as("stop_ratio"),
-        round(col("n_punct") / nullif(length(col("text")), lit(0)), 4).as("punct_ratio"),
-        round(least(lit(1.0), col("n_words") / lit(100.0)) * 0.5
-          + (lit(1.0) - col("n_punct") / nullif(length(col("text")), lit(0))) * 0.5, 4).as("quality"))
+        (col("n_stop") / nullif(col("n_words"), lit(0))).as("stop_ratio"),
+        (col("n_punct") / nullif(length(col("text")), lit(0))).as("punct_ratio"),
+        (least(lit(1.0), col("n_words") / lit(100.0)) * 0.5
+          + (lit(1.0) - col("n_punct") / nullif(length(col("text")), lit(0))) * 0.5).as("quality"))
       .orderBy(col("doc_id"))
 
   /** N-gram-marker language ID: count marker-token hits per language,
@@ -206,7 +206,7 @@ object LlmOps {
     common
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
-      .withColumn("jaccard", round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= 0.2)
       .select(col("ia"), col("ib"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("ia"), col("ib"))
@@ -247,7 +247,7 @@ object LlmOps {
       .reduce(_ + _).cast("double") / 8.0
     cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
       .join(sig.as("b"), col("ib") === col("b.doc_id"))
-      .select(col("ia"), col("ib"), round(est, 3).as("est_sim"))
+      .select(col("ia"), col("ib"), est.as("est_sim"))
       .orderBy(col("est_sim").desc, col("ia"), col("ib"))
       .limit(200)
   }
@@ -276,7 +276,7 @@ object LlmOps {
     val a = e.select(col("vec_id").as("ia"), col("label"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("ib"), col("label").as("lb"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("label") === col("lb") && col("ia") < col("ib"))
-      .withColumn("cos", round(expr(s"(${dotHof("ea", "eb")}) / sqrt(na * nb)"), 6))
+      .withColumn("cos", expr(s"(${dotHof("ea", "eb")}) / sqrt(na * nb)"))
       .select(col("ia"), col("ib"), col("label"), col("cos"))
       .orderBy(col("cos").desc, col("ia"), col("ib"))
       .limit(50)
@@ -297,7 +297,7 @@ object LlmOps {
       .withColumn("cos_exact", expr(s"(${dotHof("qe", "ce")}) / sqrt(qn * cn)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("cid"), round(col("cos_exact"), 6).as("cos"))
+      .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -316,7 +316,7 @@ object LlmOps {
       .withColumn("cos_exact", expr(s"(${dotHof("qe", "ce")}) / sqrt(qn * cn)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("cid"), round(col("cos_exact"), 6).as("cos"))
+      .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -372,10 +372,10 @@ object LlmOps {
          |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct
          |  FROM base)
          |SELECT doc_id, n_words, n_stop,
-         |  round(n_stop / nullif(n_words, 0), 4) AS stop_ratio,
-         |  round(n_punct / nullif(length(text), 0), 4) AS punct_ratio,
-         |  round(least(1.0, n_words / 100.0) * 0.5
-         |        + (1.0 - n_punct / nullif(length(text), 0)) * 0.5, 4) AS quality
+         |  n_stop / nullif(n_words, 0) AS stop_ratio,
+         |  n_punct / nullif(length(text), 0) AS punct_ratio,
+         |  least(1.0, n_words / 100.0) * 0.5
+         |        + (1.0 - n_punct / nullif(length(text), 0)) * 0.5 AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
 
     "txt_langid" -> {
@@ -413,9 +413,9 @@ object LlmOps {
          |  FROM sh a JOIN sh b
          |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT ia, ib, round(common / (sa.n + sb.n - common), 4) AS jaccard
+         |SELECT ia, ib, common / (sa.n + sb.n - common) AS jaccard
          |FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-         |WHERE round(common / (sa.n + sb.n - common), 4) >= 0.2
+         |WHERE common / (sa.n + sb.n - common) >= 0.2
          |ORDER BY jaccard DESC, ia, ib LIMIT 200""".stripMargin,
 
     "dd_minhash_sig" -> minhashSigDuck,
@@ -434,7 +434,7 @@ object LlmOps {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
          |SELECT ia, ib,
-         |  round((${(0 until 8).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0, 3) AS est_sim
+         |  (${(0 until 8).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
          |FROM cand JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id
          |ORDER BY est_sim DESC, ia, ib LIMIT 200""".stripMargin,
 
@@ -456,7 +456,7 @@ object LlmOps {
          |  SELECT vec_id, label, embedding, ${dot("embedding", "embedding", 1)} AS nrm
          |  FROM embeddings)
          |SELECT a.vec_id AS ia, b.vec_id AS ib, a.label AS label,
-         |  round((${dot("a.embedding", "b.embedding", 1)}) / sqrt(a.nrm * b.nrm), 6) AS cos
+         |  (${dot("a.embedding", "b.embedding", 1)}) / sqrt(a.nrm * b.nrm) AS cos
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |ORDER BY cos DESC, ia, ib LIMIT 50""".stripMargin,
 
@@ -472,7 +472,7 @@ object LlmOps {
          |  SELECT qid, cid, cos_exact,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
          |  FROM pairs)
-         |SELECT qid, rk, cid, round(cos_exact, 6) AS cos
+         |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "sim_ann_lsh" ->
@@ -489,7 +489,7 @@ object LlmOps {
          |  SELECT qid, cid, cos_exact,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
          |  FROM pairs)
-         |SELECT qid, rk, cid, round(cos_exact, 6) AS cos
+         |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "mm_meta" ->

@@ -21,9 +21,9 @@ object Oracles {
         |  CASE WHEN o_orderstatus = 'F' THEN 'SELL' ELSE 'BUY' END AS kind,
         |  strftime(o_orderdate, '%d/%m/%Y') AS date,
         |  'ORD' || CAST(o_custkey % 50 AS VARCHAR) AS asset,
-        |  round(o_totalprice / 1000.0, 6) AS amount,
+        |  o_totalprice / 1000.0 AS amount,
         |  CAST(1000.0 AS DOUBLE) AS price,
-        |  round(o_totalprice * 0.001, 6) AS expenses
+        |  o_totalprice * 0.001 AS expenses
         |FROM orders
         |ORDER BY CAST(o_orderdate AS DATE), o_orderkey""".stripMargin,
 
@@ -40,9 +40,9 @@ object Oracles {
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
         |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(sum(l_quantity), 2) / count(*) AS avg_qty,
+        |  round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+        |  round(sum(l_discount), 2) / count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_quantity <= 45
         |GROUP BY l_returnflag, l_linestatus
@@ -193,7 +193,7 @@ object Oracles {
         |ORDER BY src, yr""".stripMargin,
 
     "q16_above_brand_avg" ->
-      """SELECT p_partkey, p_brand, p_retailprice, round(brand_avg, 4) AS brand_avg
+      """SELECT p_partkey, p_brand, p_retailprice, brand_avg
         |FROM (SELECT p_partkey, p_brand, p_retailprice,
         |        round(sum(p_retailprice) OVER (PARTITION BY p_brand), 2)
         |          / count(*) OVER (PARTITION BY p_brand) AS brand_avg
@@ -203,7 +203,7 @@ object Oracles {
 
     "q17_events_hourly" ->
       """SELECT event_type, hour(ts) AS hr, count(*) AS n,
-        |  round(avg(value), 4) AS avg_value
+        |  round(sum(value), 2) / count(*) AS avg_value
         |FROM events
         |GROUP BY event_type, hour(ts)
         |ORDER BY event_type, hr""".stripMargin,

@@ -11,8 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Determinism rules (driver hash-compares against DuckDB):
   *  - every query ends in a total ORDER BY over a unique key set;
-  *  - every derived double is `round(…, n)` in BOTH engines (sums of doubles
-  *    associate differently across partitions — rounding absorbs the ulps);
+  *  - aggregate SUMS are `round(…, g)` at their true decimal granularity g
+  *    (partial-agg order perturbs the last ulps; rounding at g recovers the
+  *    exact decimal in both engines). Everything derived per-row or from a
+  *    rounded sum is emitted as a RAW double — both engines compute the
+  *    bit-identical IEEE value, and further rounding would be LESS safe:
+  *    Spark rounds via exact BigDecimal while DuckDB rounds via a float
+  *    multiply, and the two disagree on terminating decimals like sum/8
+  *    that land exactly on a half-boundary;
   *  - timestamps are projected as formatted strings or dates (the `events`
   *    table is ns-precision parquet, which DuckDB reads as TIMESTAMP_NS —
   *    strings sidestep the type mismatch).
@@ -38,9 +44,13 @@ object Relational {
         // partial-aggregation summation order can't flip a rounding boundary
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        // averages derived from the granularity-rounded sum: both engines
+        // then divide the *same* double, so the final rounding can't land on
+        // opposite sides of a half-boundary (sum/n is often a terminating
+        // decimal ending in 5 when n has only 2s and 5s)
+        (round(sum(col("l_quantity")), 2) / count(lit(1))).as("avg_qty"),
+        (round(sum(col("l_extendedprice")), 2) / count(lit(1))).as("avg_price"),
+        (round(sum(col("l_discount")), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -237,7 +247,7 @@ object Relational {
       .withColumn("brand_avg", round(sum(col("p_retailprice")).over(w), 2) / count(lit(1)).over(w))
       .filter(col("p_retailprice") > col("brand_avg") * 1.05)
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
-        round(col("brand_avg"), 4).as("brand_avg"))
+        col("brand_avg"))
       .orderBy(col("p_partkey"))
   }
 
@@ -246,7 +256,8 @@ object Relational {
   def q17EventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"), expr("hour(timestamp_micros(ts div 1000))").as("hr"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
       .orderBy(col("event_type"), col("hr"))
 
   /** Skew-resilient two-phase aggregation (salting demo): pre-aggregate on a
@@ -277,9 +288,9 @@ object Relational {
         when(col("o_orderstatus") === "F", "SELL").otherwise("BUY").as("kind"),
         date_format(col("o_orderdate"), "dd/MM/yyyy").as("date"),
         concat(lit("ORD"), pmod(col("o_custkey"), lit(50))).as("asset"),
-        round(col("o_totalprice") / 1000.0, 6).as("amount"),
+        (col("o_totalprice") / 1000.0).as("amount"),
         lit(1000.0).as("price"),
-        round(col("o_totalprice") * 0.001, 6).as("expenses"))
+        (col("o_totalprice") * 0.001).as("expenses"))
       .orderBy(to_date(col("date"), "dd/MM/yyyy"), col("o_orderkey"))
 
   /** Formatted cgtcalc output lines at scale, through the codegen'd
