@@ -97,9 +97,15 @@ object LlmOps {
   private def planeDot(e: String, p: Int, base: Int): String =
     (0 until 64).map(i => s"(CAST(${planes(p)(i)} AS DOUBLE) * CAST($e[${base + i}] AS DOUBLE))").mkString(" + ")
 
-  /** LSH bucket id: 8 sign bits of the hyperplane dots (DuckDB text). */
+  /** Number of ANN hyperplanes: 2^n buckets. 4 planes / 16 buckets trades
+    * ~16x candidate reduction for usable recall on unclustered vectors —
+    * more planes shrink buckets faster than recall survives (measured:
+    * 8 planes gave 6% recall@5 on the synthetic embeddings). */
+  private val AnnPlanes = 4
+
+  /** LSH bucket id: sign bits of the hyperplane dots (DuckDB text). */
   private def bucketExpr(e: String, base: Int): String =
-    (0 until 8).map(p => s"(CASE WHEN (${planeDot(e, p, base)}) >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+    (0 until AnnPlanes).map(p => s"(CASE WHEN (${planeDot(e, p, base)}) >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
 
   /** Spark-side plane dot via HOF: weights as a literal double array; the
     * fold from 0.0 with w*x term order matches [[planeDot]] bit-for-bit. */
@@ -110,7 +116,7 @@ object LlmOps {
 
   /** Spark-side LSH bucket id. */
   private def bucketHof(e: String): String =
-    (0 until 8).map(p => s"(CASE WHEN (${planeDotHof(e, p)}) >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+    (0 until AnnPlanes).map(p => s"(CASE WHEN (${planeDotHof(e, p)}) >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
 
   // ---------------------------------------------------------- text analysis
 
@@ -301,9 +307,10 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** Hyperplane-LSH approximate NN: 8 deterministic hyperplanes → 256
+  /** Hyperplane-LSH approximate NN: deterministic hyperplanes → 2^AnnPlanes
     * sign-buckets; queries only scan their own bucket. The scale path —
-    * candidate count drops ~256× vs brute force (at some recall cost). */
+    * candidate count drops ~2^AnnPlanes× vs brute force, at measured recall
+    * cost (see LlmOpsSpec's recall probe). */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", expr(dotHof("embedding", "embedding")))

@@ -1,0 +1,82 @@
+package graft
+
+import graft.analytics.LlmOps
+
+/** Semantic checks for the LLM-pipeline operators, on a crafted corpus with
+  * planted exact/near duplicates (the DuckDB oracle proves engine agreement;
+  * these prove the operators detect what they claim to detect). */
+case class LlmDoc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
+class LlmOpsSpec extends SparkSpec {
+  import graft.{LlmDoc => Doc}
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val other = "one two three four five six seven eight nine ten eleven twelve!"
+    val german = "der und die das ist der und die das ist der und die das ist!!"
+    val docs = Seq(
+      Doc(0, base, "en", "s0", base.length),
+      Doc(1, base, "en", "s1", base.length),   // exact duplicate of 0
+      Doc(2, near, "en", "s2", near.length),   // near duplicate (one word differs)
+      Doc(3, other, "en", "s3", other.length), // unrelated, same length bucket
+      Doc(4, german, "de", "s4", german.length))
+    val d = java.nio.file.Files.createTempDirectory("llmops").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts and keeps the lowest doc_id") {
+    val rows = LlmOps.ddExact(spark, dir).collect()
+    assert(rows.length == 4) // 5 docs, one exact-dup pair
+    val dup = rows.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0)
+  }
+
+  test("n-gram Jaccard finds the exact and near duplicates, not the unrelated doc") {
+    val pairs = LlmOps.ddNgramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"), r.getAs[Double]("jaccard"))).toSeq
+    assert(pairs.exists { case (a, b, j) => a == 0 && b == 1 && j == 1.0 }) // exact dup
+    assert(pairs.exists { case (a, b, j) => a == 0 && b == 2 && j > 0.5 })  // near dup
+    assert(!pairs.exists { case (a, b, _) => b == 3 || a == 3 })            // unrelated
+  }
+
+  test("minhash: identical docs share the full signature; LSH surfaces them as candidates") {
+    val sig = LlmOps.ddMinhashSig(spark, dir).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0 until 8).foreach(j => assert(sig(0).getAs[String](s"mh$j") == sig(1).getAs[String](s"mh$j")))
+    val pairs = LlmOps.ddMinhashPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"), r.getAs[Double]("est_sim"))).toSeq
+    assert(pairs.exists { case (a, b, e) => a == 0 && b == 1 && e == 1.0 })
+  }
+
+  test("simhash: identical docs hash identically; near-dup within small hamming distance") {
+    val sh = LlmOps.ddSimhash(spark, dir).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0) == sh(1))
+    val hamming = java.lang.Long.bitCount(sh(0) ^ sh(2))
+    assert(hamming <= 6, s"near-dup hamming distance $hamming")
+  }
+
+  test("language-ID picks the marker-dominant language") {
+    val pred = LlmOps.txtLangid(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(pred(4) == "de")
+    assert(pred(0) == "en") // no markers at all → fixed-priority fallback is 'en'
+  }
+
+  test("ANN cosine values agree with the brute-force baseline; recall is measurable") {
+    val real = "/root/testdata/sf0.001"
+    val brute = LlmOps.simTopkCosine(spark, real).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> r.getAs[Double]("cos")).toMap
+    val ann = LlmOps.simAnnLsh(spark, real).collect()
+    assert(ann.nonEmpty)
+    // any (qid,cid) pair surfaced by both paths must carry the identical cosine
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+    val recall = ann.count(r => brute.contains((r.getAs[Long]("qid"), r.getAs[Long]("cid")))).toDouble /
+      math.max(brute.size, 1)
+    info(f"ANN recall@5 vs brute force: $recall%.2f (4 hyperplanes, 16 buckets)")
+  }
+}
