@@ -27,6 +27,14 @@ object Oracles {
         |FROM orders
         |ORDER BY CAST(o_orderdate AS DATE), o_orderkey""".stripMargin,
 
+    "q21_tumbling" ->
+      """SELECT strftime(make_timestamp((epoch_ns(ts) // 1000000000) // 300 * 300 * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
     "q19_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem

@@ -326,7 +326,19 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Tumbling-window aggregation over the events table with the built-in
+    * `window()` generator (epoch-aligned 5-minute buckets) — the batch twin
+    * of the Structured Streaming windowedCounts in [[graft.streaming.EventStream]]. */
+  def q21Tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(expr("timestamp_micros(ts div 1000)"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_tumbling" -> q21Tumbling _,
     "cgt_normalize" -> cgtNormalize _,
     "cgt_lines" -> cgtLines _,
     "q19_hash_sample" -> q19HashSample _,
