@@ -10,12 +10,14 @@ import graft.sources._
   * — parse, merge with the existing sink, sort chronologically, overwrite. */
 object Main {
   def main(args: Array[String]): Unit = {
-    if (args.length < 2 || args.length > 3) {
-      System.err.println("Usage: graft.Main <freetrade|ii|fidelity|bullionvault> <path> [out=data.txt]")
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val distinct = flags.contains("--distinct")
+    if (positional.length < 2 || positional.length > 3 || !flags.forall(_ == "--distinct")) {
+      System.err.println("Usage: graft.Main <freetrade|ii|fidelity|bullionvault> <path> [out=data.txt] [--distinct]")
       sys.exit(1)
     }
-    val Array(kind, path) = args.take(2)
-    val out = if (args.length == 3) args(2) else "data.txt"
+    val Array(kind, path) = positional.take(2)
+    val out = if (positional.length == 3) positional(2) else "data.txt"
 
     val spark = SparkSession.builder()
       .appName("graft")
@@ -42,7 +44,7 @@ object Main {
     }
 
     val lines = Transaction.toLines(canonical)
-    val sorted = MergeSortSink.mergeSortWrite(spark, lines, out)
+    val sorted = MergeSortSink.mergeSortWrite(spark, lines, out, distinct = distinct)
     println(s"Wrote ${sorted.size} transactions to $out")
     sorted.take(5).foreach(println)
     if (sorted.size > 5) println(s"... and ${sorted.size - 5} more")

@@ -240,8 +240,11 @@ object LlmOps {
     // candidate join — without a cache Spark recomputes the full shingle
     // explode + 8 md5-min aggregations three times. The cached table is
     // tiny (one 8-string row per doc), so session-lifetime caching is the
-    // right trade at any scale.
+    // right trade at any scale. Materialize it eagerly: consumers running
+    // as parallel stages of one job would otherwise race past the
+    // not-yet-populated cache and each recompute the pipeline.
     val sig = ddMinhashSig(spark, dir).cache()
+    sig.count()
     val bands = sig.selectExpr("doc_id",
       "stack(4, 0, md5(concat(mh0, mh1)), 1, md5(concat(mh2, mh3)), " +
         "2, md5(concat(mh4, mh5)), 3, md5(concat(mh6, mh7))) as (band, bh)")

@@ -6,8 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * selection happens downstream — Spark's parquet reader prunes to the
   * required schema automatically, so scans only read referenced columns. */
 object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so the whole surface is reachable
+    * from `spark.sql(...)` (plus `js_num` via GraftFunctions/extensions). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
