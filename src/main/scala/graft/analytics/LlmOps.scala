@@ -176,6 +176,21 @@ object LlmOps {
       |     WHEN s_es >= s_fr THEN 'es'
       |     ELSE 'fr' END""".stripMargin
 
+  /** Term-frequency profile: top-20 tokens per language (explode →
+    * map-side-combinable count → per-group rank). The TF building block of
+    * a TF-IDF pipeline; shuffle bounded by distinct (lang, token). */
+  def txtTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("lang"), explode(col("toks")).as("t"))
+    val counts = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("t"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("t"), col("n"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Document fingerprinting: md5 of normalized text + a 32-bit integer
     * fingerprint derived portably from the hex digest. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -223,10 +238,19 @@ object LlmOps {
     * over the shingle set). The per-doc aggregation is a single map-side
     * combinable groupBy — scales linearly in total shingle count. */
   def ddMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    // 8 "permutations" from 2 md5 calls via 8-hex slicing (one-hash-many-
+    // slices): each 32-bit slice of a well-mixed digest acts as an
+    // independent hash. 2 digests per shingle instead of 8 — the md5 work
+    // is the dominant cost of the whole minhash pipeline at scale.
     val sh = Tables.documents(spark, dir)
       .withColumn("toks", expr(toksSpark))
       .select(col("doc_id"), explode(expr(shinglesSpark)).as("s"))
-    val mhs = (0 until 8).map(j => min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))
+      .withColumn("h1", md5(col("s")))
+      .withColumn("h2", md5(concat(lit("x"), col("s"))))
+    val mhs = (0 until 8).map { j =>
+      val (h, off) = if (j < 4) ("h1", j) else ("h2", j - 4)
+      min(substring(col(h), 1 + 8 * off, 8)).as(s"mh$j")
+    }
     sh.groupBy(col("doc_id"))
       .agg(mhs.head, mhs.tail: _*)
       .orderBy(col("doc_id"))
@@ -350,6 +374,7 @@ object LlmOps {
     "txt_quality" -> txtQuality _,
     "txt_langid" -> txtLangid _,
     "txt_fingerprint" -> txtFingerprint _,
+    "txt_top_terms" -> txtTopTerms _,
     "dd_exact" -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_minhash_sig" -> ddMinhashSig _,
@@ -366,6 +391,17 @@ object LlmOps {
     s"base AS (SELECT doc_id, lang, source, n_chars, text, $toksDuck AS toks FROM documents)"
 
   val duckdb: Map[String, String] = Map(
+    "txt_top_terms" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT lang, unnest(toks) AS t FROM base),
+         |counts AS (SELECT lang, t, count(*) AS n FROM tok GROUP BY lang, t),
+         |ranked AS (
+         |  SELECT lang, t, n,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, t) AS rk
+         |  FROM counts)
+         |SELECT lang, rk, t, n FROM ranked WHERE rk <= 20
+         |ORDER BY lang, rk""".stripMargin,
+
     "txt_tokens" ->
       s"""WITH $baseDuck
          |SELECT doc_id,
@@ -432,9 +468,9 @@ object LlmOps {
 
     "dd_minhash_pairs" ->
       s"""WITH $baseDuck, sh AS (
-         |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
+         |  SELECT doc_id, md5(unnest($shinglesDuck)) AS h1, md5('x' || unnest($shinglesDuck)) AS h2 FROM base),
          |sig AS (
-         |  SELECT doc_id, ${(0 until 8).map(j => s"min(md5('$j|' || s)) AS mh$j").mkString(", ")}
+         |  SELECT doc_id, $minhashSliceCols
          |  FROM sh GROUP BY doc_id),
          |bands AS (
          |  ${(0 until 4).map(bd => s"SELECT doc_id, $bd AS band, md5(mh${2 * bd} || mh${2 * bd + 1}) AS bh FROM sig")
@@ -507,9 +543,15 @@ object LlmOps {
         |  sha256(text) AS sha_hex, source
         |FROM documents ORDER BY doc_id""".stripMargin)
 
+  private def minhashSliceCols: String =
+    (0 until 8).map { j =>
+      val (h, off) = if (j < 4) ("h1", j) else ("h2", j - 4)
+      s"min(substr($h, ${1 + 8 * off}, 8)) AS mh$j"
+    }.mkString(", ")
+
   private def minhashSigDuck: String =
     s"""WITH $baseDuck, sh AS (
-       |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base)
-       |SELECT doc_id, ${(0 until 8).map(j => s"min(md5('$j|' || s)) AS mh$j").mkString(", ")}
+       |  SELECT doc_id, md5(unnest($shinglesDuck)) AS h1, md5('x' || unnest($shinglesDuck)) AS h2 FROM base)
+       |SELECT doc_id, $minhashSliceCols
        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -35,6 +35,14 @@ object Oracles {
         |GROUP BY 1, event_type
         |ORDER BY w_start, event_type""".stripMargin,
 
+    "q22_cube" ->
+      """SELECT coalesce(o_orderpriority, '(all)') AS priority,
+        |  coalesce(o_orderstatus, '(all)') AS status,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+
     "q19_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem

@@ -337,8 +337,19 @@ object Relational {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** CUBE aggregation: all grouping-set combinations over two dimensions. */
+  def q22Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_total"))
+      .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_total"))
+      .orderBy(col("priority"), col("status"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_tumbling" -> q21Tumbling _,
+    "q22_cube" -> q22Cube _,
     "cgt_normalize" -> cgtNormalize _,
     "cgt_lines" -> cgtLines _,
     "q19_hash_sample" -> q19HashSample _,
