@@ -213,7 +213,16 @@ object LlmOps {
 
   /** N-gram Jaccard near-dup detection, blocked on (lang, length-bucket):
     * shingle-join within blocks → common counts → |A∩B| / |A∪B|. */
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("ia"), col("ib"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("ia"), col("ib"))
+      .limit(200)
+
+  /** All blocked shingle-Jaccard pairs (no threshold/limit) — shared by the
+    * reporting query above and the dedup action below. */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     def sh = Tables.documents(spark, dir)
       .withColumn("toks", expr(toksSpark))
       .withColumn("bkt", expr("n_chars div 50"))
@@ -228,10 +237,19 @@ object LlmOps {
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= 0.2)
-      .select(col("ia"), col("ib"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("ia"), col("ib"))
-      .limit(200)
+  }
+
+  /** The dedup ACTION: emit the kept corpus after dropping near-duplicates
+    * (greedy keep-lowest-id: any doc that is the higher id of a pair with
+    * Jaccard >= 0.8 is dropped). Anti-join — no doc² anywhere. */
+  def ddDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val drops = jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("ib")).distinct()
+    Tables.documents(spark, dir)
+      .join(drops, col("doc_id") === col("ib"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** MinHash signatures (k=8 permutations approximated by seeded md5 minima
@@ -377,6 +395,7 @@ object LlmOps {
     "txt_top_terms" -> txtTopTerms _,
     "dd_exact" -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_dedup_keep" -> ddDedupKeep _,
     "dd_minhash_sig" -> ddMinhashSig _,
     "dd_minhash_pairs" -> ddMinhashPairs _,
     "dd_simhash" -> ddSimhash _,
@@ -463,6 +482,24 @@ object LlmOps {
          |FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
          |WHERE common / (sa.n + sb.n - common) >= 0.2
          |ORDER BY jaccard DESC, ia, ib LIMIT 200""".stripMargin,
+
+    "dd_dedup_keep" ->
+      s"""WITH $baseDuck, sh AS (
+         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s
+         |  FROM base),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+         |  FROM sh a JOIN sh b
+         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |drops AS (
+         |  SELECT DISTINCT ib FROM pairs
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE common / (sa.n + sb.n - common) >= 0.8)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.ib = doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "dd_minhash_sig" -> minhashSigDuck,
 
