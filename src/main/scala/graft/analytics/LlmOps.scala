@@ -220,16 +220,30 @@ object LlmOps {
       .orderBy(col("jaccard").desc, col("ia"), col("ib"))
       .limit(200)
 
+  /** Stop-shingle cap: a shingle present in more than this many docs of a
+    * block is dropped from the candidate join. The worst-key bound that
+    * keeps the self-join fanout O(cap²) per shingle at any corpus size;
+    * far above anything the test corpora hit, so results are unchanged
+    * there (and the oracle applies the identical cap). */
+  private val StopShingleCap = 500
+
   /** All blocked shingle-Jaccard pairs (no threshold/limit) — shared by the
-    * reporting query above and the dedup action below. */
+    * reporting query above and the dedup action below. Note `sizes` counts
+    * the FULL shingle set (the Jaccard denominator), while the join runs on
+    * the stop-shingle-capped set. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     def sh = Tables.documents(spark, dir)
       .withColumn("toks", expr(toksSpark))
       .withColumn("bkt", expr("n_chars div 50"))
       .select(col("doc_id"), col("lang"), col("bkt"), explode(expr(shinglesSpark)).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("ia", "la", "ba", "s")
-    val b = sh.toDF("ib", "lb", "bb", "s2")
+    val rare = sh.groupBy(col("s"), col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
+      .select(col("s"), col("lang"), col("bkt"))
+    def capped = sh.join(rare, Seq("s", "lang", "bkt"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("bkt"), col("s"))
+    val a = capped.toDF("ia", "la", "ba", "s")
+    val b = capped.toDF("ib", "lb", "bb", "s2")
     val common = a.join(b,
         col("s") === col("s2") && col("la") === col("lb") && col("ba") === col("bb") && col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
@@ -473,9 +487,15 @@ object LlmOps {
          |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s
          |  FROM base),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (
+         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
+         |  HAVING count(*) <= 500),
+         |capped AS (
+         |  SELECT sh.* FROM sh SEMI JOIN rare
+         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
          |pairs AS (
          |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
-         |  FROM sh a JOIN sh b
+         |  FROM capped a JOIN capped b
          |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT ia, ib, common / (sa.n + sb.n - common) AS jaccard
@@ -488,9 +508,15 @@ object LlmOps {
          |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s
          |  FROM base),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (
+         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
+         |  HAVING count(*) <= 500),
+         |capped AS (
+         |  SELECT sh.* FROM sh SEMI JOIN rare
+         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
          |pairs AS (
          |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
-         |  FROM sh a JOIN sh b
+         |  FROM capped a JOIN capped b
          |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
          |drops AS (
