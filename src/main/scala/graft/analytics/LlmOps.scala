@@ -232,16 +232,28 @@ object LlmOps {
     * the FULL shingle set (the Jaccard denominator), while the join runs on
     * the stop-shingle-capped set. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    def sh = Tables.documents(spark, dir)
+    // The exploded shingle table feeds four consumers (sizes, the stop-
+    // shingle df-count, and both sides of the candidate self-join) — without
+    // a persist Spark re-runs tokenize+shingle+explode for each one. The
+    // persist is MEMORY_AND_DISK (spill-safe at scale), keyed on the
+    // canonicalized plan, so the two queries sharing this subplan
+    // (dd_ngram_jaccard and dd_dedup_keep) also reuse one materialization.
+    // Eager count: parallel consumers must not race past an empty cache.
+    val sh = Tables.documents(spark, dir)
       .withColumn("toks", expr(toksSpark))
       .withColumn("bkt", expr("n_chars div 50"))
       .select(col("doc_id"), col("lang"), col("bkt"), explode(expr(shinglesSpark)).as("s"))
+      .persist()
+    sh.count()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rare = sh.groupBy(col("s"), col("lang"), col("bkt"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
       .select(col("s"), col("lang"), col("bkt"))
-    def capped = sh.join(rare, Seq("s", "lang", "bkt"), "left_semi")
+    // capped is consumed by both join sides → persist it too (one semi-join
+    // instead of two; it is strictly smaller than sh).
+    val capped = sh.join(rare, Seq("s", "lang", "bkt"), "left_semi")
       .select(col("doc_id"), col("lang"), col("bkt"), col("s"))
+      .persist()
     val a = capped.toDF("ia", "la", "ba", "s")
     val b = capped.toDF("ib", "lb", "bb", "s2")
     val common = a.join(b,

@@ -46,7 +46,14 @@ object MergeSortSink {
     spark.createDataset(a.union(b)).toDF("line", "seq")
   }
 
-  /** Chronological sort with fail-fast date validation (`index.js:12-36`). */
+  /** Chronological sort with fail-fast date validation (`index.js:12-36`).
+    *
+    * Intentional divergence on calendar-invalid dates: the reference's sort
+    * comparator builds `new Date(y, m-1, d)`, so a line like `31/2/2024`
+    * (which `ii.js:98-109` passes through unvalidated) silently rolls over to
+    * 2 Mar 2024 and the run completes. Here `try_to_date` rejects it and the
+    * merge aborts — we prefer failing on a date that does not exist over
+    * emulating JS rollover arithmetic; real broker exports never hit this. */
   def sortLines(merged: DataFrame): Dataset[String] = {
     import merged.sparkSession.implicits._
     val dateTok = split(col("line"), " ").getItem(1)
@@ -64,7 +71,10 @@ object MergeSortSink {
   def mergeSortWrite(spark: SparkSession, fresh: Dataset[String], path: String,
                      distinct: Boolean = false): Seq[String] = {
     val existing = readExisting(spark, path)
-    val unioned = merge(existing, if (distinct) fresh.distinct() else fresh)
+    // seq is assigned BEFORE any dedup so first-occurrence order is stable;
+    // groupBy(line).min(seq) alone dedups in --distinct mode (a pre-distinct
+    // would shuffle fresh lines and make their seq nondeterministic).
+    val unioned = merge(existing, fresh)
     val deduped = if (distinct) {
       // keep first occurrence per line content (lowest seq)
       unioned.groupBy("line").agg(min("seq").as("seq"))

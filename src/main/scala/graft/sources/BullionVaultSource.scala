@@ -53,19 +53,28 @@ object BullionVaultSource {
     val asset = when(security rlike "(?i)\\b(?:gold?)\\b", "GOLD")
       .when(security rlike "(?i)\\b(?:silver?)\\b", "SILVER")
 
-    // currency guard: any present non-GBP currency aborts (`bullionvault.js:56-62`)
-    val currencyOk =
-      (considerCur === "" || considerCur === "GBP") &&
-      (commissionCur === "" || commissionCur === "GBP")
-    val badCurrency = when(considerCur =!= "" && considerCur =!= "GBP", considerCur)
-      .otherwise(commissionCur)
+    // Consideration/commission guards: the reference dereferences
+    // `considerationMatch[1]` / `commissionMatch[1]` unconditionally
+    // (`bullionvault.js:46-54`), so an email missing either line aborts the
+    // run (TypeError). We fail fast with a descriptive message instead of a
+    // null deref, then apply the explicit non-GBP guard (`bullionvault.js:56-62`).
+    val considerOk = considerCur =!= ""
+    val commissionLineOk = commissionCur =!= ""
+    val currencyOk = considerCur === "GBP" && commissionCur === "GBP"
+    val badCurrency = when(considerCur =!= "GBP", considerCur).otherwise(commissionCur)
 
     val kind = failUnless(upper(kindRaw), kindRaw =!= "",
       "Unable to extract transaction summary (Summary:/Deal: line)")
+    // inner: currency guard; outer: missing-line guard — outer conditions
+    // evaluate first, so the missing-line abort wins, like the reference's
+    // null deref preceding its currency loop.
+    val kindCurrency = failUnless(kind, currencyOk,
+      concat(lit("Unsupported currency '"), badCurrency, lit("' — only GBP allowed")))
 
     raw.select(
-      failUnless(kind, currencyOk,
-        concat(lit("Unsupported currency '"), badCurrency, lit("' — only GBP allowed"))).as("kind"),
+      failUnless(kindCurrency, considerOk && commissionLineOk,
+        when(!considerOk, lit("Missing consideration line (Consideration:/Net consideration:)"))
+          .otherwise(lit("Missing commission line (Commission:)"))).as("kind"),
       failUnless(date, dealTime =!= "" && date.isNotNull,
         when(dealTime === "", lit("Missing Deal time line"))
           .otherwise(concat(lit("Unable to parse deal time: "), dealTime))).as("date"),

@@ -41,9 +41,15 @@ object IISource {
     val amount = abs(jsNumber(col("Quantity")))
     val price = poundsNumber(col("Price"))
 
+    // Error precedence mirrors `ii.js:61-73`: missing Settlement Date throws
+    // first, then the BUY/SELL check, then the date-format check. The outer
+    // failUnless condition evaluates before the inner one, and the kind
+    // column is projected first, so the raise order matches.
+    val dateMissing = col("Settlement Date").isNull || col("Settlement Date") === ""
     filtered.select(
-      failUnless(kind, kind.isNotNull,
-        "Unable to determine BUY/SELL from Debit/Credit").as("kind"),
+      failUnless(
+        failUnless(kind, kind.isNotNull, "Unable to determine BUY/SELL from Debit/Credit"),
+        !dateMissing, "Missing settlement date value").as("kind"),
       failUnless(date,
         col("Settlement Date").isNotNull && col("Settlement Date") =!= "" && date.isNotNull,
         when(col("Settlement Date").isNull || col("Settlement Date") === "",

@@ -56,6 +56,11 @@ class ErrorPathSpec extends SparkSpec {
       iiHeader + "\n\n01/01/2024,,SYM,SDL,5,1.5,x,r,\"£1.00\",n/a,\"£3.00\"")),
       "Missing settlement date")
   }
+  test("ii: missing date wins over ambiguous debit/credit (ii.js:62 precedence)") {
+    expectFail(run(IISource.fromContent(spark,
+      iiHeader + "\n\n01/01/2024,,SYM,SDL,5,1.5,x,r,\"£1.00\",\"£2.00\",\"£3.00\"")),
+      "Missing settlement date")
+  }
   test("ii: missing asset aborts") {
     expectFail(run(IISource.fromContent(spark,
       iiHeader + "\n\n01/01/2024,02/01/2024,,,5,1.5,x,r,\"£1.00\",n/a,\"£3.00\"")),
@@ -97,10 +102,23 @@ class ErrorPathSpec extends SparkSpec {
     expectFail(run(BullionVaultSource.fromContent(spark, bvEmail(consideration = "USD 400.00"))),
       "Unsupported currency 'USD'")
   }
-  test("bullionvault: missing commission aborts") {
+  test("bullionvault: missing commission line aborts") {
+    // the reference null-derefs `commissionMatch[1]` (bullionvault.js:54)
     expectFail(run(BullionVaultSource.fromContent(spark,
       "Security: Fine gold kilos\nSummary: Buy 0.5kg @ GBP 800.00/kg\nDeal time: May 20, 2025 at 9:59:30 PM BST\nConsideration: GBP 400.00")),
-      "Missing or invalid commission")
+      "Missing commission line")
+  }
+  test("bullionvault: missing consideration line aborts") {
+    // the reference null-derefs `considerationMatch[1]` (bullionvault.js:52)
+    expectFail(run(BullionVaultSource.fromContent(spark,
+      "Security: Fine gold kilos\nSummary: Buy 0.5kg @ GBP 800.00/kg\nDeal time: May 20, 2025 at 9:59:30 PM BST\nCommission: GBP 2.00")),
+      "Missing consideration line")
+  }
+  test("bullionvault: commission line without a parsable amount aborts") {
+    // the amount group is part of COMMISSION_RE itself, so a numberless line
+    // is indistinguishable from a missing one — in the reference too
+    expectFail(run(BullionVaultSource.fromContent(spark, bvEmail(commission = "GBP x"))),
+      "Missing commission line")
   }
   test("bullionvault: undetectable asset aborts") {
     expectFail(run(BullionVaultSource.fromContent(spark, bvEmail(security = "Fine platinum kilos"))),
