@@ -232,28 +232,30 @@ object LlmOps {
     * the FULL shingle set (the Jaccard denominator), while the join runs on
     * the stop-shingle-capped set. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // The exploded shingle table feeds four consumers (sizes, the stop-
-    // shingle df-count, and both sides of the candidate self-join) — without
-    // a persist Spark re-runs tokenize+shingle+explode for each one. The
-    // persist is MEMORY_AND_DISK (spill-safe at scale), keyed on the
-    // canonicalized plan, so the two queries sharing this subplan
-    // (dd_ngram_jaccard and dd_dedup_keep) also reuse one materialization.
-    // Eager count: parallel consumers must not race past an empty cache.
-    val sh = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .withColumn("toks", expr(toksSpark))
       .withColumn("bkt", expr("n_chars div 50"))
-      .select(col("doc_id"), col("lang"), col("bkt"), explode(expr(shinglesSpark)).as("s"))
-      .persist()
-    sh.count()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .withColumn("shingles", expr(shinglesSpark))
+    // Jaccard denominator straight off the shingle ARRAY — no explode and no
+    // shuffle for this branch (the shingle set is already distinct). Docs
+    // with <3 tokens get n=0 but can never appear in `common`, so the inner
+    // joins below drop them, same as the explode-based count did.
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode(col("shingles")).as("s"))
     val rare = sh.groupBy(col("s"), col("lang"), col("bkt"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
       .select(col("s"), col("lang"), col("bkt"))
-    // capped is consumed by both join sides → persist it too (one semi-join
-    // instead of two; it is strictly smaller than sh).
+    // `capped` feeds BOTH sides of the candidate self-join → persist it
+    // (MEMORY_AND_DISK, spill-safe) so the semi-join runs once, and the two
+    // queries sharing this subplan (dd_ngram_jaccard, dd_dedup_keep,
+    // dd_cluster) reuse one materialization via the plan-keyed cache. The
+    // full exploded `sh` is deliberately NOT persisted: tokenize+shingle is
+    // cheaper to recompute (twice) than to round-trip through block storage.
+    // Eager count: parallel consumers must not race past an empty cache.
     val capped = sh.join(rare, Seq("s", "lang", "bkt"), "left_semi")
       .select(col("doc_id"), col("lang"), col("bkt"), col("s"))
       .persist()
+    capped.count()
     val a = capped.toDF("ia", "la", "ba", "s")
     val b = capped.toDF("ib", "lb", "bb", "s2")
     val common = a.join(b,
@@ -277,6 +279,81 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
+
+  /** Near-duplicate CLUSTERS: connected components over the Jaccard >= 0.8
+    * edge set (the same edges the dedup action uses), labelled by the
+    * minimum doc_id in each component. Iterative min-label propagation —
+    * each round is one join + one groupBy(min), both shuffle-bounded by the
+    * edge count; rounds = component diameter (near-dup clusters are
+    * pairs/chains of a handful of docs, so 2-3 rounds in practice). The
+    * convergence check is an exact changed-label count, so the result is the
+    * unique fixpoint regardless of round count — which is what makes it
+    * comparable to the oracle's recursive-CTE transitive closure. */
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("ia").as("a"), col("ib").as("b"))
+      .persist()
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("d")).distinct()
+      .withColumn("lbl", col("d")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = sym.join(labels, col("b") === col("d"))
+        .select(col("a").as("d"), col("lbl"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("d")).agg(min(col("lbl")).as("lbl")).persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("d"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("d").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF profile (log-free variant): score = tf * n_docs / df as one
+    * left-associated double expression — both engines produce the
+    * bit-identical IEEE value, whereas ln()-based idf could differ in the
+    * last ulp between libm implementations. df is counted over the FULL
+    * corpus; output is top-3 terms for the first 50 docs. Shuffles are
+    * bounded by distinct (doc, term) — the standard TF + DF two-aggregation
+    * shape that scales linearly in total token count. */
+  def txtTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))
+    tf.filter(col("doc_id") < 50)
+      .join(df, Seq("t"))
+      .crossJoin(nDocs)
+      .withColumn("score",
+        expr("CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("t"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Frame-sampling plumbing over an opaque payload column: one row per
+    * sampled frame (every 256 bytes, max 8 frames/item), with a
+    * deterministic per-frame digest standing in for the decode step (the
+    * real decoder is a Pandas-style batch UDF in [[Multimodal]]; this query
+    * pins the explode/schema/partitioning layer, which is engine-checkable).
+    * Generation via `sequence` keeps the fanout inside codegen — no join. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        explode(expr("sequence(0L, least(n_bytes div 256, 7L))")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 256).as("frame_off"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))).as("frame_digest"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 
   /** MinHash signatures (k=8 permutations approximated by seeded md5 minima
     * over the shingle set). The per-doc aggregation is a single map-side
@@ -422,6 +499,9 @@ object LlmOps {
     "dd_exact" -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_dedup_keep" -> ddDedupKeep _,
+    "dd_cluster" -> ddCluster _,
+    "txt_tfidf" -> txtTfidf _,
+    "mm_frame_sample" -> mmFrameSample _,
     "dd_minhash_sig" -> ddMinhashSig _,
     "dd_minhash_pairs" -> ddMinhashPairs _,
     "dd_simhash" -> ddSimhash _,
@@ -538,6 +618,66 @@ object LlmOps {
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.ib = doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "dd_cluster" ->
+      s"""WITH RECURSIVE $baseDuck, sh AS (
+         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s
+         |  FROM base),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (
+         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
+         |  HAVING count(*) <= 500),
+         |capped AS (
+         |  SELECT sh.* FROM sh SEMI JOIN rare
+         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+         |  FROM capped a JOIN capped b
+         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |edges AS (
+         |  SELECT ia AS a, ib AS b FROM pairs
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE common / (sa.n + sb.n - common) >= 0.8),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+         |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+         |SELECT doc_id, lbl.cluster_id, cluster_size
+         |FROM lbl JOIN csz ON lbl.cluster_id = csz.cluster_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "txt_tfidf" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT doc_id, unnest(toks) AS t FROM base),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+         |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+         |  WHERE tf.doc_id < 50),
+         |ranked AS (
+         |  SELECT doc_id, t, tf, df, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
+         |  FROM scored)
+         |SELECT doc_id, rk, t, tf, df, score
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_bytes,
+        |    unnest(range(0, least(n_bytes // 256, 7) + 1)) AS frame_idx
+        |  FROM d)
+        |SELECT doc_id, frame_idx, frame_idx * 256 AS frame_off,
+        |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_digest
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "dd_minhash_sig" -> minhashSigDuck,
 

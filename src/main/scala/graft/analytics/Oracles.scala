@@ -16,6 +16,58 @@ package graft.analytics
 object Oracles {
 
   val relational: Map[String, String] = Map(
+    "q23_asof_attr" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, tsn,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN tsn END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_tsn
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id,
+        |  strftime(make_timestamp(tsn // 1000), '%Y-%m-%d %H:%M:%S') AS purchase_time,
+        |  last_view_id,
+        |  (tsn - last_view_tsn) // 1000000000 AS secs_since_view
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q24_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f,
+        |  round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q25_percentile" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT) THEN o_totalprice END) AS p90,
+        |  count(*) AS n_orders
+        |FROM r
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q26_exists_sql" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
     "cgt_normalize" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderstatus = 'F' THEN 'SELL' ELSE 'BUY' END AS kind,

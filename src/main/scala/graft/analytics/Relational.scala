@@ -347,7 +347,83 @@ object Relational {
         col("n"), col("sum_total"))
       .orderBy(col("priority"), col("status"))
 
+  /** AS-OF join (composed, no custom operator needed): each purchase event
+    * is attributed to the user's most recent strictly-earlier view event.
+    * Spark-first shape: ONE window pass over the event stream (last(...,
+    * ignoreNulls) with a (unbounded, -1) frame) instead of a per-row
+    * point-in-time subquery — a single shuffle on user_id, linear in the
+    * stream, which is the scalable as-of pattern (the naive formulation is
+    * an O(n²) range self-join). Ordering ties broken by event_id. `ts` is
+    * epoch-nanos long (see q09 note). */
+  def q23AsofAttr(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("last_view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd HH:mm:ss')").as("purchase_time"),
+        col("last_view_id"),
+        expr("(ts - last_view_ts) div 1000000000").as("secs_since_view"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** PIVOT: long→wide reshape with an explicit value list (no extra pass to
+    * discover values, and the plan is a plain conditional aggregation —
+    * exactly what the oracle spells with FILTER clauses). */
+  def q24Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
+  /** Exact discrete percentiles (p50/p90) per group via deterministic row
+    * selection: the value at row ceil(p*n) of the (value, key)-sorted group
+    * — no interpolation arithmetic, so cross-engine comparison is exact. At
+    * 100 TB the same question is answered by approx_percentile (t-digest);
+    * that sketch is engine-specific, so the oracle pins the exact variant. */
+  def q25Percentile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rk") === expr("CAST(ceil(n * 0.5) AS BIGINT)"), col("o_totalprice"))).as("p50"),
+        max(when(col("rk") === expr("CAST(ceil(n * 0.9) AS BIGINT)"), col("o_totalprice"))).as("p90"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Correlated EXISTS / NOT EXISTS through the SQL surface: customers with
+    * at least one very large order but no large FULFILLED one. Catalyst
+    * rewrites both subqueries into left-semi/left-anti joins — same physical
+    * shape as q06/q07, reached from SQL text over the registered views. */
+  def q26ExistsSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_asof_attr" -> q23AsofAttr _,
+    "q24_pivot" -> q24Pivot _,
+    "q25_percentile" -> q25Percentile _,
+    "q26_exists_sql" -> q26ExistsSql _,
     "q21_tumbling" -> q21Tumbling _,
     "q22_cube" -> q22Cube _,
     "cgt_normalize" -> cgtNormalize _,

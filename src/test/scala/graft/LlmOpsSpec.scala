@@ -50,6 +50,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, e) => a == 0 && b == 1 && e == 1.0 })
   }
 
+  test("cluster: the exact+near dup triple forms one component labelled by its min id") {
+    // docs 0,1 are exact dups and 2 is one-word-off: 0-1 and 0-2 (and 1-2)
+    // exceed the 0.8 Jaccard edge threshold, so {0,1,2} is one component;
+    // docs 3,4 have no edges and must not appear.
+    val rows = LlmOps.ddCluster(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+    assert(rows.toSet == Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)), rows.mkString(","))
+  }
+
+  test("tfidf: corpus-wide terms score below document-specific terms") {
+    val rows = LlmOps.txtTfidf(spark, dir).collect()
+    // top term of the unrelated doc 3 must be one of its own rare tokens
+    // (df=1 → score = tf*5), never a token shared with the dup triple
+    val top3 = rows.filter(_.getAs[Long]("doc_id") == 3L).minBy(_.getAs[Int]("rk"))
+    assert(top3.getAs[Long]("df") == 1L)
+    assert(top3.getAs[Double]("score") == 5.0)
+  }
+
   test("simhash: identical docs hash identically; near-dup within small hamming distance") {
     val sh = LlmOps.ddSimhash(spark, dir).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
     assert(sh(0) == sh(1))
