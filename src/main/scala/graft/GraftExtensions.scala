@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.JsNumberFormat
+import org.apache.spark.sql.graft.{DotProductF, JsNumberFormat}
 
 /** Session extensions for the graft engine: registers the custom Catalyst
   * functions so SQL users get them too.
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("js_num"),
       new ExpressionInfo(classOf[JsNumberFormat].getName, "js_num"),
       (children: Seq[Expression]) => JsNumberFormat(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
   }
 }

@@ -70,13 +70,16 @@ object LlmOps {
   private def dot(a: String, b: String, base: Int): String =
     (base until base + 64).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
 
-  /** Spark-side dot product via higher-order functions: `aggregate` folds
-    * left-to-right from 0.0, so the IEEE result is bit-identical to the
-    * unrolled left-associated chain in [[dot]] — but the Catalyst expression
-    * stays tiny (the 64-term unrolled form generates megabytes of Java and
-    * janino compile time dominates the query). */
-  private def dotHof(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Spark-side dot product via the native codegen'd Catalyst expression
+    * [[org.apache.spark.sql.graft.DotProductF]] — a tight primitive loop,
+    * numerically identical to the left-folded HOF formulation AND to the
+    * unrolled left-associated chain in [[dot]] used by the oracles (same
+    * accumulation order from 0.0, same per-term double widening). */
+  private def dotF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.DotProductF(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** Deterministic hyperplane weights for ANN-LSH: plane p, dim i →
     * ((first-8-hex of md5("p:i") as long) % 2001 - 1000) / 1000 ∈ [-1, 1].
@@ -426,11 +429,11 @@ object LlmOps {
     * the blocking key; cosine emitted as explicit per-dim arithmetic). */
   def ddEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", expr(dotHof("embedding", "embedding")))
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val a = e.select(col("vec_id").as("ia"), col("label"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("ib"), col("label").as("lb"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("label") === col("lb") && col("ia") < col("ib"))
-      .withColumn("cos", expr(s"(${dotHof("ea", "eb")}) / sqrt(na * nb)"))
+      .withColumn("cos", dotF(col("ea"), col("eb")) / sqrt(col("na") * col("nb")))
       .select(col("ia"), col("ib"), col("label"), col("cos"))
       .orderBy(col("cos").desc, col("ia"), col("ib"))
       .limit(50)
@@ -442,13 +445,13 @@ object LlmOps {
     * The exact baseline an ANN variant is judged against. */
   def simTopkCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", expr(dotHof("embedding", "embedding")))
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val q = e.filter(expr("vec_id % 50 = 0"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
     q.crossJoin(c).filter(col("qid") =!= col("cid"))
-      .withColumn("cos_exact", expr(s"(${dotHof("qe", "ce")}) / sqrt(qn * cn)"))
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
@@ -461,14 +464,14 @@ object LlmOps {
     * cost (see LlmOpsSpec's recall probe). */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", expr(dotHof("embedding", "embedding")))
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
       .withColumn("bucket", expr(bucketHof("embedding")))
     val q = e.filter(expr("vec_id % 50 = 0"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"), col("bucket").as("cb"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
     q.join(c, col("bucket") === col("cb") && col("qid") =!= col("cid"))
-      .withColumn("cos_exact", expr(s"(${dotHof("qe", "ce")}) / sqrt(qn * cn)"))
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))

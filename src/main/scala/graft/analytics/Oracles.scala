@@ -35,6 +35,16 @@ object Oracles {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
 
+    "q27_json" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, k % 10 AS kb,
+        |  count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e
+        |GROUP BY event_type, k % 10
+        |ORDER BY event_type, kb""".stripMargin,
+
     "q24_pivot" ->
       """SELECT l_returnflag,
         |  round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f,

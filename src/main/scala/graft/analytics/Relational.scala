@@ -419,7 +419,21 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Semi-structured column handling: `events.props` is a JSON string.
+    * Parsed ONCE per row with a typed `from_json` (schema `k BIGINT` — a
+    * declared schema, not schema inference, so the parse is a single-field
+    * Jackson extraction inside codegen), then grouped on the extracted
+    * value. At 100 TB the lesson is the same as for CSV: declare the schema,
+    * never infer, and extract only the fields the query needs. */
+  def q27Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", from_json(col("props"), "k BIGINT", Map.empty[String, String]).getField("k"))
+      .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("kb"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"), col("kb"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_json" -> q27Json _,
     "q23_asof_attr" -> q23AsofAttr _,
     "q24_pivot" -> q24Pivot _,
     "q25_percentile" -> q25Percentile _,

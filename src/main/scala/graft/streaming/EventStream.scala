@@ -63,6 +63,17 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drops re-deliveries of the same event_id
+    * arriving within the watermark horizon — the streaming twin of the
+    * batch `dd_exact` operator. `dropDuplicatesWithinWatermark` keys state
+    * on event_id and EVICTS it once the watermark passes, so state stays
+    * bounded no matter how long the stream runs (a plain `dropDuplicates`
+    * on a stream accumulates keys forever — never deploy that at scale). */
+  def dedupe(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Wire a streaming DataFrame to a memory sink for tests/demos. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

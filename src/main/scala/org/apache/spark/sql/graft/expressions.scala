@@ -2,9 +2,10 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for JS `Number → String` rendering — the one
@@ -35,6 +36,50 @@ case class JsNumberFormat(child: Expression) extends UnaryExpression with Expect
     copy(child = newChild)
 }
 
+/** Native dot product over two `array<float>` embedding columns — the inner
+  * loop of every similarity/near-dup operator. Numerically IDENTICAL to the
+  * higher-order-function formulation
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, (s,v) -> s+v)`
+  * (left-to-right accumulation from 0.0 with per-term double widening), so
+  * the DuckDB oracles are unaffected — but it runs as a tight primitive loop
+  * inside whole-stage codegen with NO intermediate array allocation, where
+  * the HOF chain materializes a 64-element products array per row and walks
+  * it through lambda-bound variables. Registered as SQL function `dot_f`. */
+case class DotProductF(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column ↔ Expression bridge for the classic (non-Connect) backend. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
@@ -49,5 +94,7 @@ object GraftFunctions {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "js_num", exprs => JsNumberFormat(exprs.head), "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
   }
 }

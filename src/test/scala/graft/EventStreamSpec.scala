@@ -36,6 +36,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.dedupe(input.toDF()), "deduped", OutputMode.Append())
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(0), 1, "click", 1.0),  // exact re-delivery
+        Event(2, ts(1), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(2), 1, "click", 1.0)) // late re-delivery, same id
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(1L, 2L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session after the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
