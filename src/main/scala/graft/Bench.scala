@@ -20,13 +20,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: spin executors + touch every table's footer/schema
+    // untimed warmup: spin executors + touch every table's footer/schema,
+    // then exercise the interpreted-lambda tokenize path and the codegen'd
+    // dot product on a few rows so the first measured query isn't charged
+    // for HotSpot/janino warmup of those evaluation paths.
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
+    try {
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .selectExpr(raw"explode(filter(split(lower(trim(text)), '\\s+'), t -> t != '')) AS t")
+        .count()
+      org.apache.spark.sql.graft.GraftFunctions.register(spark)
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+        .selectExpr("dot_f(embedding, embedding)").count()
+    } catch { case _: Throwable => () }
 
     // (name, seconds, succeeded) — failures must be visible in the output,
     // not silently folded into a normal-looking total.

@@ -184,8 +184,10 @@ object LlmOps {
     * a TF-IDF pipeline; shuffle bounded by distinct (lang, token). */
   def txtTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
-      .select(col("lang"), explode(col("toks")).as("t"))
+      .select(col("lang"), explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
     val counts = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("t"))
     counts.withColumn("rk", row_number().over(w))
@@ -235,7 +237,15 @@ object LlmOps {
     * the FULL shingle set (the Jaccard denominator), while the join runs on
     * the stop-shingle-capped set. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // repartition BEFORE the CPU-heavy tokenize+shingle projection: the
+    // documents table arrives as few parquet splits (one, at test SFs), and
+    // an explode-heavy projection gets no parallelism from AQE — measured
+    // 14s single-task vs <1s spread over the cores. At production scale the
+    // scan has many splits already and this becomes a cheap rebalance that
+    // also evens out skewed document lengths before the quadratic-ish
+    // shingling work.
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
       .withColumn("bkt", expr("n_chars div 50"))
       .withColumn("shingles", expr(shinglesSpark))
@@ -244,21 +254,31 @@ object LlmOps {
     // with <3 tokens get n=0 but can never appear in `common`, so the inner
     // joins below drop them, same as the explode-based count did.
     val sizes = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-    val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode(col("shingles")).as("s"))
+    // sh is persisted (MEMORY_AND_DISK, spill-safe): it feeds the df-count,
+    // the semi-join probe side, and — via `capped` — both sides of the
+    // candidate join, and separate ACTIONS can't share exchange-level reuse.
+    // The plan-keyed cache also lets the three queries built on this subplan
+    // (dd_ngram_jaccard, dd_dedup_keep, dd_cluster) share one
+    // materialization. Eager count: parallel consumers must not race past
+    // an empty cache.
+    //
+    // explode_OUTER + isNotNull, NOT plain explode: explode makes
+    // InferFiltersFromGenerate add a `size(shingles) > 0` filter, and
+    // predicate pushdown drags that filter — with the WHOLE interpreted
+    // tokenize+shingle lambda expression inlined — below the repartition
+    // into the single-split scan task. Measured 13s single-threaded vs 0.3s
+    // for the outer variant at sf0.1; same output rows (null-s rows from
+    // empty shingle arrays are dropped by the cheap post-explode filter).
+    val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode_outer(col("shingles")).as("s"))
+      .filter(col("s").isNotNull)
+      .persist()
+    sh.count()
     val rare = sh.groupBy(col("s"), col("lang"), col("bkt"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
       .select(col("s"), col("lang"), col("bkt"))
-    // `capped` feeds BOTH sides of the candidate self-join → persist it
-    // (MEMORY_AND_DISK, spill-safe) so the semi-join runs once, and the two
-    // queries sharing this subplan (dd_ngram_jaccard, dd_dedup_keep,
-    // dd_cluster) reuse one materialization via the plan-keyed cache. The
-    // full exploded `sh` is deliberately NOT persisted: tokenize+shingle is
-    // cheaper to recompute (twice) than to round-trip through block storage.
-    // Eager count: parallel consumers must not race past an empty cache.
     val capped = sh.join(rare, Seq("s", "lang", "bkt"), "left_semi")
       .select(col("doc_id"), col("lang"), col("bkt"), col("s"))
       .persist()
-    capped.count()
     val a = capped.toDF("ia", "la", "ba", "s")
     val b = capped.toDF("ib", "lb", "bb", "s2")
     val common = a.join(b,
@@ -293,22 +313,60 @@ object LlmOps {
     * unique fixpoint regardless of round count — which is what makes it
     * comparable to the oracle's recursive-CTE transitive closure. */
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
-    val edges = jaccardPairs(spark, dir)
+    // localCheckpoint (eager) truncates lineage at the materialized edge
+    // set: without it every loop action re-analyzes/optimizes the whole
+    // deep shingle-join plan — measured 20x slower even with the data
+    // cached, because the planning cost (not execution) dominates each
+    // round. Same pattern for the per-round labels, so iteration k plans
+    // over a leaf, not a k-deep union chain. (On a real cluster with
+    // executor loss to worry about, use reliable `checkpoint` to the
+    // cluster FS instead — same lineage-truncation effect.)
+    val dbgT = System.nanoTime()
+    val jp = jaccardPairs(spark, dir)
+    if (sys.env.contains("GRAFT_CLUSTER_DEBUG"))
+      println(f"CLUSTER jaccardPairs-build ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
+    val edges = jp
       .filter(col("jaccard") >= 0.8)
       .select(col("ia").as("a"), col("ib").as("b"))
-      .persist()
+      .localCheckpoint(true)
+    if (sys.env.contains("GRAFT_CLUSTER_DEBUG"))
+      println(f"CLUSTER edges-checkpoint ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
     val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    // Re-wrap a materialized (checkpointed) frame as a new leaf with FRESH
+    // attribute ids — the label tables are referenced twice per round (once
+    // directly, once under a join/union), and reusing one plan for both
+    // sides trips analyzer attribute-rewrite bugs on checkpointed leaves.
+    // No recompute: the RDD is already materialized.
+    def fresh(df: DataFrame, names: String*): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema).toDF(names: _*)
     var labels = sym.select(col("a").as("d")).distinct()
-      .withColumn("lbl", col("d")).persist()
+      .withColumn("lbl", col("d")).localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
+    val debug = sys.env.contains("GRAFT_CLUSTER_DEBUG")
     while (changed > 0) {
-      val viaNeighbor = sym.join(labels, col("b") === col("d"))
-        .select(col("a").as("d"), col("lbl"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("d")).agg(min(col("lbl")).as("lbl")).persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("d"))
+      val rt = System.nanoTime()
+      rounds += 1
+      // round part 1: min over own + neighbors' labels
+      val viaNeighbor = sym.join(fresh(labels, "d2", "lbl2"), col("b") === col("d2"))
+        .select(col("a").as("d"), col("lbl2").as("lbl"))
+      val l1 = labels.unionByName(viaNeighbor)
+        .groupBy(col("d")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      if (debug) println(f"CLUSTER round $rounds l1 ${(System.nanoTime() - rt) / 1e9}%.2fs")
+      // round part 2: pointer doubling — follow lbl to ITS label, so label
+      // distance halves each round and convergence is O(log diameter).
+      // Plain neighbor-min alone needs diameter-many rounds, and near-dup
+      // corpora form chains (A~B~C~… with no A~C edge), measured 50+ rounds
+      // at sf0.1. A label is always a node id, so the self-join is total.
+      val next = l1
+        .join(fresh(l1, "jd", "jlbl"), col("lbl") === col("jd"))
+        .select(col("d"), col("jlbl").as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(fresh(labels, "d3", "old"), col("d") === col("d3"))
         .filter(col("lbl") =!= col("old")).count()
       labels = next
+      if (debug) println(f"CLUSTER round $rounds done ${(System.nanoTime() - rt) / 1e9}%.2fs changed=$changed")
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
@@ -325,8 +383,10 @@ object LlmOps {
     * shape that scales linearly in total token count. */
   def txtTfidf(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
-      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
     val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val nDocs = broadcast(Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs")))
@@ -352,7 +412,8 @@ object LlmOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))
       .select(col("doc_id"), col("n_bytes"),
-        explode(expr("sequence(0L, least(n_bytes div 256, 7L))")).as("frame_idx"))
+        explode_outer(expr("sequence(0L, least(n_bytes div 256, 7L))")).as("frame_idx"))
+      .filter(col("frame_idx").isNotNull)
       .select(col("doc_id"), col("frame_idx"),
         (col("frame_idx") * 256).as("frame_off"),
         md5(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))).as("frame_digest"))
@@ -366,9 +427,13 @@ object LlmOps {
     // slices): each 32-bit slice of a well-mixed digest acts as an
     // independent hash. 2 digests per shingle instead of 8 — the md5 work
     // is the dominant cost of the whole minhash pipeline at scale.
+    // repartition + explode_outer: the single-split parallelism fix and the
+    // InferFiltersFromGenerate pushdown fix from jaccardPairs (see there)
     val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
-      .select(col("doc_id"), explode(expr(shinglesSpark)).as("s"))
+      .select(col("doc_id"), explode_outer(expr(shinglesSpark)).as("s"))
+      .filter(col("s").isNotNull)
       .withColumn("h1", md5(col("s")))
       .withColumn("h2", md5(concat(lit("x"), col("s"))))
     val mhs = (0 until 8).map { j =>
@@ -413,8 +478,10 @@ object LlmOps {
     * hashes, per-bit majority vote). */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
-      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
+      .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
+      .filter(col("t").isNotNull)
       .withColumn("h", expr(hex4("md5(t)")).cast("long"))
     val bits = (0 until 16).map(i =>
       sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
