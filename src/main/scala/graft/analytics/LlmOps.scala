@@ -545,6 +545,34 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Deterministic class re-balancing for training mixes: cap every lang at
+    * 64 docs, chosen by md5(doc_id) order — a seedless, partitioning-
+    * independent "random" sample that is reproducible across engines and
+    * cluster sizes (rand()-based sampleBy is neither). One window pass per
+    * class; at scale the same shape caps any majority class without a
+    * global sort. */
+  def txtBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 64)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Cross-modal enrichment join: text rows ⋈ their embedding vectors
+    * (doc_id = vec_id), emitting text metadata plus the vector norm via the
+    * codegen'd dot product. The standard shape for joining a text corpus to
+    * a separately-produced embedding table before similarity work. */
+  def mmJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+        dotF(col("embedding"), col("embedding")).as("nrm"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal column plumbing: treat content as opaque binary + typed
@@ -571,6 +599,8 @@ object LlmOps {
     "dd_dedup_keep" -> ddDedupKeep _,
     "dd_cluster" -> ddCluster _,
     "txt_tfidf" -> txtTfidf _,
+    "txt_balance" -> txtBalance _,
+    "mm_join" -> mmJoin _,
     "mm_frame_sample" -> mmFrameSample _,
     "dd_minhash_sig" -> ddMinhashSig _,
     "dd_minhash_pairs" -> ddMinhashPairs _,
@@ -737,6 +767,21 @@ object LlmOps {
          |  FROM scored)
          |SELECT doc_id, rk, t, tf, df, score
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "txt_balance" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 64
+        |ORDER BY lang, rk""".stripMargin,
+
+    "mm_join" ->
+      s"""SELECT d.doc_id, d.lang, d.n_chars, e.label,
+         |  ${dot("e.embedding", "e.embedding", 1)} AS nrm
+         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH d AS (

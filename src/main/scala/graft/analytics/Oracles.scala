@@ -35,6 +35,16 @@ object Oracles {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
 
+    "q28_salted_join" ->
+      """WITH dim AS (
+        |  SELECT l_returnflag, round(sum(l_discount), 2) / count(*) AS flag_avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT f.l_returnflag AS f_flag, count(*) AS n,
+        |  round(sum(f.l_extendedprice), 2) * (1 - d.flag_avg_disc) AS sum_disc_price
+        |FROM lineitem f JOIN dim d ON f.l_returnflag = d.l_returnflag
+        |GROUP BY f.l_returnflag, d.flag_avg_disc
+        |ORDER BY f_flag""".stripMargin,
+
     "q27_json" ->
       """WITH e AS (
         |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k

@@ -432,7 +432,36 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"), col("kb"))
 
+  /** Skew-mitigating SALTED JOIN (the join twin of q18's salted agg): the
+    * fact side keys on very-low-cardinality l_returnflag (3 values → 3
+    * reducers own the whole table in a naive shuffle join). The dim side is
+    * replicated 16x with an explicit salt, the fact side salts by
+    * pmod(l_orderkey, 16), and the join keys on (returnflag, salt) — 48
+    * evenly-loaded partitions instead of 3 hot ones. Result is identical to
+    * the unsalted join, which is exactly what the oracle runs. (With AQE
+    * skew-join splitting this is often automatic; explicit salting is the
+    * portable form that also works mid-pipeline where AQE can't split.) */
+  def q28SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // flag_avg_disc from the granularity-rounded sum (l_discount is 2dp) so
+    // both engines derive the same double; the discount multiply happens
+    // AFTER the price aggregation, so every float op is on identical inputs
+    val dim = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg((round(sum(col("l_discount")), 2) / count(lit(1))).as("flag_avg_disc"))
+      .withColumn("salt", explode(expr("sequence(0, 15)")))
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("f_flag"), col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("f_salt", pmod(col("l_orderkey"), lit(16)).cast("int"))
+    fact.join(dim, col("f_flag") === col("l_returnflag") && col("f_salt") === col("salt"))
+      .groupBy(col("f_flag"), col("flag_avg_disc"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(col("f_flag"), col("n"),
+        (col("sum_price") * (lit(1) - col("flag_avg_disc"))).as("sum_disc_price"))
+      .orderBy(col("f_flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_salted_join" -> q28SaltedJoin _,
     "q27_json" -> q27Json _,
     "q23_asof_attr" -> q23AsofAttr _,
     "q24_pivot" -> q24Pivot _,
