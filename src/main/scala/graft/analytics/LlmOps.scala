@@ -492,6 +492,32 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup PAIRS: banded candidate generation + exact Hamming
+    * verify. The 16-bit simhash splits into four 4-bit bands; two hashes
+    * within Hamming distance 3 differ in at most 3 bands, so they agree
+    * exactly on at least one (pigeonhole) — candidates are pairs sharing
+    * any band value, verified with bit_count(xor) <= 3. Banding bounds the
+    * join fanout the same way MinHash-LSH banding does: no doc² anywhere. */
+  def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // eager persist, same reasoning as the minhash signature cache
+    val sig = ddSimhash(spark, dir).persist()
+    sig.count()
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode_outer(expr("sequence(0, 3)")).as("band"))
+      .filter(col("band").isNotNull)
+      .withColumn("bv", expr("(simhash div CAST(pow(16, band) AS BIGINT)) % 16"))
+    val cand = bands.toDF("ia", "ha", "band", "bv")
+      .join(bands.toDF("ib", "hb", "band2", "bv2"),
+        col("band") === col("band2") && col("bv") === col("bv2") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("ha"), col("hb")).distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 3)
+      .select(col("ia"), col("ib"), col("hamming"))
+      .orderBy(col("hamming"), col("ia"), col("ib"))
+      .limit(200)
+  }
+
   /** Embedding near-dup: top-50 most-similar within-label pairs (label is
     * the blocking key; cosine emitted as explicit per-dim arithmetic). */
   def ddEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -605,6 +631,7 @@ object LlmOps {
     "dd_minhash_sig" -> ddMinhashSig _,
     "dd_minhash_pairs" -> ddMinhashPairs _,
     "dd_simhash" -> ddSimhash _,
+    "dd_simhash_pairs" -> ddSimhashPairs _,
     "dd_embed_topk" -> ddEmbedTopk _,
     "sim_topk_cosine" -> simTopkCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
@@ -826,6 +853,32 @@ object LlmOps {
          |SELECT doc_id,
          |  CAST(${(0 until 16).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT doc_id, unnest(list_distinct(toks)) AS t FROM base),
+         |hashed AS (
+         |  SELECT doc_id, CAST(${hex4("md5(t)")} AS BIGINT) AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id,
+         |    ${(0 until 16).map(i => s"sum(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")}
+         |  FROM hashed GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(${(0 until 16).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM bits),
+         |bands AS (
+         |  SELECT doc_id, simhash, band,
+         |    (simhash // CAST(pow(16, band) AS BIGINT)) % 16 AS bv
+         |  FROM sig, unnest([0, 1, 2, 3]) AS u(band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.simhash AS ha, b.simhash AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT ia, ib, bit_count(xor(ha, hb)) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY hamming, ia, ib LIMIT 200""".stripMargin,
 
     "dd_embed_topk" ->
       s"""WITH e AS (

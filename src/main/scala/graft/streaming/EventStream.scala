@@ -74,6 +74,14 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each incoming event picks up its user's
+    * attributes from a static (batch) dimension. Spark broadcast-joins the
+    * static side per micro-batch — no stream state at all, and the dim can
+    * be refreshed by re-reading between restarts. The streaming twin of the
+    * batch star joins (q04/q05). */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Wire a streaming DataFrame to a memory sink for tests/demos. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

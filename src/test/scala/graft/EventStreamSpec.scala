@@ -55,6 +55,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with the broadcast user dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.enrich(input.toDF(), dim), "enriched", OutputMode.Append())
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 3, "view", 2.0)) // user 3 not in dim → null tier
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[String]("tier")))).toSet
+      assert(out == Set((1L, Some("gold")), (2L, None)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session after the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
