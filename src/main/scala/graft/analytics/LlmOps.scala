@@ -352,19 +352,22 @@ object LlmOps {
         .select(col("a").as("d"), col("lbl2").as("lbl"))
       val l1 = labels.unionByName(viaNeighbor)
         .groupBy(col("d")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      if (debug) println(f"CLUSTER round $rounds l1 ${(System.nanoTime() - rt) / 1e9}%.2fs")
-      // round part 2: pointer doubling — follow lbl to ITS label, so label
-      // distance halves each round and convergence is O(log diameter).
-      // Plain neighbor-min alone needs diameter-many rounds, and near-dup
-      // corpora form chains (A~B~C~… with no A~C edge), measured 50+ rounds
-      // at sf0.1. A label is always a node id, so the self-join is total.
+      // round part 2, fused into the same materialization: pointer doubling
+      // — follow lbl to ITS label, so label distance halves each round and
+      // convergence is O(log diameter). Plain neighbor-min alone needs
+      // diameter-many rounds. The jump side re-derives l1 via fresh() (2x
+      // the tiny agg instead of an extra eager checkpoint per round — the
+      // loop cost is JOB COUNT, not data). A label is always a node id, so
+      // the join is total.
       val next = l1
         .join(fresh(l1, "jd", "jlbl"), col("lbl") === col("jd"))
         .select(col("d"), col("jlbl").as("lbl"))
         .localCheckpoint(true)
-      changed = next.join(fresh(labels, "d3", "old"), col("d") === col("d3"))
-        .filter(col("lbl") =!= col("old")).count()
+      // a first round over any nonempty edge set always changes labels —
+      // skip its convergence count (one fewer job on the common path)
+      changed = if (rounds == 1 && !debug) 1L
+        else next.join(fresh(labels, "d3", "old"), col("d") === col("d3"))
+          .filter(col("lbl") =!= col("old")).count()
       labels = next
       if (debug) println(f"CLUSTER round $rounds done ${(System.nanoTime() - rt) / 1e9}%.2fs changed=$changed")
     }
