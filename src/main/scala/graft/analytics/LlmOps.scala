@@ -602,6 +602,37 @@ object LlmOps {
         dotF(col("embedding"), col("embedding")).as("nrm"))
       .orderBy(col("doc_id"))
 
+  /** IVF-flat approximate NN (the second ANN family next to the hyperplane
+    * LSH): a deterministic coarse quantizer — the 16 vectors with
+    * vec_id < 16 act as cell centroids — assigns every vector to its
+    * max-cosine cell (broadcast 16-row cross join + one window), and each
+    * query scans only its own cell (nprobe=1): ~16x candidate reduction.
+    * At production scale the centroid set comes from a sampled k-means and
+    * lives in a broadcast exactly like this one; the per-cell scan shape is
+    * unchanged. */
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val q = assigned.filter(expr("vec_id % 50 = 0"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("cell"))
+    val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"), col("cell").as("ccell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    q.join(c, col("cell") === col("ccell") && col("qid") =!= col("cid"))
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal column plumbing: treat content as opaque binary + typed
@@ -638,6 +669,7 @@ object LlmOps {
     "dd_embed_topk" -> ddEmbedTopk _,
     "sim_topk_cosine" -> simTopkCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
+    "sim_ivf" -> simIvf _,
     "mm_meta" -> mmMeta _)
 
   // ------------------------------------------------------- DuckDB oracles
@@ -917,6 +949,33 @@ object LlmOps {
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
          |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT qid, rk, cid, cos_exact AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "sim_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id < 16),
+         |ass AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |               cents.cent_id) AS ark
+         |  FROM e CROSS JOIN cents),
+         |cell AS (
+         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
+         |  FROM cell q JOIN cell c
+         |    ON q.cell = c.cell AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos_exact,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk

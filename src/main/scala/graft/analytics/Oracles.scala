@@ -35,6 +35,19 @@ object Oracles {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
 
+    "q29_window_range" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY d
+        |        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trail7_total
+        |FROM o
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q28_salted_join" ->
       """WITH dim AS (
         |  SELECT l_returnflag, round(sum(l_discount), 2) / count(*) AS flag_avg_disc

@@ -460,7 +460,25 @@ object Relational {
       .orderBy(col("f_flag"))
   }
 
+  /** RANGE-frame window (vs q09's ROWS frame): trailing 7-day order total
+    * per customer — the frame is defined by VALUE distance on the ordering
+    * key (epoch days), so gaps in the date sequence are handled correctly
+    * where a rowsBetween frame would not be. One customer-key shuffle. */
+  def q29WindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("d", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+      .withColumn("trail7_total", round(sum(col("o_totalprice")).over(w), 2))
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("trail7_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_window_range" -> q29WindowRange _,
     "q28_salted_join" -> q28SaltedJoin _,
     "q27_json" -> q27Json _,
     "q23_asof_attr" -> q23AsofAttr _,
