@@ -422,6 +422,23 @@ object LlmOps {
         md5(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))).as("frame_digest"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Incremental dedup (the ingestion-time shape): treat doc_id < half as
+    * the already-ingested corpus and the rest as the incoming batch; keep
+    * only incoming docs whose content fingerprint is NOT already present.
+    * One anti-join on the content hash — at production scale the "existing"
+    * side is a bucketed fingerprint table, so the anti-join is co-located
+    * and the batch never rescans the corpus text. */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val half = 250L // fixed split point: stable across SFs ≥ 500 docs
+    val existing = docs.filter(col("doc_id") < half).select(md5(col("text")).as("fp"))
+    docs.filter(col("doc_id") >= half)
+      .withColumn("fp", md5(col("text")))
+      .join(existing, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signatures (k=8 permutations approximated by seeded md5 minima
     * over the shingle set). The per-doc aggregation is a single map-side
     * combinable groupBy — scales linearly in total shingle count. */
@@ -666,6 +683,7 @@ object LlmOps {
     "dd_minhash_pairs" -> ddMinhashPairs _,
     "dd_simhash" -> ddSimhash _,
     "dd_simhash_pairs" -> ddSimhashPairs _,
+    "dd_incremental" -> ddIncremental _,
     "dd_embed_topk" -> ddEmbedTopk _,
     "sim_topk_cosine" -> simTopkCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
@@ -888,6 +906,15 @@ object LlmOps {
          |SELECT doc_id,
          |  CAST(${(0 until 16).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin,
+
+    "dd_incremental" ->
+      """WITH existing AS (
+        |  SELECT md5(text) AS fp FROM documents WHERE doc_id < 250)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = md5(d.text))
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dd_simhash_pairs" ->
       s"""WITH $baseDuck, tok AS (
