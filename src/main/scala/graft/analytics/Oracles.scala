@@ -35,6 +35,15 @@ object Oracles {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
 
+    "q30_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN '(by status)' ELSE o_orderpriority END AS priority,
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN '(by priority)' ELSE o_orderstatus END AS status,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY priority, status""".stripMargin,
+
     "q29_window_range" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -477,7 +477,25 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Explicit GROUPING SETS (vs q11 rollup / q22 cube): two independent
+    * one-dimension aggregations in a single pass over orders, with
+    * `grouping()` distinguishing "aggregated-away" from a genuine NULL —
+    * the disambiguation rollup/cube outputs need at scale where dimension
+    * columns can themselves be null. Reached through SQL text. */
+  def q30GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN '(by status)' ELSE o_orderpriority END AS priority,
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN '(by priority)' ELSE o_orderstatus END AS status,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY priority, status""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_grouping_sets" -> q30GroupingSets _,
     "q29_window_range" -> q29WindowRange _,
     "q28_salted_join" -> q28SaltedJoin _,
     "q27_json" -> q27Json _,
