@@ -414,6 +414,26 @@ object LlmOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * fixed 32-token chunks, one output row per chunk — the precursor to
+    * training-sequence packing. Pure per-row array work inside one
+    * projection (repartitioned for parallelism, posexplode_outer to dodge
+    * the generator-filter pushdown), so it scales linearly with token
+    * count and never shuffles the text. */
+  def txtChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"),
+        posexplode_outer(expr(
+          "transform(sequence(0, greatest(CAST(ceil(size(toks) / 32.0) AS INT) - 1, 0)), " +
+            "i -> array_join(slice(toks, i * 32 + 1, 32), ' '))")))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        length(col("col")).cast("long").as("chunk_chars"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Frame-sampling plumbing over an opaque payload column: one row per
     * sampled frame (every 256 bytes, max 8 frames/item), with a
     * deterministic per-frame digest standing in for the decode step (the
@@ -686,6 +706,7 @@ object LlmOps {
     "dd_cluster" -> ddCluster _,
     "txt_tfidf" -> txtTfidf _,
     "txt_balance" -> txtBalance _,
+    "txt_chunks" -> txtChunks _,
     "mm_join" -> mmJoin _,
     "mm_frame_sample" -> mmFrameSample _,
     "dd_minhash_sig" -> ddMinhashSig _,
@@ -862,6 +883,21 @@ object LlmOps {
          |  FROM scored)
          |SELECT doc_id, rk, t, tf, df, score
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "txt_chunks" ->
+      s"""WITH $baseDuck, c AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, greatest(CAST(ceil(len(toks) / 32.0) AS INT), 1)),
+         |      i -> array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 32), ' ')) AS chunks
+         |  FROM base),
+         |x AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(chunks))) AS chunk_idx,
+         |    unnest(chunks) AS chunk_text
+         |  FROM c)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+         |  CAST(length(chunk_text) AS BIGINT) AS chunk_chars
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "txt_balance" ->
       """WITH r AS (
