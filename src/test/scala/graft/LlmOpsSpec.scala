@@ -113,6 +113,29 @@ class LlmOpsSpec extends SparkSpec {
     info(f"IVF recall@5 vs brute force: $recall%.2f (16 cells, nprobe=1)")
   }
 
+  test("chunking: 70 tokens split into 32/32/6; short docs give one chunk") {
+    import spark.implicits._
+    val seventy = (1 to 70).map(i => s"w$i").mkString(" ")
+    val docs = Seq(Doc(0L, seventy, "en", "s", seventy.length),
+      Doc(1L, "just three tokens", "en", "s", 17L))
+    val d = java.nio.file.Files.createTempDirectory("llmchunk").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtChunks(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_text").split(" ").length))
+    assert(rows.toSeq == Seq((0L, 0L, 32), (0L, 1L, 32), (0L, 2L, 6), (1L, 0L, 3)),
+      rows.mkString(","))
+  }
+
+  test("balancing caps every class and is deterministic across runs") {
+    val real = "/root/testdata/sf0.001"
+    val a = LlmOps.txtBalance(spark, real).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val b = LlmOps.txtBalance(spark, real).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(a == b)
+    val perLang = a.groupBy(_._2).view.mapValues(_.size)
+    assert(perLang.values.forall(_ <= 64), perLang.toMap.toString)
+  }
+
   test("incremental dedup drops incoming docs whose content already exists") {
     import spark.implicits._
     // fresh corpus: ids 0..249 existing; 250 duplicates existing 0; 251 is new
