@@ -434,6 +434,34 @@ object LlmOps {
         length(col("col")).cast("long").as("chunk_chars"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Training-sequence PACKING on top of [[txtChunks]]: chunks are packed
+    * into sequences with a 64-token budget by a running token total —
+    * seq_id = floor((cumsum - n) / 64) over the (doc, chunk) order within
+    * each lang shard. Packing within a partition key (lang here, a shard id
+    * in production) is the scalable form: a single global packing order
+    * would serialize into one window partition. Emits one row per packed
+    * sequence with its chunk count and token total. */
+  def txtPack(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), col("lang"),
+        posexplode_outer(expr(
+          "transform(sequence(0, greatest(CAST(ceil(size(toks) / 32.0) AS INT) - 1, 0)), " +
+            "i -> least(greatest(size(toks) - i * 32, 0), 32))")))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), col("lang"), col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("n_toks"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("seq_id", expr("(cum - n_toks) div 64"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_toks")).as("n_toks_total"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
   /** Frame-sampling plumbing over an opaque payload column: one row per
     * sampled frame (every 256 bytes, max 8 frames/item), with a
     * deterministic per-frame digest standing in for the decode step (the
@@ -707,6 +735,7 @@ object LlmOps {
     "txt_tfidf" -> txtTfidf _,
     "txt_balance" -> txtBalance _,
     "txt_chunks" -> txtChunks _,
+    "txt_pack" -> txtPack _,
     "mm_join" -> mmJoin _,
     "mm_frame_sample" -> mmFrameSample _,
     "dd_minhash_sig" -> ddMinhashSig _,
@@ -883,6 +912,28 @@ object LlmOps {
          |  FROM scored)
          |SELECT doc_id, rk, t, tf, df, score
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "txt_pack" ->
+      s"""WITH $baseDuck, c AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(range(0, greatest(CAST(ceil(len(toks) / 32.0) AS INT), 1)),
+         |      i -> least(greatest(len(toks) - i * 32, 0), 32)) AS sizes
+         |  FROM base),
+         |x AS (
+         |  SELECT doc_id, lang,
+         |    unnest(range(0, len(sizes))) AS chunk_idx,
+         |    unnest(sizes) AS n_toks
+         |  FROM c),
+         |r AS (
+         |  SELECT lang, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM x)
+         |SELECT lang, CAST((cum - n_toks) // 64 AS BIGINT) AS seq_id,
+         |  count(*) AS n_chunks, CAST(sum(n_toks) AS BIGINT) AS n_toks_total
+         |FROM r
+         |GROUP BY lang, (cum - n_toks) // 64
+         |ORDER BY lang, seq_id""".stripMargin,
 
     "txt_chunks" ->
       s"""WITH $baseDuck, c AS (

@@ -13,9 +13,16 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view so the whole surface is reachable
-    * from `spark.sql(...)` (plus `js_num` via GraftFunctions/extensions). */
-  def registerViews(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    * from `spark.sql(...)` (plus `js_num` via GraftFunctions/extensions).
+    * Idempotent per (session, dir): re-registration would re-read ten
+    * parquet schemas on every SQL-surface query. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    val marker = "graft.views.dir"
+    if (!spark.conf.getOption(marker).contains(sfDir)) {
+      names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+      spark.conf.set(marker, sfDir)
+    }
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
