@@ -648,6 +648,27 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Scrubbing / redaction (the cleaning stage of a training pipeline):
+    * URLs and e-mail addresses are replaced by placeholder tokens; the
+    * query emits the scrubbed-text fingerprint plus how many characters
+    * each rule removed. Both patterns use only constructs with identical
+    * semantics in Java regex and RE2 (no lookaround, no backrefs), so the
+    * oracle applies them verbatim. Pure per-row work — scales linearly,
+    * no shuffle before the final sort. */
+  def txtScrub(spark: SparkSession, dir: String): DataFrame = {
+    val urlRe = raw"https?://\S+"
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    Tables.documents(spark, dir)
+      .withColumn("no_url", regexp_replace(col("text"), urlRe, "<url>"))
+      .withColumn("clean", regexp_replace(col("no_url"), emailRe, "<email>"))
+      .select(col("doc_id"),
+        md5(col("clean")).as("clean_fp"),
+        (length(col("text")) - length(col("no_url"))).cast("long").as("url_chars_delta"),
+        (length(col("no_url")) - length(col("clean"))).cast("long").as("email_chars_delta"),
+        length(col("clean")).cast("long").as("n_chars_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic class re-balancing for training mixes: cap every lang at
     * 64 docs, chosen by md5(doc_id) order — a seedless, partitioning-
     * independent "random" sample that is reproducible across engines and
@@ -736,6 +757,7 @@ object LlmOps {
     "txt_balance" -> txtBalance _,
     "txt_chunks" -> txtChunks _,
     "txt_pack" -> txtPack _,
+    "txt_scrub" -> txtScrub _,
     "mm_join" -> mmJoin _,
     "mm_frame_sample" -> mmFrameSample _,
     "dd_minhash_sig" -> ddMinhashSig _,
@@ -912,6 +934,21 @@ object LlmOps {
          |  FROM scored)
          |SELECT doc_id, rk, t, tf, df, score
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "txt_scrub" ->
+      raw"""WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, 'https?://\S+', '<url>', 'g') AS no_url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, no_url,
+        |    regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<email>', 'g') AS clean
+        |  FROM s)
+        |SELECT doc_id, md5(clean) AS clean_fp,
+        |  CAST(length(text) - length(no_url) AS BIGINT) AS url_chars_delta,
+        |  CAST(length(no_url) - length(clean) AS BIGINT) AS email_chars_delta,
+        |  CAST(length(clean) AS BIGINT) AS n_chars_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "txt_pack" ->
       s"""WITH $baseDuck, c AS (

@@ -36,6 +36,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped, closed windows stay final") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.windowedCounts(input.toDF()), "late_counts", OutputMode.Append())
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far beyond the first window (10:00–10:05)
+      input.addData(Event(2, ts(40), 1, "click", 1.0))
+      q.processAllAvailable()
+      // a 40-minute-late event for the long-closed first window
+      input.addData(Event(3, ts(1), 1, "click", 99.0))
+      input.addData(Event(4, ts(41), 1, "click", 1.0))
+      q.processAllAvailable()
+      val firstWindow = spark.table("late_counts").collect()
+        .filter(_.getAs[java.sql.Timestamp]("w_start").toString == "2024-01-01 10:00:00.0")
+      // emitted once with the on-time count only; the late event never lands
+      assert(firstWindow.map(_.getAs[Long]("n")).toSeq == Seq(1L), firstWindow.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
