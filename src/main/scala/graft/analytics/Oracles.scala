@@ -162,6 +162,20 @@ object Oracles {
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
 
+    // The exact sides hash-match DuckDB's own count(DISTINCT …); the
+    // in-bounds booleans are asserted literal TRUE here, so a Spark-side HLL
+    // estimate drifting past 3σ (rel err ≥ 0.06 at rsd 0.02) fails the hash
+    // match — bounded-error verification without cross-engine sketch equality.
+    "q20_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS orders_in_bounds,
+        |  TRUE AS parts_in_bounds
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q19_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem

@@ -317,13 +317,26 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   /** Approximate distinct counting (HyperLogLog++): the 100 TB path where
-    * q14's exact expand+shuffle is not viable. Sketch values are
-    * engine-specific → no DuckDB oracle (rows-only check). */
+    * q14's exact expand+shuffle is not viable. Raw sketch estimates are
+    * engine-specific, so the oracle-checked output carries (a) the exact
+    * counts, which DuckDB recomputes and hash-matches, and (b) a bounded-
+    * error boolean per sketch — `|approx − exact| / exact < 0.06` (rsd 0.02
+    * → 3σ) — which the oracle asserts as literal TRUE. A drifting or broken
+    * sketch flips the boolean and fails the hash match, so the HLL estimate
+    * is genuinely verified without requiring cross-engine sketch equality.
+    * (The exact countDistinct here exists FOR the verification; the 100 TB
+    * production path is the approx aggregate alone.) */
   def q20ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("ao") - col("exact_orders")) / col("exact_orders") < 0.06).as("orders_in_bounds"),
+        (abs(col("ap") - col("exact_parts")) / col("exact_parts") < 0.06).as("parts_in_bounds"))
       .orderBy(col("l_returnflag"))
 
   /** Tumbling-window aggregation over the events table with the built-in
@@ -428,7 +441,10 @@ object Relational {
   def q27Json(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", from_json(col("props"), "k BIGINT", Map.empty[String, String]).getField("k"))
-      .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("kb"))
+      // `%` (not pmod): the DuckDB oracle's `%` keeps the dividend's sign, so
+      // pmod would silently diverge from the oracle the moment a negative k
+      // appears in the data
+      .groupBy(col("event_type"), expr("k % 10").as("kb"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"), col("kb"))
 

@@ -15,10 +15,12 @@ object Tables {
   /** Register every table as a temp view so the whole surface is reachable
     * from `spark.sql(...)` (plus `js_num` via GraftFunctions/extensions).
     * Idempotent per (session, dir): re-registration would re-read ten
-    * parquet schemas on every SQL-surface query. */
-  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    * parquet schemas on every SQL-surface query. `force = true` re-registers
+    * unconditionally — harnesses that rewrite the parquet under an already-
+    * registered dir mid-session use it to avoid serving stale views. */
+  def registerViews(spark: SparkSession, sfDir: String, force: Boolean = false): Unit = {
     val marker = "graft.views.dir"
-    if (!spark.conf.getOption(marker).contains(sfDir)) {
+    if (force || !spark.conf.getOption(marker).contains(sfDir)) {
       names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
       spark.conf.set(marker, sfDir)
     }

@@ -44,20 +44,33 @@ case class JsNumberFormat(child: Expression) extends UnaryExpression with Expect
   * the DuckDB oracles are unaffected — but it runs as a tight primitive loop
   * inside whole-stage codegen with NO intermediate array allocation, where
   * the HOF chain materializes a 64-element products array per row and walks
-  * it through lambda-bound variables. Registered as SQL function `dot_f`. */
+  * it through lambda-bound variables. Registered as SQL function `dot_f`.
+  *
+  * A dot product over mismatched lengths or null elements is undefined, so
+  * both yield SQL NULL (not a silently truncated / garbage sum) — `dot_f` is
+  * SQL-registered and callable on arbitrary arrays, not just the fixed-dim
+  * embeddings table. */
 case class DotProductF(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f"
+  // NULL-out on length mismatch / null element even when the array columns
+  // themselves are non-nullable.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     acc
   }
 
@@ -67,12 +80,17 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
