@@ -759,6 +759,115 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher/C4-style repetition + quality signals per document (in the
+    * spirit of the publicly described Gopher rules — Rae et al. 2021,
+    * "Scaling Language Models", §A1.1): duplicate-line fraction,
+    * most-frequent-bigram mass, bullet-line fraction, mean word length,
+    * and a composite keep/drop verdict. Everything except the bigram mass
+    * is a pure per-row expression; the bigram mass is an explode → two
+    * map-side-combinable aggregations keyed by doc_id, so the whole query
+    * costs one scan plus one doc-keyed shuffle at any corpus size (the
+    * shuffled rows are (doc, bigram, count) partial aggregates, never the
+    * text). */
+  def txtGopher(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+    val perRow = base
+      .withColumn("lns",
+        filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= ""))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(col("lns")).cast("long").as("n_lines"),
+        (size(col("lns")) - size(array_distinct(col("lns")))).cast("long").as("n_dup"),
+        expr("size(filter(lns, l -> substr(l, 1, 2) IN ('- ', '* ')))").cast("long").as("n_bullet"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("sum_wl"),
+        greatest(size(col("toks")).cast("long") - 1L, lit(0L)).as("n_bigrams"))
+    // explode_outer + isNotNull (not explode): see buildJaccardPairs for the
+    // InferFiltersFromGenerate pushdown pathology this dodges.
+    val bg = base.select(col("doc_id"), explode_outer(expr(
+        "case when size(toks) >= 2 then transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i+1])) else array() end")).as("b"))
+      .filter(col("b").isNotNull)
+    val top = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"))
+    perRow.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        (col("n_dup") / nullif(col("n_lines"), lit(0))).as("dup_line_frac"),
+        (col("n_bullet") / nullif(col("n_lines"), lit(0))).as("bullet_frac"),
+        (col("sum_wl") / nullif(col("n_words"), lit(0))).as("mean_word_len"),
+        (col("top_n") / nullif(col("n_bigrams"), lit(0))).as("top_bigram_frac"),
+        (col("n_words") >= 5 && col("n_words") <= 100000 &&
+          (col("sum_wl") / nullif(col("n_words"), lit(0))).between(2.0, 12.0) &&
+          (col("n_dup") / nullif(col("n_lines"), lit(0))) <= 0.5 &&
+          (col("top_n") / nullif(col("n_bigrams"), lit(0))) <= 0.3 &&
+          (col("n_bullet") / nullif(col("n_lines"), lit(0))) <= 0.5).as("passes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document line-level exact dedup (the C4 boilerplate rule:
+    * a line occurring verbatim in more than one document is boilerplate —
+    * navbars, license banners, cookie notices). Emits, per doc, the line
+    * counts and the fingerprint of the text with boilerplate lines removed.
+    * Two shuffles total at any scale: one keyed by line hash (the
+    * boilerplate census, map-side combinable), one keyed by doc_id (the
+    * rebuild); text lines travel the doc-keyed shuffle once. */
+  def ddLines(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode_outer(split(col("text"), "\n")))
+      .withColumn("line", trim(col("col")))
+      .filter(col("line").isNotNull && col("line") =!= "")
+      .select(col("doc_id"), col("pos").as("idx"), col("line"), md5(col("line")).as("fp"))
+    // lines whose hash appears in >1 distinct doc; the distinct-count runs
+    // on (fp, doc_id) partial aggregates, never the line text
+    val dups = lines.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("fp"), lit(true).as("is_dup"))
+    lines.join(dups, Seq("fp"), "left")
+      .withColumn("dup", coalesce(col("is_dup"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("dup"), 1)).as("n_dup_lines"),
+        // kept lines, re-assembled in document order: collect_list skips
+        // the nulls `when` produces for boilerplate lines; the struct sort
+        // on (idx, line) restores order regardless of shuffle arrival
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(!col("dup"), struct(col("idx"), col("line"))))),
+            x => x.getField("line")))).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Duplicate-passage census — the fixed-window approximation of exact
+    * substring dedup (the suffix-array method of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", recast
+    * for a distributed engine): every 8-token rolling window is
+    * fingerprinted, and windows recurring across documents are surfaced
+    * with their document span. One explode + one fingerprint-keyed
+    * map-side-combinable aggregation; window text never leaves the map
+    * side (only the 16-hex fingerprint shuffles), so shuffle volume is
+    * bounded by token count, not text size. Top-100 keeps the driver
+    * comparison small; production consumers stream the full census into
+    * the cut-list join of a dedup action. */
+  def ddPassages(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), explode_outer(expr(
+        "case when size(toks) >= 8 then transform(sequence(0, size(toks) - 8), " +
+          "i -> substr(md5(array_join(slice(toks, i + 1, 8), ' ')), 1, 16)) else array() end")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w").as("passage_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("n_hits").desc, col("passage_fp"))
+      .limit(100)
+
   /** Deterministic class re-balancing for training mixes: cap every lang at
     * 64 docs, chosen by md5(doc_id) order — a seedless, partitioning-
     * independent "random" sample that is reproducible across engines and
@@ -848,6 +957,9 @@ object LlmOps {
     "txt_chunks" -> txtChunks _,
     "txt_pack" -> txtPack _,
     "txt_scrub" -> txtScrub _,
+    "txt_gopher" -> txtGopher _,
+    "dd_lines" -> ddLines _,
+    "dd_passages" -> ddPassages _,
     "mm_join" -> mmJoin _,
     "mm_frame_sample" -> mmFrameSample _,
     "dd_minhash_sig" -> ddMinhashSig _,
@@ -1025,6 +1137,71 @@ object LlmOps {
          |  FROM scored)
          |SELECT doc_id, rk, t, tf, df, score
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "txt_gopher" ->
+      s"""WITH $baseDuck, per AS (
+         |  SELECT doc_id, toks,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lns
+         |  FROM base),
+         |pr AS (
+         |  SELECT doc_id, n_words, toks,
+         |    CAST(len(lns) AS BIGINT) AS n_lines,
+         |    CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS n_dup,
+         |    CAST(len(list_filter(lns, l -> substr(l, 1, 2) IN ('- ', '* '))) AS BIGINT) AS n_bullet,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0) AS BIGINT) AS sum_wl,
+         |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams
+         |  FROM per),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |  FROM per),
+         |bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+         |top AS (SELECT doc_id, max(n) AS top_n FROM bc GROUP BY doc_id)
+         |SELECT pr.doc_id, n_words, n_lines,
+         |  n_dup / nullif(n_lines, 0) AS dup_line_frac,
+         |  n_bullet / nullif(n_lines, 0) AS bullet_frac,
+         |  sum_wl / nullif(n_words, 0) AS mean_word_len,
+         |  top_n / nullif(n_bigrams, 0) AS top_bigram_frac,
+         |  (n_words >= 5 AND n_words <= 100000
+         |    AND sum_wl / nullif(n_words, 0) BETWEEN 2.0 AND 12.0
+         |    AND n_dup / nullif(n_lines, 0) <= 0.5
+         |    AND top_n / nullif(n_bigrams, 0) <= 0.3
+         |    AND n_bullet / nullif(n_lines, 0) <= 0.5) AS passes
+         |FROM pr LEFT JOIN top ON pr.doc_id = top.doc_id
+         |ORDER BY pr.doc_id""".stripMargin,
+
+    "dd_lines" ->
+      """WITH l0 AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line0,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, idx, trim(line0) AS line FROM l0 WHERE trim(line0) <> ''),
+        |f AS (SELECT doc_id, idx, line, md5(line) AS fp FROM l),
+        |d AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
+        |j AS (
+        |  SELECT f.doc_id, f.idx, f.line, (d.fp IS NOT NULL) AS dup
+        |  FROM f LEFT JOIN d ON f.fp = d.fp)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE dup) AS n_dup_lines,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE NOT dup), '')) AS clean_fp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd_passages" ->
+      s"""WITH $baseDuck, w0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 16))) AS w
+         |  FROM base)
+         |SELECT w AS passage_fp,
+         |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_hits,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM w0 GROUP BY w HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY n_docs DESC, n_hits DESC, passage_fp LIMIT 100""".stripMargin,
 
     "txt_scrub" ->
       raw"""WITH s AS (

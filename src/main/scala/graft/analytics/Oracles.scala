@@ -25,7 +25,43 @@ object Oracles {
   private def jsn(x: String): String =
     s"CASE WHEN $x = floor($x) THEN CAST(CAST($x AS BIGINT) AS VARCHAR) ELSE CAST($x AS VARCHAR) END"
 
+  /** Z-order bit-interleave over pre-bound ints zx, zy — the DuckDB twin of
+    * Relational.q32Zorder's expression, `//` for `div`. */
+  private def zkeyDuck: String =
+    (0 until 10).flatMap { i =>
+      Seq(s"((zx // ${1L << i}) % 2) * CAST(${1L << (2 * i)} AS BIGINT)",
+          s"((zy // ${1L << i}) % 2) * CAST(${1L << (2 * i + 1)} AS BIGINT)")
+    }.mkString("(", " + ", ")")
+
   val relational: Map[String, String] = Map(
+    "q31_approx_quantile" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN l_extendedprice END) AS p50,
+        |  max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT) THEN l_extendedprice END) AS p90,
+        |  count(*) AS n_rows,
+        |  TRUE AS p50_in_bounds,
+        |  TRUE AS p90_in_bounds
+        |FROM r
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q32_zorder" ->
+      s"""WITH b AS (
+         |  SELECT CAST(o_custkey % 1024 AS BIGINT) AS zx,
+         |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS zy
+         |  FROM orders),
+         |z AS (SELECT zx, zy, $zkeyDuck AS zkey FROM b)
+         |SELECT zkey // ${(1L << 20) / 32} AS bucket, count(*) AS n,
+         |  min(zx) AS min_x, max(zx) AS max_x,
+         |  min(zy) AS min_y, max(zy) AS max_y
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "cgt_lines" ->
       s"""WITH n AS (
          |  SELECT o_orderkey, o_orderdate,

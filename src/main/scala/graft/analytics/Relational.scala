@@ -510,7 +510,68 @@ object Relational {
         |ORDER BY priority, status""".stripMargin)
   }
 
+  /** Approximate quantiles with a bounded-error self-check (q20's pattern,
+    * for percentiles): per returnflag, the exact discrete p50/p90 of
+    * l_extendedprice (q25's ceil-rank formulation — portable) next to
+    * `percentile_approx` (a KLL-style mergeable sketch, accuracy 10000 ⇒
+    * rank error ≤ 1e-4). The booleans assert the sketch value lies between
+    * the exact p45–p55 (resp. p85–p95) values — a rank-space bound ~500×
+    * wider than the sketch guarantees, so it can only trip on a real
+    * defect. At 100 TB the sketch is the viable path: it merges map-side
+    * and never globally sorts, where the exact rank needs a full per-group
+    * sort. The oracle recomputes the exact side and pins the bounds TRUE. */
+  def q31ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    def exactAt(q: Double, name: String) =
+      max(when(col("rk") === expr(s"CAST(ceil(n * $q) AS BIGINT)"), col("l_extendedprice"))).as(name)
+    Tables.lineitem(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .groupBy(col("l_returnflag"))
+      .agg(exactAt(0.5, "p50"), exactAt(0.9, "p90"),
+        exactAt(0.45, "p45"), exactAt(0.55, "p55"),
+        exactAt(0.85, "p85"), exactAt(0.95, "p95"),
+        percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)), lit(10000)).as("ap"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("p50"), col("p90"), col("n_rows"),
+        col("ap").getItem(0).between(col("p45"), col("p55")).as("p50_in_bounds"),
+        col("ap").getItem(1).between(col("p85"), col("p95")).as("p90_in_bounds"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Z-order (Morton) clustering key — the multi-dimensional data-layout
+    * primitive: interleave the low 10 bits of customer key and order date
+    * so range-partitioning by `zkey` co-locates rows close in BOTH
+    * dimensions; parquet row-group min/max stats then prune scans filtered
+    * on either one. The query buckets orders by zkey range and emits each
+    * bucket's bounding box — the per-bucket dimension spans that make the
+    * locality (and hence the skipping win) measurable. Pure integer
+    * arithmetic, identical text in both engines modulo the int-division
+    * operator. */
+  def q32Zorder(spark: SparkSession, dir: String): DataFrame = {
+    def zkey(divOp: String): String = {
+      val terms = (0 until 10).flatMap { i =>
+        Seq(s"((zx $divOp ${1L << i}) % 2) * CAST(${1L << (2 * i)} AS BIGINT)",
+            s"((zy $divOp ${1L << i}) % 2) * CAST(${1L << (2 * i + 1)} AS BIGINT)")
+      }
+      terms.mkString("(", " + ", ")")
+    }
+    Tables.orders(spark, dir)
+      .withColumn("zx", expr("CAST(o_custkey % 1024 AS BIGINT)"))
+      .withColumn("zy", expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 1024 AS BIGINT)"))
+      .withColumn("zkey", expr(zkey("div")))
+      .withColumn("bucket", expr(s"zkey div ${(1L << 20) / 32}")) // 32 equal zkey ranges
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
+        min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_approx_quantile" -> q31ApproxQuantile _,
+    "q32_zorder" -> q32Zorder _,
     "q30_grouping_sets" -> q30GroupingSets _,
     "q29_window_range" -> q29WindowRange _,
     "q28_salted_join" -> q28SaltedJoin _,

@@ -136,6 +136,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(perLang.values.forall(_ <= 64), perLang.toMap.toString)
   }
 
+  test("gopher filter: repetition-heavy and bullet-heavy docs fail; clean prose passes") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val repBigram = Seq.fill(30)("spam ham").mkString(" ")      // one bigram dominates
+    val dupLines = "alpha beta gamma\nalpha beta gamma\nalpha beta gamma\nalpha beta gamma\ndelta epsilon zeta"
+    val bullets = "- first point here\n- second point here\n- third point here\nthe only prose line"
+    val docs = Seq(Doc(0, clean, "en", "s", clean.length),
+      Doc(1, repBigram, "en", "s", repBigram.length),
+      Doc(2, dupLines, "en", "s", dupLines.length),
+      Doc(3, bullets, "en", "s", bullets.length))
+    val d = java.nio.file.Files.createTempDirectory("llmgopher").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtGopher(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0).getAs[Boolean]("passes"))
+    assert(!rows(1).getAs[Boolean]("passes")) // top_bigram_frac ~ 0.5 > 0.3
+    assert(rows(1).getAs[Double]("top_bigram_frac") > 0.4)
+    assert(rows(2).getAs[Double]("dup_line_frac") == 0.6) // 3 of 5 lines repeat
+    assert(!rows(2).getAs[Boolean]("passes"))
+    assert(rows(3).getAs[Double]("bullet_frac") == 0.75)
+    assert(!rows(3).getAs[Boolean]("passes"))
+  }
+
+  test("line dedup: a line shared across docs is boilerplate; unique lines are kept in order") {
+    import spark.implicits._
+    val banner = "copyright 2026 example corp all rights reserved"
+    val a = s"$banner\nunique first line of a\nunique second line of a"
+    val b = s"$banner\ncompletely different content in b"
+    val c = "no shared lines at all here"
+    val docs = Seq(Doc(0, a, "en", "s", a.length), Doc(1, b, "en", "s", b.length),
+      Doc(2, c, "en", "s", c.length))
+    val d = java.nio.file.Files.createTempDirectory("llmlines").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.ddLines(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0).getAs[Long]("n_lines") == 3 && rows(0).getAs[Long]("n_dup_lines") == 1)
+    assert(rows(1).getAs[Long]("n_dup_lines") == 1)
+    assert(rows(2).getAs[Long]("n_dup_lines") == 0)
+    // doc 0's clean fingerprint = md5 of its two unique lines, original order
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("unique first line of a\nunique second line of a".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(0).getAs[String]("clean_fp") == expected)
+  }
+
+  test("passage census: near-dup docs share 8-token windows; unrelated docs contribute none") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight nine ten eleven twelve"
+    val nearA = s"intro words here $run closing words"
+    val nearB = s"other prefix tokens $run different tail"
+    val lone = "totally unrelated short text with eight distinct words exactly here now"
+    val docs = Seq(Doc(0, nearA, "en", "s", nearA.length),
+      Doc(1, nearB, "en", "s", nearB.length),
+      Doc(2, lone, "en", "s", lone.length))
+    val d = java.nio.file.Files.createTempDirectory("llmpass").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.ddPassages(spark, d).collect()
+    assert(rows.nonEmpty) // the shared 12-token run yields 5 shared 8-grams
+    assert(rows.forall(r => r.getAs[Long]("n_docs") == 2))
+    assert(rows.forall(r => r.getAs[Long]("first_doc") == 0 && r.getAs[Long]("last_doc") == 1))
+    assert(rows.length == 5)
+  }
+
   test("incremental dedup drops incoming docs whose content already exists") {
     import spark.implicits._
     // fresh corpus: ids 0..249 existing; 250 duplicates existing 0; 251 is new
