@@ -110,6 +110,14 @@ object LlmOps {
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
+  /** Per-doc distinct-3-gram-shingle hashes via the
+    * [[org.apache.spark.sql.graft.ShingleHash32]] kernel (see its Scaladoc
+    * for why this beats the declarative HOF chain ~5x). */
+  private def shingleHash(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.ShingleHash32(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** Deterministic hyperplane weights for ANN-LSH: plane p, dim i →
     * ((first-8-hex of md5("p:i") as long) % 2001 - 1000) / 1000 ∈ [-1, 1].
     * Materialized as shortest-round-trip literals so Spark and DuckDB parse
@@ -283,16 +291,23 @@ object LlmOps {
     // scan has many splits already and this becomes a cheap rebalance that
     // also evens out skewed document lengths before the quadratic-ish
     // shingling work.
+    // The tokenize→shingle→hash chain runs as the ShingleHash32 kernel —
+    // ONE JVM loop per document (see its Scaladoc). The equivalent
+    // HOF+md5+hex-parse chain was this pipeline's dominant cost: Spark's
+    // higher-order functions evaluate interpreted, outside whole-stage
+    // codegen, and the measured build time of this persisted table dropped
+    // ~10s → ~2s at sf0.1 when the kernel replaced it. Hash semantics are
+    // unchanged (first 4 md5 bytes of the shingle string), so the DuckDB
+    // oracles are untouched.
+    val dbg = sys.env.contains("GRAFT_CLUSTER_DEBUG")
+    val t0 = System.nanoTime()
+    def lap(tag: String): Unit =
+      if (dbg) println(f"JPBUILD $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("toks", expr(toksSpark))
       .withColumn("bkt", expr("n_chars div 50"))
-      .withColumn("shingles", expr(shinglesSpark))
-    // Jaccard denominator straight off the shingle ARRAY — no explode and no
-    // shuffle for this branch (the shingle set is already distinct). Docs
-    // with <3 tokens get n=0 but can never appear in `common`, so the inner
-    // joins below drop them, same as the explode-based count did.
-    val sizes = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+      .withColumn("sharr", shingleHash(col("text")))
+    if (dbg) { docs.count(); lap("scan+repartition+kernel") }
     // sh is persisted (MEMORY_AND_DISK, spill-safe): it feeds the df-count,
     // the semi-join probe side, and — via `capped` — both sides of the
     // candidate join, and separate ACTIONS can't share exchange-level reuse.
@@ -302,42 +317,62 @@ object LlmOps {
     // an empty cache.
     //
     // explode_OUTER + isNotNull, NOT plain explode: explode makes
-    // InferFiltersFromGenerate add a `size(shingles) > 0` filter, and
-    // predicate pushdown drags that filter — with the WHOLE interpreted
-    // tokenize+shingle lambda expression inlined — below the repartition
-    // into the single-split scan task. Measured 13s single-threaded vs 0.3s
-    // for the outer variant at sf0.1; same output rows (null-s rows from
-    // empty shingle arrays are dropped by the cheap post-explode filter).
-    // shingles are joined BY HASH (first-8-hex of md5 → 32-bit int): 8-byte
-    // join keys instead of ~30-byte strings cut shuffle volume and compare
-    // cost in the df-count, semi-join, and candidate self-join. Collisions
+    // InferFiltersFromGenerate add a `size(arr) > 0` filter, and predicate
+    // pushdown drags that filter — with the whole kernel inlined — below
+    // the repartition into the single-split scan task (measured 13s
+    // single-threaded vs 0.3s for the outer variant back when the chain was
+    // declarative; the guard is just as load-bearing for the kernel).
+    // Shingles are joined BY HASH (32-bit, as BIGINT): 8-byte join keys
+    // instead of ~30-byte strings cut shuffle volume and compare cost in
+    // the df-count, semi-join, and candidate self-join. Collisions
     // (~handful at 2^32 over test corpora) could inflate a `common` count,
     // but the oracle applies the IDENTICAL hash, so both engines agree —
     // and hashed shingles are exactly what production near-dup pipelines
     // join on at scale.
-    val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode_outer(col("shingles")).as("s0"))
-      .filter(col("s0").isNotNull)
-      .select(col("doc_id"), col("lang"), col("bkt"),
-        expr(hex8("md5(s0)")).cast("long").as("s"))
+    val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode_outer(col("sharr")).as("s"))
+      .filter(col("s").isNotNull)
       .persist()
-    track(sh)
     sh.count()
+    lap("sh persisted+counted")
+    // Jaccard denominator = per-doc distinct-shingle count — read off the
+    // cached sh rows (one row per distinct shingle), so the kernel never
+    // runs a second time for this branch. Docs with <3 tokens have no sh
+    // rows and drop out, same as before — they can never appear in
+    // `common` anyway.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"))
     val rare = sh.groupBy(col("s"), col("lang"), col("bkt"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
       .select(col("s"), col("lang"), col("bkt"))
     val capped = sh.join(rare, Seq("s", "lang", "bkt"), "left_semi")
       .select(col("doc_id"), col("lang"), col("bkt"), col("s"))
       .persist()
-    track(capped)
     val a = capped.toDF("ia", "la", "ba", "s")
     val b = capped.toDF("ib", "lb", "bb", "s2")
     val common = a.join(b,
         col("s") === col("s2") && col("la") === col("lb") && col("ba") === col("bb") && col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
-    common
+    // Materialize the pairs TABLE (eager local checkpoint), not just the
+    // shingle inputs: the three consumers (dd_ngram_jaccard, dd_dedup_keep,
+    // dd_cluster) each re-plan whatever tree the memo hands them, and
+    // driver-side planning + janino codegen of the full shingle-join tree
+    // measured ~1.3-3.7s PER CONSUMER — more than the join's execution.
+    // Checkpointed, every consumer plans over a leaf. The pair count is
+    // block-bounded (never doc²), so the checkpoint is small at any scale;
+    // on a real cluster this becomes a reliable checkpoint / staging table
+    // — which is what a production dedup pipeline materializes anyway.
+    val jp = common
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .localCheckpoint(true)
+    lap("pairs checkpointed")
+    trackRdd(jp.rdd)
+    // the shingle tables only served the build — free them NOW, not at
+    // session release: executor storage stays bounded by the pair table
+    sh.unpersist(blocking = false)
+    capped.unpersist(blocking = false)
+    jp
   }
 
   /** The dedup ACTION: emit the kept corpus after dropping near-duplicates
@@ -397,6 +432,8 @@ object LlmOps {
     val edgeSchema = edges.schema
     val edgesRdd = ckptRdd(edges)
     trackRdd(edgesRdd)
+    if (debug)
+      println(f"CLUSTER edges-planned ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
     // Every re-wrap of a materialized RDD mints FRESH attribute ids, so one
     // materialized state can appear several times in a round's plan without
     // tripping analyzer attribute-rewrite on shared checkpointed leaves.
@@ -410,6 +447,8 @@ object LlmOps {
       .select(col("d"), col("d").as("lbl"), lit(true).as("chg"))
     val stateSchema = init.schema
     var labelsRdd = ckptRdd(init)
+    if (debug)
+      println(f"CLUSTER init-planned ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
     def labelsDf(n1: String, n2: String): DataFrame =
       spark.createDataFrame(labelsRdd, stateSchema).select(col("d").as(n1), col("lbl").as(n2))
 
@@ -449,9 +488,15 @@ object LlmOps {
     trackRdd(labelsRdd) // final state feeds the caller's lazy result plan
     val sizes = labelsDf("sd", "slbl")
       .groupBy(col("slbl")).agg(count(lit(1)).as("cluster_size"))
-    labelsDf("d", "lbl").join(sizes, col("lbl") === col("slbl"))
+    val result = labelsDf("d", "lbl").join(sizes, col("lbl") === col("slbl"))
       .select(col("d").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
+    if (debug) {
+      val tf = System.nanoTime()
+      result.count()
+      println(f"CLUSTER final-assembly ${(System.nanoTime() - tf) / 1e9}%.2fs")
+    }
+    result
   }
 
   /** TF-IDF profile (log-free variant): score = tf * n_docs / df as one
@@ -567,7 +612,12 @@ object LlmOps {
   /** MinHash signatures (k=8 permutations approximated by seeded md5 minima
     * over the shingle set). The per-doc aggregation is a single map-side
     * combinable groupBy — scales linearly in total shingle count. */
-  def ddMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+  def ddMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    minhashSig(spark, dir).orderBy(col("doc_id"))
+
+  /** Unordered minhash signature table — same no-sort-before-checkpoint
+    * reasoning as [[simhashSig]]. */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
     // 8 "permutations" from 2 md5 calls via 8-hex slicing (one-hash-many-
     // slices): each 32-bit slice of a well-mixed digest acts as an
     // independent hash. 2 digests per shingle instead of 8 — the md5 work
@@ -587,7 +637,6 @@ object LlmOps {
     }
     sh.groupBy(col("doc_id"))
       .agg(mhs.head, mhs.tail: _*)
-      .orderBy(col("doc_id"))
   }
 
   /** MinHash-LSH candidate pairs: 4 bands × 2 rows; docs sharing any band
@@ -600,8 +649,15 @@ object LlmOps {
     // tiny (one 8-string row per doc), so session-lifetime caching is the
     // right trade at any scale. Materialize it eagerly: consumers running
     // as parallel stages of one job would otherwise race past the
-    // not-yet-populated cache and each recompute the pipeline.
-    val sig = track(ddMinhashSig(spark, dir).cache())
+    // not-yet-populated cache and each recompute the pipeline. A cache —
+    // NOT a localCheckpoint leaf — deliberately: consumers of a cached
+    // tree still run under AQE, which coalesces this tiny table to one
+    // partition and then plans the candidate distinct WITHOUT its own
+    // exchange; over a checkpoint-RDD leaf AQE disengages and the same
+    // distinct pays a full shuffle (measured 1.8s → 6.9s on
+    // dd_simhash_pairs). The jaccard pipeline makes the opposite call —
+    // see buildJaccardPairs, where per-consumer PLANNING cost dominates.
+    val sig = track(minhashSig(spark, dir).cache())
     sig.count()
     val bands = sig.selectExpr("doc_id",
       "stack(4, 0, md5(concat(mh0, mh1)), 1, md5(concat(mh2, mh3)), " +
@@ -621,7 +677,16 @@ object LlmOps {
 
   /** 16-bit SimHash over the distinct word set (md5-derived 16-bit token
     * hashes, per-bit majority vote). */
-  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSig(spark, dir).orderBy(col("doc_id"))
+
+  /** The unordered signature table — what the pairs query materializes.
+    * NO orderBy here: a global sort ahead of a checkpoint would run the
+    * whole tokenize pipeline twice (the range partitioner's sampling pass
+    * executes the child once before the real pass), and join consumers
+    * don't care about order. The driver-facing [[ddSimhash]] adds the sort
+    * on top for its deterministic output contract. */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
@@ -632,9 +697,8 @@ object LlmOps {
       sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
     val bitSums = tok.groupBy(col("doc_id")).agg(bits.head, bits.tail: _*)
     bitSums.select(col("doc_id"),
-        (0 until 16).map(i => expr(s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"))
-          .reduce(_ + _).cast("long").as("simhash"))
-      .orderBy(col("doc_id"))
+      (0 until 16).map(i => expr(s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"))
+        .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** SimHash near-dup PAIRS: banded candidate generation + exact Hamming
@@ -644,8 +708,8 @@ object LlmOps {
     * any band value, verified with bit_count(xor) <= 3. Banding bounds the
     * join fanout the same way MinHash-LSH banding does: no doc² anywhere. */
   def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // eager persist, same reasoning as the minhash signature cache
-    val sig = track(ddSimhash(spark, dir).persist())
+    // eager cache, same AQE-preserving reasoning as the minhash signature
+    val sig = track(simhashSig(spark, dir).cache())
     sig.count()
     val bands = sig.select(col("doc_id"), col("simhash"),
         explode_outer(expr("sequence(0, 3)")).as("band"))
@@ -731,6 +795,35 @@ object LlmOps {
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"), col("bucket").as("cb"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
     q.join(c, col("bucket") === col("cb") && col("qid") =!= col("cid"))
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Multiprobe hyperplane-LSH ANN: each query scans its own sign-bucket
+    * PLUS the [[AnnPlanes]] buckets one bit-flip away — the standard
+    * recall-recovery move for hyperplane LSH (a near neighbor that landed
+    * across one hyperplane differs in exactly one sign bit). Candidate
+    * volume grows (1+planes)x over [[simAnnLsh]] but stays ~2^planes/(1+planes)
+    * below brute force; recall roughly triples on the synthetic embeddings
+    * (measured in LlmOpsSpec). The probe fanout is a generator over a
+    * 5-element literal array — no join amplification beyond the bucket
+    * lookups themselves. */
+  def simAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+      .withColumn("bucket", expr(bucketHof("embedding")))
+    val probes = (0 until AnnPlanes).map(p => s"bucket ^ ${1 << p}").mkString(", ")
+    val q = e.filter(expr("vec_id % 50 = 0"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
+      .select(col("qid"), col("qe"), col("qn"),
+        explode_outer(expr(s"array(bucket, $probes)")).as("probe"))
+      .filter(col("probe").isNotNull)
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"), col("bucket").as("cb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    q.join(c, col("probe") === col("cb") && col("qid") =!= col("cid"))
       .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -971,6 +1064,7 @@ object LlmOps {
     "dd_embed_lsh" -> ddEmbedLsh _,
     "sim_topk_cosine" -> simTopkCosine _,
     "sim_ann_lsh" -> simAnnLsh _,
+    "sim_ann_multiprobe" -> simAnnMultiprobe _,
     "sim_ivf" -> simIvf _,
     "mm_meta" -> mmMeta _)
 
@@ -1378,6 +1472,27 @@ object LlmOps {
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
          |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT qid, rk, cid, cos_exact AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "sim_ann_multiprobe" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    ${dot("embedding", "embedding", 1)} AS nrm,
+         |    ${bucketExpr("embedding", 1)} AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+         |    unnest([bucket${(0 until AnnPlanes).map(p => s", xor(bucket, ${1 << p})").mkString}]) AS probe
+         |  FROM e WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |    (${dot("q.qe", "c.embedding", 1)}) / sqrt(q.qn * c.nrm) AS cos_exact
+         |  FROM q JOIN e c ON q.probe = c.bucket AND q.qid <> c.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos_exact,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk

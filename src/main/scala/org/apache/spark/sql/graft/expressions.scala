@@ -98,6 +98,63 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-document shingle-hash kernel: text → array of 32-bit hashes (as
+  * BIGINT) of the DISTINCT 3-gram word shingles. Semantically identical to
+  * the declarative chain the dedup family originally used —
+  *
+  *   explode(array_distinct(transform(sequence(...),
+  *     i -> concat(toks[i],' ',toks[i+1],' ',toks[i+2])))) → md5 → first
+  *   8 hex chars parsed as a number
+  *
+  * with toks = filter(split(lower(trim(text)), '\s+'), t != '') — but
+  * evaluated as ONE tight JVM loop per row. The declarative form pays the
+  * interpreted-lambda tax: Spark's higher-order functions don't participate
+  * in whole-stage codegen, so every token and shingle walks through
+  * per-element `LambdaFunction` interpretation with boxed intermediates
+  * (measured: ~10s of the sf0.1 dedup pipeline was this projection).
+  * Duplicate elimination happens on the shingle STRING (then the hash is
+  * taken), exactly like array_distinct before it — so a 32-bit hash
+  * collision between distinct shingles still contributes two array entries
+  * and the Jaccard denominators match the string-based DuckDB oracle.
+  *
+  * First-4-bytes-of-md5 equals the old `hex8` parse of the first 8 hex
+  * chars; values are bit-identical to the oracle's arithmetic. Registered
+  * as SQL function `shingle_hash32`. */
+case class ShingleHash32(child: Expression) extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    // trim/lower on UTF8String mirror Spark's trim()/lower() exactly;
+    // the regex split mirrors split(str, '\\s+')
+    val s = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+    val toks = s.split("\\s+", -1).filter(_.nonEmpty)
+    if (toks.length < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i < toks.length - 2) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(j) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      md.reset()
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
+    copy(child = newChild)
+}
+
 /** Column ↔ Expression bridge for the classic (non-Connect) backend. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
@@ -114,5 +171,7 @@ object GraftFunctions {
       "js_num", exprs => JsNumberFormat(exprs.head), "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hash32", exprs => ShingleHash32(exprs.head), "scala_udf")
   }
 }

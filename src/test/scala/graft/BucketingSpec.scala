@@ -50,4 +50,41 @@ class BucketingSpec extends SparkSpec {
       !joinPart.contains("Exchange hashpartitioning(o_orderkey"), joinPart)
     assert(joined.collect().map(_.getLong(1)).sum == spark.read.parquet(s"$dir/lineitem.parquet").count())
   }
+
+  test("bucketed fingerprint table: incremental-dedup anti-join shuffles only the incoming batch") {
+    // The at-scale shape LlmOps.ddIncremental documents: the corpus
+    // fingerprint table is written bucketed on fp, so ingestion-time dedup
+    // anti-joins against it WITHOUT ever shuffling (or rescanning) the
+    // corpus side — only the small incoming batch is exchanged into the
+    // bucket layout.
+    val dir = "/root/testdata/sf0.001"
+    val t = "fingerprints_b"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val p = java.nio.file.Paths.get(s"spark-warehouse/$t")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.filter(col("doc_id") < 250)
+      .select(org.apache.spark.sql.functions.md5(col("text")).as("fp"))
+      .write.bucketBy(8, "fp").sortBy("fp").saveAsTable(t)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .withColumn("fp", org.apache.spark.sql.functions.md5(col("text")))
+    val kept = incoming.join(spark.table(t), Seq("fp"), "left_anti")
+    val plan = kept.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
+    // fingerprint side co-located: the only exchange feeds the incoming side
+    assert(plan.indexOf("Exchange hashpartitioning(fp") == plan.lastIndexOf("Exchange hashpartitioning(fp"), plan)
+    // same kept set as the hash-join formulation over raw parquet
+    val expected = graft.analytics.LlmOps.ddIncremental(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
+  }
 }

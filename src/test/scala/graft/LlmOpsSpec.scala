@@ -98,6 +98,24 @@ class LlmOpsSpec extends SparkSpec {
     info(f"ANN recall@5 vs brute force: $recall%.2f (4 hyperplanes, 16 buckets)")
   }
 
+  test("multiprobe ANN beats single-bucket recall; cosines agree with brute force") {
+    val real = "/root/testdata/sf0.001"
+    val brute = LlmOps.simTopkCosine(spark, real).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> r.getAs[Double]("cos")).toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.count(r => brute.contains((r.getAs[Long]("qid"), r.getAs[Long]("cid")))).toDouble /
+        math.max(brute.size, 1)
+    val single = recall(LlmOps.simAnnLsh(spark, real).collect())
+    val multi = LlmOps.simAnnMultiprobe(spark, real).collect()
+    multi.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+    val multiRecall = recall(multi)
+    info(f"multiprobe recall@5 $multiRecall%.2f vs single-bucket $single%.2f")
+    assert(multiRecall >= single)
+  }
+
   test("IVF cosine values agree with the brute-force baseline; recall is measurable") {
     val real = "/root/testdata/sf0.001"
     val brute = LlmOps.simTopkCosine(spark, real).collect()
