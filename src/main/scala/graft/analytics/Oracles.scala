@@ -34,6 +34,14 @@ object Oracles {
     }.mkString("(", " + ", ")")
 
   val relational: Map[String, String] = Map(
+    "q33_bloom_prune" ->
+      """WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+        |SELECT l_returnflag, count(*) AS n_exact,
+        |  TRUE AS no_false_negatives, TRUE AS fp_bounded
+        |FROM lineitem SEMI JOIN big ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q31_approx_quantile" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_extendedprice,

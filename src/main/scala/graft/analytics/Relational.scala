@@ -569,7 +569,41 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Bloom-filter semi-join pruning — the runtime-filter pattern under
+    * explicit control: build Spark's own bloom sketch over the keys of the
+    * (reduced) build side, probe the fact side with `might_contain`, and
+    * compare against the exact semi-join. At 100 TB this is how a fact
+    * scan avoids shuffling rows that cannot join: the ~1 MB sketch
+    * broadcasts to every task and filters AT THE SCAN, where the exact
+    * semi-join would move the whole fact table. The emitted booleans pin
+    * the sketch's contract — zero false negatives (bloom count >= exact
+    * count per group) and a bounded false-positive overshoot — and the
+    * oracle recomputes the exact side, pinning both TRUE. The one-row
+    * `head` is the sketch itself (what a runtime filter broadcasts), not
+    * a data collect. */
+  def q33BloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.BloomBridge
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"))
+    val bloom = bigOrders
+      .agg(BloomBridge.bloomAgg(col("o_orderkey"), 1000000L, 8388608L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.join(broadcast(bigOrders), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_exact"))
+    val bloomed = li.filter(BloomBridge.mightContain(bloom, col("l_orderkey")))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_bloom"))
+    val total = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_total"))
+    exact.join(bloomed, Seq("l_returnflag")).join(total, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (col("n_bloom") >= col("n_exact")).as("no_false_negatives"),
+        ((col("n_bloom") - col("n_exact")) <= col("n_total") * 0.02).as("fp_bounded"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_bloom_prune" -> q33BloomPrune _,
     "q31_approx_quantile" -> q31ApproxQuantile _,
     "q32_zorder" -> q32Zorder _,
     "q30_grouping_sets" -> q30GroupingSets _,

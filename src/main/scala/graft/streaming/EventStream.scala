@@ -82,6 +82,27 @@ object EventStream {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Stream-stream interval join: click events join view events of the
+    * same user when the click lands within [0, 10 minutes] AFTER the view
+    * — the attribution join, both sides unbounded. Both streams carry
+    * watermarks and the join condition carries the time interval, which is
+    * what lets Spark EVICT join state: a buffered view can be dropped once
+    * the click-side watermark passes view_ts + 10 min, so state is bounded
+    * by (rate × interval) instead of growing forever. Without the interval
+    * bound (or the watermarks) the state store grows without limit — the
+    * stream-stream analogue of the dropDuplicates trap [[dedupe]] avoids. */
+  def attributeClicks(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"), col("user_id"),
+      col("ts").as("view_ts")).withWatermark("view_ts", "10 minutes")
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+      col("ts").as("click_ts"), col("value")).withWatermark("click_ts", "10 minutes")
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"), col("view_ts"), col("click_ts"), col("value"))
+  }
+
   /** Wire a streaming DataFrame to a memory sink for tests/demos. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

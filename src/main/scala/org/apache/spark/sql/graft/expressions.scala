@@ -161,6 +161,33 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Column-level access to Spark's own bloom-filter expressions
+  * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+  * / [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]).
+  * These power Spark's internal runtime row-level filtering but are not in
+  * the public function registry; exposing them lets the library express the
+  * build-once/probe-everywhere semi-join pruning pattern explicitly — the
+  * same sketch the optimizer would inject, but under query control (sized,
+  * staged, reusable across queries). */
+object BloomBridge {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+  import org.apache.spark.sql.types.BinaryType
+
+  /** Aggregate building a bloom filter over a long/string key column. */
+  def bloomAgg(child: Column, estimatedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(new BloomFilterAggregate(
+      ExpressionUtils.expression(child),
+      Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Probe: true iff `value` MIGHT be in the serialized filter (no false
+    * negatives; false-positive rate set by the build sizing). */
+  def mightContain(bloom: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      Literal.create(bloom, BinaryType),
+      ExpressionUtils.expression(value)))
+}
+
 /** Runtime registration for sessions not built with
   * `spark.sql.extensions=graft.GraftExtensions` — makes `js_num` callable
   * from SQL text on an existing session. */

@@ -36,6 +36,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to in-window views and drops the rest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.attributeClicks(views.toDF(), clicks.toDF()), "attrib", OutputMode.Append())
+    try {
+      views.addData(
+        Event(100, ts(0), 1, "view", 0.0),   // user 1 views at 10:00
+        Event(101, ts(0), 2, "view", 0.0))   // user 2 views at 10:00
+      clicks.addData(
+        Event(200, ts(5), 1, "click", 7.5),  // in window (5 min after view)
+        Event(201, ts(25), 2, "click", 1.0), // OUT of window (25 min after)
+        Event(202, ts(5), 3, "click", 1.0))  // no matching view user
+      q.processAllAvailable()
+      // push both watermarks forward so all joinable state resolves
+      views.addData(Event(102, ts(59), 9, "view", 0.0))
+      clicks.addData(Event(203, ts(59), 9, "error", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+        .toSet
+      assert(out.contains((1L, 100L, 200L)), out.mkString(","))
+      assert(!out.exists(_._3 == 201L)) // outside the interval
+      assert(!out.exists(_._1 == 3L))   // no view to attribute to
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped, closed windows stay final") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
