@@ -52,6 +52,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    graft.analytics.LlmOps.releaseCaches()
     spark.stop()
   }
 }

@@ -42,8 +42,8 @@ object LlmOps {
     * release point executor storage grows monotonically across a long
     * session: each verify/bench/test pass re-persists fresh copies of the
     * shingle, signature, and cluster-label tables. Harness entry points
-    * (Verify, Bench, spec suites) call [[releaseCaches]] once their actions
-    * have completed. */
+    * (Verify, Bench, Probe) call [[releaseCaches]] once their actions have
+    * completed; the forked test JVM relies on process teardown. */
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   private def track(df: DataFrame): DataFrame =
