@@ -977,6 +977,48 @@ object LlmOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Deterministic training-shard assignment — the EXPORT stage: every doc
+    * lands in one of 16 shards by md5(doc_id), independent of partitioning,
+    * cluster size, or row order, so re-running the pipeline anywhere yields
+    * byte-identical shards (rand()/monotonically_increasing_id-based
+    * sharding is neither). Emits per-shard doc and token counts — the
+    * manifest a training job reads. One map-side-combinable agg; at scale
+    * the same shard column feeds `.write.partitionBy("shard")`. */
+  def txtShards(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(expr(s"CAST(${hex4("md5(CAST(doc_id AS STRING))")} % 16 AS BIGINT)").as("shard"),
+        size(col("toks")).cast("long").as("n_toks"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_toks_total"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("shard"))
+
+  /** Deterministic source-mixture sampling — the mixture-weighting stage:
+    * each provenance source gets a keep-rate, and a doc survives iff its
+    * md5-derived uniform draw falls under its source's rate. Seedless and
+    * partition-independent like [[txtBalance]]; changing a single source's
+    * weight re-decides ONLY that source's docs (hash draws are per-doc,
+    * not positional). Pure per-row filter — no shuffle before the sort. */
+  def txtMixture(spark: SparkSession, dir: String): DataFrame = {
+    // weight by source parity: even-numbered sources keep 75%, odd 25% —
+    // a stand-in for a real mixture table (which would broadcast-join here)
+    val draw = s"${hex4("md5(CAST(doc_id AS STRING) || ':' || source)")} / CAST(65536 AS DOUBLE)"
+    // explicit DOUBLE: bare 0.75 parses as DECIMAL in both engines, with
+    // different comparison/hash behavior
+    val rate = "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 " +
+      "THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END"
+    Tables.documents(spark, dir)
+      .withColumn("draw", expr(draw))
+      .withColumn("rate", expr(rate))
+      .filter(col("draw") < col("rate"))
+      .select(col("doc_id"), col("source"), col("lang"), col("draw"), col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-modal enrichment join: text rows ⋈ their embedding vectors
     * (doc_id = vec_id), emitting text metadata plus the vector norm via the
     * codegen'd dot product. The standard shape for joining a text corpus to
@@ -1053,6 +1095,8 @@ object LlmOps {
     "txt_gopher" -> txtGopher _,
     "dd_lines" -> ddLines _,
     "dd_passages" -> ddPassages _,
+    "txt_shards" -> txtShards _,
+    "txt_mixture" -> txtMixture _,
     "mm_join" -> mmJoin _,
     "mm_frame_sample" -> mmFrameSample _,
     "dd_minhash_sig" -> ddMinhashSig _,
@@ -1357,6 +1401,26 @@ object LlmOps {
         |  FROM documents)
         |SELECT doc_id, lang, rk FROM r WHERE rk <= 64
         |ORDER BY lang, rk""".stripMargin,
+
+    "txt_shards" ->
+      s"""WITH $baseDuck, s AS (
+         |  SELECT CAST(${hex4("md5(CAST(doc_id AS VARCHAR))")} % 16 AS BIGINT) AS shard,
+         |    CAST(len(toks) AS BIGINT) AS n_toks, n_chars
+         |  FROM base)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_toks_total,
+         |  max(n_chars) AS max_chars
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "txt_mixture" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source, lang,
+         |    ${hex4("md5(CAST(doc_id AS VARCHAR) || ':' || source)")} / CAST(65536 AS DOUBLE) AS draw,
+         |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+         |      THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END AS rate
+         |  FROM documents)
+         |SELECT doc_id, source, lang, draw, rate
+         |FROM m WHERE draw < rate ORDER BY doc_id""".stripMargin,
 
     "mm_join" ->
       s"""SELECT d.doc_id, d.lang, d.n_chars, e.label,
