@@ -977,6 +977,30 @@ object LlmOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** The composed CLEANING PIPELINE — what a training-data run actually
+    * executes, as one operator: a doc survives iff it (a) passes the
+    * Gopher-style quality filter, (b) is the canonical copy of its exact-
+    * duplicate group (min doc_id per content hash), and (c) is not the
+    * dropped side of any near-duplicate pair. Composition is three
+    * semi/anti joins over operators that already exist — the near-dup
+    * side reuses the memoized checkpointed pairs table, so running this
+    * after any dd_* query adds only the joins. Demonstrates that the
+    * operator set composes into the end-to-end corpus-cleaning job. */
+  def txtCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val passes = txtGopher(spark, dir).filter(col("passes")).select(col("doc_id"))
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("xfp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDrops = jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.8).select(col("ib")).distinct()
+    docs.join(passes, Seq("doc_id"), "left_semi")
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDrops, col("doc_id") === col("ib"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic training-shard assignment — the EXPORT stage: every doc
     * lands in one of 16 shards by md5(doc_id), independent of partitioning,
     * cluster size, or row order, so re-running the pipeline anywhere yields
@@ -1095,6 +1119,7 @@ object LlmOps {
     "txt_gopher" -> txtGopher _,
     "dd_lines" -> ddLines _,
     "dd_passages" -> ddPassages _,
+    "txt_clean_corpus" -> txtCleanCorpus _,
     "txt_shards" -> txtShards _,
     "txt_mixture" -> txtMixture _,
     "mm_join" -> mmJoin _,
@@ -1401,6 +1426,63 @@ object LlmOps {
         |  FROM documents)
         |SELECT doc_id, lang, rk FROM r WHERE rk <= 64
         |ORDER BY lang, rk""".stripMargin,
+
+    "txt_clean_corpus" ->
+      s"""WITH $baseDuck, per AS (
+         |  SELECT doc_id, toks,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lns
+         |  FROM base),
+         |pr AS (
+         |  SELECT doc_id, n_words, toks,
+         |    CAST(len(lns) AS BIGINT) AS n_lines,
+         |    CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS n_dup,
+         |    CAST(len(list_filter(lns, l -> substr(l, 1, 2) IN ('- ', '* '))) AS BIGINT) AS n_bullet,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0) AS BIGINT) AS sum_wl,
+         |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams
+         |  FROM per),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |  FROM per),
+         |bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+         |top AS (SELECT doc_id, max(n) AS top_n FROM bc GROUP BY doc_id),
+         |g AS (
+         |  SELECT pr.doc_id FROM pr LEFT JOIN top ON pr.doc_id = top.doc_id
+         |  WHERE n_words >= 5 AND n_words <= 100000
+         |    AND sum_wl / nullif(n_words, 0) BETWEEN 2.0 AND 12.0
+         |    AND n_dup / nullif(n_lines, 0) <= 0.5
+         |    AND top_n / nullif(n_bigrams, 0) <= 0.3
+         |    AND n_bullet / nullif(n_lines, 0) <= 0.5),
+         |ex AS (SELECT md5(text) AS xfp, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+         |sh0 AS (
+         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
+         |  FROM base),
+         |sh AS (
+         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (
+         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
+         |  HAVING count(*) <= 500),
+         |capped AS (
+         |  SELECT sh.* FROM sh SEMI JOIN rare
+         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+         |  FROM capped a JOIN capped b
+         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |drops AS (
+         |  SELECT DISTINCT ib FROM pairs
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE common / (sa.n + sb.n - common) >= 0.8)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |SEMI JOIN g ON g.doc_id = d.doc_id
+         |SEMI JOIN ex ON ex.keep_id = d.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.ib = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "txt_shards" ->
       s"""WITH $baseDuck, s AS (
