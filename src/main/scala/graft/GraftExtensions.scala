@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DotProductF, JsNumberFormat}
+import org.apache.spark.sql.graft.{DotProductF, DotProductRewrite, JsNumberFormat, ShingleHash32}
 
 /** Session extensions for the graft engine: registers the custom Catalyst
   * functions so SQL users get them too.
@@ -25,5 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hash32"),
+      new ExpressionInfo(classOf[ShingleHash32].getName, "shingle_hash32"),
+      (children: Seq[Expression]) => ShingleHash32(children.head)))
+    // declarative HOF dot products over float arrays lower to the codegen
+    // kernel automatically (see DotProductRewrite)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

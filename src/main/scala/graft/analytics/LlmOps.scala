@@ -876,6 +876,17 @@ object LlmOps {
         expr("size(filter(lns, l -> substr(l, 1, 2) IN ('- ', '* ')))").cast("long").as("n_bullet"),
         expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("sum_wl"),
         greatest(size(col("toks")).cast("long") - 1L, lit(0L)).as("n_bigrams"))
+      // identity aggregation over the unique doc_id: the values are
+      // untouched (one row per group) but consumers' predicates on these
+      // signals — e.g. txt_clean_corpus filtering on `passes` — can no
+      // longer be conjunct-split and pushed below it into the scan, where
+      // the interpreted lambda metrics would re-run single-threaded ahead
+      // of the repartition (the InferFilters pathology, PLANS.md). The
+      // exchange this adds was already needed for the bigram-census join.
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_words")).as("n_words"), min(col("n_lines")).as("n_lines"),
+        min(col("n_dup")).as("n_dup"), min(col("n_bullet")).as("n_bullet"),
+        min(col("sum_wl")).as("sum_wl"), min(col("n_bigrams")).as("n_bigrams"))
     // explode_outer + isNotNull (not explode): see buildJaccardPairs for the
     // InferFiltersFromGenerate pushdown pathology this dodges.
     val bg = base.select(col("doc_id"), explode_outer(expr(
