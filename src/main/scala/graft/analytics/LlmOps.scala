@@ -958,10 +958,14 @@ object LlmOps {
   def ddPassages(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("toks", expr(toksSpark))
-      .select(col("doc_id"), explode_outer(expr(
-        "case when size(toks) >= 8 then transform(sequence(0, size(toks) - 8), " +
-          "i -> substr(md5(array_join(slice(toks, i + 1, 8), ' ')), 1, 16)) else array() end")).as("w"))
+      // PassageHash kernel = the declarative HOF chain (tokenize → per-
+      // window md5 prefix), evaluated as one JVM loop per doc — same
+      // interpreted-lambda tax the shingle kernel removes (see
+      // ShingleHash32's Scaladoc); window semantics pinned by PassageHashSpec
+      .select(col("doc_id"), explode_outer(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.PassageHash(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 8))).as("w"))
       .filter(col("w").isNotNull)
       .groupBy(col("w").as("passage_fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),

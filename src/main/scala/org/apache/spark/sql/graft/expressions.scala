@@ -155,6 +155,57 @@ case class ShingleHash32(child: Expression) extends UnaryExpression with Expects
     copy(child = newChild)
 }
 
+/** Per-document rolling-window fingerprint kernel: text → array of 16-hex
+  * md5 prefixes of every n-token window, in document order (NOT distinct —
+  * the passage census counts occurrences). Same tokenize semantics and
+  * same interpreted-HOF-tax rationale as [[ShingleHash32]]; equals
+  *
+  *   transform(sequence(0, size(toks) - n),
+  *     i -> substr(md5(array_join(slice(toks, i + 1, n), ' ')), 1, 16))
+  *
+  * element for element. Registered as SQL function `passage_hash`. */
+case class PassageHash(child: Expression, n: Int) extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "passage_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+    val toks = s.split("\\s+", -1).filter(_.nonEmpty)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](16)
+      var b = 0
+      while (b < 8) {
+        hex(2 * b) = "0123456789abcdef".charAt((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = "0123456789abcdef".charAt(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      md.reset()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PassageHash =
+    copy(child = newChild)
+}
+
 /** Column ↔ Expression bridge for the classic (non-Connect) backend. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
@@ -200,5 +251,8 @@ object GraftFunctions {
       "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hash32", exprs => ShingleHash32(exprs.head), "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "passage_hash", exprs => PassageHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

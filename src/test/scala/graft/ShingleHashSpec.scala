@@ -61,6 +61,24 @@ class ShingleHashSpec extends SparkSpec {
     assertAgree(texts)
   }
 
+  test("passage_hash equals the declarative window chain, in order, on the real corpus") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val decl =
+      s"""case when size($toks) >= 8 then transform(sequence(0, size($toks) - 8),
+         |  i -> substr(md5(array_join(slice($toks, i + 1, 8), ' ')), 1, 16)) else array() end""".stripMargin
+    val crafted = Seq("", "one two three", (1 to 40).map(i => s"w${i % 7}").mkString(" "),
+      "a b c d e f g h", "  Mixed CASE  with   runs of eight tokens here ")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").limit(200).collect().map(_.getString(0)).toSeq
+    val rows = (crafted ++ real).toDF("text")
+      .selectExpr("passage_hash(text, 8) AS kern", s"$decl AS decl").collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("kern").toList ==
+        r.getAs[scala.collection.Seq[String]]("decl").toList)
+    }
+  }
+
   test("null text gives null, not a crash") {
     import spark.implicits._
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
