@@ -98,6 +98,12 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared pieces of the per-document text kernels. */
+private[graft] object GraftKernels {
+  /** Precompiled tokenizer pattern — `split(str, '\\s+')` semantics. */
+  val Whitespace: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
+}
+
 /** Per-document shingle-hash kernel: text → array of 32-bit hashes (as
   * BIGINT) of the DISTINCT 3-gram word shingles. Semantically identical to
   * the declarative chain the dedup family originally used —
@@ -128,9 +134,10 @@ case class ShingleHash32(child: Expression) extends UnaryExpression with Expects
 
   override def nullSafeEval(input: Any): Any = {
     // trim/lower on UTF8String mirror Spark's trim()/lower() exactly;
-    // the regex split mirrors split(str, '\\s+')
+    // the precompiled pattern mirrors split(str, '\\s+') without the
+    // per-row regex compile String.split would pay
     val s = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
-    val toks = s.split("\\s+", -1).filter(_.nonEmpty)
+    val toks = GraftKernels.Whitespace.split(s, -1).filter(_.nonEmpty)
     if (toks.length < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     var i = 0
@@ -172,7 +179,7 @@ case class PassageHash(child: Expression, n: Int) extends UnaryExpression with E
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
-    val toks = s.split("\\s+", -1).filter(_.nonEmpty)
+    val toks = GraftKernels.Whitespace.split(s, -1).filter(_.nonEmpty)
     if (toks.length < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
