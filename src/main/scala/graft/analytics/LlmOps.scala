@@ -361,13 +361,21 @@ object LlmOps {
     // block-bounded (never doc²), so the checkpoint is small at any scale;
     // on a real cluster this becomes a reliable checkpoint / staging table
     // — which is what a production dedup pipeline materializes anyway.
-    val jp = common
+    // Checkpoint at the RDD level (not DataFrame.localCheckpoint): the
+    // frame returned by the DataFrame variant derives NEW child RDDs on
+    // every .rdd access, so no handle to the actually-persisted RDD
+    // survives for releaseCaches — unpersisting a derived child frees
+    // nothing. Holding the checkpointed RDD itself makes the release real.
+    val jpPlan = common
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
-      .localCheckpoint(true)
+    val jpRdd = jpPlan.rdd
+    jpRdd.localCheckpoint()
+    jpRdd.count() // materialize eagerly; lineage truncates here
+    val jp = spark.createDataFrame(jpRdd, jpPlan.schema)
     lap("pairs checkpointed")
-    trackRdd(jp.rdd)
+    trackRdd(jpRdd)
     // the shingle tables only served the build — free them NOW, not at
     // session release: executor storage stays bounded by the pair table
     sh.unpersist(blocking = false)
