@@ -1000,6 +1000,32 @@ object LlmOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Benchmark DECONTAMINATION — the test-set-overlap check every serious
+    * training run performs (distinct from dedup: the reference set is
+    * held-out eval data, and ANY shared passage taints the doc): docs
+    * whose id ≡ 0 mod 97 stand in for the benchmark suite; every corpus
+    * doc sharing at least one 8-token window with any benchmark doc is
+    * flagged with its overlap count. The windows come from the PassageHash
+    * kernel; only 16-hex fingerprints join, and the benchmark side is tiny
+    * by construction (eval suites are), so at scale this is a broadcast
+    * semi-join against the fact scan — the corpus text never shuffles. */
+  def ddContamination(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode_outer(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.PassageHash(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 8))).as("w"))
+      .filter(col("w").isNotNull)
+    val bench = w.filter(expr("doc_id % 97 = 0"))
+      .select(col("w").as("bw")).distinct()
+    w.filter(expr("doc_id % 97 != 0"))
+      .join(broadcast(bench), col("w") === col("bw"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("w")).as("n_shared_windows"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The composed CLEANING PIPELINE — what a training-data run actually
     * executes, as one operator: a doc survives iff it (a) passes the
     * Gopher-style quality filter, (b) is the canonical copy of its exact-
@@ -1142,6 +1168,7 @@ object LlmOps {
     "txt_gopher" -> txtGopher _,
     "dd_lines" -> ddLines _,
     "dd_passages" -> ddPassages _,
+    "dd_contamination" -> ddContamination _,
     "txt_clean_corpus" -> txtCleanCorpus _,
     "txt_shards" -> txtShards _,
     "txt_mixture" -> txtMixture _,
@@ -1376,6 +1403,18 @@ object LlmOps {
         |  count(*) FILTER (WHERE dup) AS n_dup_lines,
         |  md5(coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE NOT dup), '')) AS clean_fp
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd_contamination" ->
+      s"""WITH $baseDuck, w0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 16))) AS w
+         |  FROM base),
+         |bench AS (SELECT DISTINCT w FROM w0 WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(DISTINCT w0.w) AS n_shared_windows
+         |FROM w0 JOIN bench ON w0.w = bench.w
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dd_passages" ->
       s"""WITH $baseDuck, w0 AS (

@@ -217,6 +217,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.length == 5)
   }
 
+  test("decontamination flags corpus docs sharing a benchmark passage, and only those") {
+    import spark.implicits._
+    val benchPassage = "the quick brown fox jumps over the lazy dog tonight"
+    // doc 0 is the benchmark doc (0 % 97 == 0); 1 embeds its passage, 2 doesn't
+    val docs = Seq(
+      Doc(0, s"benchmark question text $benchPassage end of item", "en", "bench", 60),
+      Doc(1, s"a web page that quotes $benchPassage verbatim plus more words", "en", "web", 60),
+      Doc(2, "completely clean document with plenty of its own original words here", "en", "web", 60))
+    val d = java.nio.file.Files.createTempDirectory("llmcontam").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.ddContamination(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_windows")).toMap
+    assert(rows.keySet == Set(1L), rows.toString)
+    assert(rows(1L) >= 3) // a 10-token shared run yields 3 shared 8-windows
+  }
+
   test("incremental dedup drops incoming docs whose content already exists") {
     import spark.implicits._
     // fresh corpus: ids 0..249 existing; 250 duplicates existing 0; 251 is new
