@@ -310,11 +310,11 @@ object LlmOps {
     if (dbg) { docs.count(); lap("scan+repartition+kernel") }
     // sh is persisted (MEMORY_AND_DISK, spill-safe): it feeds the df-count,
     // the semi-join probe side, and — via `capped` — both sides of the
-    // candidate join, and separate ACTIONS can't share exchange-level reuse.
-    // The plan-keyed cache also lets the three queries built on this subplan
-    // (dd_ngram_jaccard, dd_dedup_keep, dd_cluster) share one
-    // materialization. Eager count: parallel consumers must not race past
-    // an empty cache.
+    // candidate join, all inside the ONE checkpoint-materialization job
+    // below, which fills the cache on first compute. No eager count: that
+    // cost a whole extra job, and the worst case without it is a transient
+    // concurrent recompute of the (cheap, kernel-based) projection while
+    // the cache populates.
     //
     // explode_OUTER + isNotNull, NOT plain explode: explode makes
     // InferFiltersFromGenerate add a `size(arr) > 0` filter, and predicate
@@ -332,8 +332,7 @@ object LlmOps {
     val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode_outer(col("sharr")).as("s"))
       .filter(col("s").isNotNull)
       .persist()
-    sh.count()
-    lap("sh persisted+counted")
+    lap("sh persist marked")
     // Jaccard denominator = per-doc distinct-shingle count — read off the
     // cached sh rows (one row per distinct shingle), so the kernel never
     // runs a second time for this branch. Docs with <3 tokens have no sh
