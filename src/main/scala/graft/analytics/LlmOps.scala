@@ -92,6 +92,14 @@ object LlmOps {
       s"(CAST(instr('0123456789abcdef', substr($h, $p, 1)) - 1 AS BIGINT) * CAST(${math.pow(16, 8 - p).toLong} AS BIGINT))")
       .mkString("(", " + ", ")")
 
+  /** First-15-hex-chars as a long 0..2^60-1 — the widest md5 prefix whose
+    * arithmetic stays inside signed 64-bit in BOTH engines (16 chars would
+    * need unsigned). Powers via 1L<<shift, not math.pow (exact). */
+  private def hex15(h: String): String =
+    (1 to 15).map(p =>
+      s"(CAST(instr('0123456789abcdef', substr($h, $p, 1)) - 1 AS BIGINT) * CAST(${1L << (4 * (15 - p))} AS BIGINT))")
+      .mkString("(", " + ", ")")
+
   /** Explicit per-dimension double dot product between two 64-dim float
     * array columns; `base` is the first index (Spark arrays 0-based, DuckDB
     * lists 1-based). Left-associated additions → bit-identical IEEE result.
@@ -734,6 +742,53 @@ object LlmOps {
       .limit(200)
   }
 
+  /** WIDE SimHash — the production-width configuration PLANS.md promises:
+    * 60 bits (the widest md5 prefix whose arithmetic stays in signed
+    * 64-bit in both engines) instead of 16. Same per-bit majority vote
+    * over the distinct word set. */
+  def ddSimhashWide(spark: SparkSession, dir: String): DataFrame =
+    simhashWideSig(spark, dir).orderBy(col("doc_id"))
+
+  private def simhashWideSig(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
+      .filter(col("t").isNotNull)
+      .withColumn("h", expr(hex15("md5(t)")))
+    val bits = (0 until 60).map(i =>
+      sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
+    tok.groupBy(col("doc_id")).agg(bits.head, bits.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(i => expr(s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"))
+          .reduce(_ + _).cast("long").as("simhash"))
+  }
+
+  /** Wide-simhash near-dup pairs: six 10-bit bands (1024 values each) —
+    * hamming ≤ 5 ⇒ at most 5 differing bands ⇒ agreement on at least one
+    * (pigeonhole). Where the 16-bit version has 64 band buckets and ~3M
+    * candidates at sf0.1, the wide bands have 6×1024 buckets and the
+    * candidate set collapses to the near-dup pairs themselves — the
+    * measured form of "widening the hash divides candidate volume". */
+  def ddSimhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = track(simhashWideSig(spark, dir).cache())
+    sig.count()
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode_outer(expr("sequence(0, 5)")).as("band"))
+      .filter(col("band").isNotNull)
+      .withColumn("bv", expr("(simhash div shiftleft(CAST(1 AS BIGINT), 10 * band)) % 1024"))
+    val cand = bands.toDF("ia", "ha", "band", "bv")
+      .join(bands.toDF("ib", "hb", "band2", "bv2"),
+        col("band") === col("band2") && col("bv") === col("bv2") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("ha"), col("hb")).distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 5)
+      .select(col("ia"), col("ib"), col("hamming"))
+      .orderBy(col("hamming"), col("ia"), col("ib"))
+      .limit(200)
+  }
+
   /** Embedding near-dup: top-50 most-similar within-label pairs (label is
     * the blocking key; cosine emitted as explicit per-dim arithmetic). */
   def ddEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -1177,6 +1232,8 @@ object LlmOps {
     "dd_minhash_pairs" -> ddMinhashPairs _,
     "dd_simhash" -> ddSimhash _,
     "dd_simhash_pairs" -> ddSimhashPairs _,
+    "dd_simhash_wide" -> ddSimhashWide _,
+    "dd_simhash_wide_pairs" -> ddSimhashWidePairs _,
     "dd_incremental" -> ddIncremental _,
     "dd_embed_topk" -> ddEmbedTopk _,
     "dd_embed_lsh" -> ddEmbedLsh _,
@@ -1648,6 +1705,45 @@ object LlmOps {
          |SELECT ia, ib, bit_count(xor(ha, hb)) AS hamming
          |FROM cand
          |WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY hamming, ia, ib LIMIT 200""".stripMargin,
+
+    "dd_simhash_wide" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT doc_id, unnest(list_distinct(toks)) AS t FROM base),
+         |hashed AS (
+         |  SELECT doc_id, ${hex15("md5(t)")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id,
+         |    ${(0 until 60).map(i => s"sum(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")}
+         |  FROM hashed GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(${(0 until 60).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin,
+
+    "dd_simhash_wide_pairs" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT doc_id, unnest(list_distinct(toks)) AS t FROM base),
+         |hashed AS (
+         |  SELECT doc_id, ${hex15("md5(t)")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id,
+         |    ${(0 until 60).map(i => s"sum(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")}
+         |  FROM hashed GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(${(0 until 60).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM bits),
+         |bands AS (
+         |  SELECT doc_id, simhash, band,
+         |    (simhash // CAST(pow(2, 10 * band) AS BIGINT)) % 1024 AS bv
+         |  FROM sig, unnest([0, 1, 2, 3, 4, 5]) AS u(band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.simhash AS ha, b.simhash AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT ia, ib, bit_count(xor(ha, hb)) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb)) <= 5
          |ORDER BY hamming, ia, ib LIMIT 200""".stripMargin,
 
     "dd_embed_topk" ->
