@@ -75,6 +75,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(hamming <= 6, s"near-dup hamming distance $hamming")
   }
 
+  test("wide simhash: 60-bit range, identical docs equal, near-dup hamming proportionally small") {
+    val sh = LlmOps.ddSimhashWide(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 60)))
+    assert(sh(0) == sh(1))
+    val near = java.lang.Long.bitCount(sh(0) ^ sh(2))
+    val far = java.lang.Long.bitCount(sh(0) ^ sh(3))
+    info(s"wide hamming: near-dup $near, unrelated $far (of 60 bits)")
+    assert(near < far, s"near-dup $near should be closer than unrelated $far")
+    assert(near <= 20, s"near-dup hamming $near too large")
+  }
+
   test("language-ID picks the marker-dominant language") {
     val pred = LlmOps.txtLangid(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
