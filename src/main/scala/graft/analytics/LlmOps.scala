@@ -1058,10 +1058,14 @@ object LlmOps {
     * training run performs (distinct from dedup: the reference set is
     * held-out eval data, and ANY shared passage taints the doc): docs
     * whose id ≡ 0 mod 97 stand in for the benchmark suite; every corpus
-    * doc sharing at least one 8-token window with any benchmark doc is
-    * flagged with its overlap count. The windows come from the PassageHash
-    * kernel; only 16-hex fingerprints join, and the benchmark side is tiny
-    * by construction (eval suites are), so at scale this is a broadcast
+    * doc sharing at least one 4-token window with any benchmark doc is
+    * flagged with its overlap count. (Real decontamination uses 8-13-gram
+    * windows; the synthetic word-soup corpus has no verbatim passage reuse,
+    * so a 4-gram window keeps the cross-engine check NON-vacuous — 8/8/727
+    * flagged docs at sf0.001/0.01/0.1 — while exercising the identical
+    * plan; the PassageHash kernel takes n as a parameter either way.)
+    * Only 16-hex fingerprints join, and the benchmark side is tiny by
+    * construction (eval suites are), so at scale this is a broadcast
     * semi-join against the fact scan — the corpus text never shuffles. */
   def ddContamination(spark: SparkSession, dir: String): DataFrame = {
     val w = Tables.documents(spark, dir)
@@ -1069,7 +1073,7 @@ object LlmOps {
       .select(col("doc_id"), explode_outer(
         org.apache.spark.sql.graft.ColumnBridge.column(
           org.apache.spark.sql.graft.PassageHash(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 8))).as("w"))
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 4))).as("w"))
       .filter(col("w").isNotNull)
     val bench = w.filter(expr("doc_id % 97 = 0"))
       .select(col("w").as("bw")).distinct()
@@ -1135,8 +1139,10 @@ object LlmOps {
     // a stand-in for a real mixture table (which would broadcast-join here)
     val draw = s"${hex4("md5(CAST(doc_id AS STRING) || ':' || source)")} / CAST(65536 AS DOUBLE)"
     // explicit DOUBLE: bare 0.75 parses as DECIMAL in both engines, with
-    // different comparison/hash behavior
-    val rate = "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 " +
+    // different comparison/hash behavior. TRY_CAST (both engines): a source
+    // not shaped 'srcN' yields NULL → NULL%2=0 is NULL → ELSE branch, instead
+    // of Spark-NULL-vs-DuckDB-error divergence a plain CAST would hide.
+    val rate = "CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 " +
       "THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END"
     Tables.documents(spark, dir)
       .withColumn("draw", expr(draw))
@@ -1316,7 +1322,7 @@ object LlmOps {
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |rare AS (
          |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
-         |  HAVING count(*) <= 500),
+         |  HAVING count(*) <= $StopShingleCap),
          |capped AS (
          |  SELECT sh.* FROM sh SEMI JOIN rare
          |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
@@ -1339,7 +1345,7 @@ object LlmOps {
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |rare AS (
          |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
-         |  HAVING count(*) <= 500),
+         |  HAVING count(*) <= $StopShingleCap),
          |capped AS (
          |  SELECT sh.* FROM sh SEMI JOIN rare
          |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
@@ -1365,7 +1371,7 @@ object LlmOps {
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |rare AS (
          |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
-         |  HAVING count(*) <= 500),
+         |  HAVING count(*) <= $StopShingleCap),
          |capped AS (
          |  SELECT sh.* FROM sh SEMI JOIN rare
          |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
@@ -1463,8 +1469,8 @@ object LlmOps {
     "dd_contamination" ->
       s"""WITH $baseDuck, w0 AS (
          |  SELECT doc_id,
-         |    unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
-         |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 16))) AS w
+         |    unnest(list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+         |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 16))) AS w
          |  FROM base),
          |bench AS (SELECT DISTINCT w FROM w0 WHERE doc_id % 97 = 0)
          |SELECT doc_id, count(DISTINCT w0.w) AS n_shared_windows
@@ -1582,7 +1588,7 @@ object LlmOps {
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |rare AS (
          |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
-         |  HAVING count(*) <= 500),
+         |  HAVING count(*) <= $StopShingleCap),
          |capped AS (
          |  SELECT sh.* FROM sh SEMI JOIN rare
          |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
@@ -1616,7 +1622,7 @@ object LlmOps {
       s"""WITH m AS (
          |  SELECT doc_id, source, lang,
          |    ${hex4("md5(CAST(doc_id AS VARCHAR) || ':' || source)")} / CAST(65536 AS DOUBLE) AS draw,
-         |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+         |    CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
          |      THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END AS rate
          |  FROM documents)
          |SELECT doc_id, source, lang, draw, rate

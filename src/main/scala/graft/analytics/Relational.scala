@@ -578,9 +578,10 @@ object Relational {
     * semi-join would move the whole fact table. The emitted booleans pin
     * the sketch's contract — zero false negatives (bloom count >= exact
     * count per group) and a bounded false-positive overshoot — and the
-    * oracle recomputes the exact side, pinning both TRUE. The one-row
-    * `head` is the sketch itself (what a runtime filter broadcasts), not
-    * a data collect. */
+    * oracle recomputes the exact side, pinning both TRUE. The sketch is a
+    * scalar subquery (`Dataset.scalar`), so the build runs lazily inside
+    * the returned plan — constructing the frame costs nothing, like every
+    * other query builder here. */
   def q33BloomPrune(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.BloomBridge
     val bigOrders = Tables.orders(spark, dir)
@@ -588,7 +589,7 @@ object Relational {
       .select(col("o_orderkey"))
     val bloom = bigOrders
       .agg(BloomBridge.bloomAgg(col("o_orderkey"), 1000000L, 8388608L).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+      .scalar()
     val li = Tables.lineitem(spark, dir)
     val exact = li.join(broadcast(bigOrders), col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_exact"))

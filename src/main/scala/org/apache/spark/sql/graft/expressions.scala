@@ -244,6 +244,16 @@ object BloomBridge {
     ExpressionUtils.column(BloomFilterMightContain(
       Literal.create(bloom, BinaryType),
       ExpressionUtils.expression(value)))
+
+  /** Probe against a bloom produced by a COLUMN — pass the single-row
+    * build aggregate as `df.agg(bloomAgg(...)).scalar()` and the sketch
+    * builds lazily inside the consuming plan (a scalar subquery the
+    * executor broadcasts), instead of an eager driver-side `head()` at
+    * DataFrame-construction time. */
+  def mightContain(bloom: Column, value: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      ExpressionUtils.expression(bloom),
+      ExpressionUtils.expression(value)))
 }
 
 /** Runtime registration for sessions not built with

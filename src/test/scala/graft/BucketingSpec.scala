@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions.col
   * sort-merge join. */
 class BucketingSpec extends SparkSpec {
 
+  /** Run `body` with the given session confs set, restoring every key to its
+    * prior value (or unsetting it if it was unset) afterwards — the shared
+    * session must not leak test-local planner settings into later specs. */
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def noBroadcast[A](body: => A): A =
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")(body)
+
   test("bucketed tables join without any shuffle exchange") {
     val dir = "/root/testdata/sf0.001"
     // the in-memory catalog forgets tables between JVMs but the warehouse
@@ -30,25 +48,22 @@ class BucketingSpec extends SparkSpec {
 
     // the tables are tiny at sf0.001 so the planner would broadcast; turn
     // that off to exercise the sort-merge path bucketing is designed for
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
-    val joined =
-      try spark.table("lineitem_b")
+    noBroadcast {
+      val joined = spark.table("lineitem_b")
         .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .count()
-      finally ()
 
-    val plan = joined.queryExecution.executedPlan.toString
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
-    assert(plan.contains("SortMergeJoin"), plan)
-    // bucketed co-location: no shuffle before the join (the only exchange
-    // allowed is the final tiny aggregation)
-    val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
-    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
-      !joinPart.contains("Exchange hashpartitioning(o_orderkey"), joinPart)
-    assert(joined.collect().map(_.getLong(1)).sum == spark.read.parquet(s"$dir/lineitem.parquet").count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // bucketed co-location: no shuffle before the join (the only exchange
+      // allowed is the final tiny aggregation)
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(o_orderkey"), joinPart)
+      assert(joined.collect().map(_.getLong(1)).sum ==
+        spark.read.parquet(s"$dir/lineitem.parquet").count())
+    }
   }
 
   test("bucketed fingerprint table: incremental-dedup anti-join shuffles only the incoming batch") {
@@ -71,20 +86,20 @@ class BucketingSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.md5(col("text")).as("fp"))
       .write.bucketBy(8, "fp").sortBy("fp").saveAsTable(t)
 
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    val incoming = docs.filter(col("doc_id") >= 250)
-      .withColumn("fp", org.apache.spark.sql.functions.md5(col("text")))
-    val kept = incoming.join(spark.table(t), Seq("fp"), "left_anti")
-    val plan = kept.queryExecution.executedPlan.toString
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+    noBroadcast {
+      val incoming = docs.filter(col("doc_id") >= 250)
+        .withColumn("fp", org.apache.spark.sql.functions.md5(col("text")))
+      val kept = incoming.join(spark.table(t), Seq("fp"), "left_anti")
+      val plan = kept.queryExecution.executedPlan.toString
 
-    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
-    // fingerprint side co-located: the only exchange feeds the incoming side
-    assert(plan.indexOf("Exchange hashpartitioning(fp") == plan.lastIndexOf("Exchange hashpartitioning(fp"), plan)
-    // same kept set as the hash-join formulation over raw parquet
-    val expected = graft.analytics.LlmOps.ddIncremental(spark, dir)
-      .collect().map(_.getAs[Long]("doc_id")).toSet
-    assert(kept.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
+      // fingerprint side co-located: the only exchange feeds the incoming side
+      assert(plan.indexOf("Exchange hashpartitioning(fp") ==
+        plan.lastIndexOf("Exchange hashpartitioning(fp"), plan)
+      // same kept set as the hash-join formulation over raw parquet
+      val expected = graft.analytics.LlmOps.ddIncremental(spark, dir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
+    }
   }
 }
