@@ -1018,17 +1018,11 @@ object LlmOps {
     * comparison small; production consumers stream the full census into
     * the cut-list join of a dedup action. */
   def ddPassages(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      // PassageHash kernel = the declarative HOF chain (tokenize → per-
-      // window md5 prefix), evaluated as one JVM loop per doc — same
-      // interpreted-lambda tax the shingle kernel removes (see
-      // ShingleHash32's Scaladoc); window semantics pinned by PassageHashSpec
-      .select(col("doc_id"), explode_outer(
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          org.apache.spark.sql.graft.PassageHash(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 8))).as("w"))
-      .filter(col("w").isNotNull)
+    // PassageHash kernel = the declarative HOF chain (tokenize → per-
+    // window md5 prefix), evaluated as one JVM loop per doc — same
+    // interpreted-lambda tax the shingle kernel removes (see
+    // ShingleHash32's Scaladoc); window semantics pinned by PassageHashSpec
+    passageWindows(spark, dir, 8)
       .groupBy(col("w").as("passage_fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_hits"),
@@ -1054,30 +1048,67 @@ object LlmOps {
       .orderBy(col("lang"), col("rk"))
   }
 
-  /** Benchmark DECONTAMINATION — the test-set-overlap check every serious
-    * training run performs (distinct from dedup: the reference set is
-    * held-out eval data, and ANY shared passage taints the doc): docs
-    * whose id ≡ 0 mod 97 stand in for the benchmark suite; every corpus
-    * doc sharing at least one 4-token window with any benchmark doc is
-    * flagged with its overlap count. (Real decontamination uses 8-13-gram
-    * windows; the synthetic word-soup corpus has no verbatim passage reuse,
-    * so a 4-gram window keeps the cross-engine check NON-vacuous — 8/8/727
-    * flagged docs at sf0.001/0.01/0.1 — while exercising the identical
-    * plan; the PassageHash kernel takes n as a parameter either way.)
-    * Only 16-hex fingerprints join, and the benchmark side is tiny by
-    * construction (eval suites are), so at scale this is a broadcast
-    * semi-join against the fact scan — the corpus text never shuffles. */
-  def ddContamination(spark: SparkSession, dir: String): DataFrame = {
-    val w = Tables.documents(spark, dir)
+  /** Per-doc rolling n-token window fingerprints (PassageHash kernel),
+    * one row per window occurrence — the shared explode under the passage
+    * census and both decontamination variants. */
+  private def passageWindows(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode_outer(
         org.apache.spark.sql.graft.ColumnBridge.column(
           org.apache.spark.sql.graft.PassageHash(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 4))).as("w"))
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), n))).as("w"))
       .filter(col("w").isNotNull)
+
+  /** Benchmark DECONTAMINATION — the test-set-overlap check every serious
+    * training run performs (distinct from dedup: the reference set is
+    * held-out eval data, and ANY shared passage taints the doc): docs
+    * whose id ≡ 0 mod 97 stand in for the benchmark suite; every corpus
+    * doc sharing at least one n-token window with any benchmark doc is
+    * flagged with its overlap count. The window width defaults to the
+    * production 8 tokens; the verification harness passes n=4 because the
+    * synthetic word-soup corpus has no verbatim 8-gram reuse ACROSS
+    * distinct docs, and a 4-gram window keeps that cross-engine check
+    * non-vacuous (8/8/727 flagged docs at sf0.001/0.01/0.1) while
+    * exercising the identical plan. [[ddContamination8]] is the
+    * production-width variant with a by-construction-real overlap.
+    * Only 16-hex fingerprints join, and the benchmark side is tiny by
+    * construction (eval suites are), so at scale this is a broadcast
+    * semi-join against the fact scan — the corpus text never shuffles. */
+  def ddContamination(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val w = passageWindows(spark, dir, n)
     val bench = w.filter(expr("doc_id % 97 = 0"))
       .select(col("w").as("bw")).distinct()
     w.filter(expr("doc_id % 97 != 0"))
+      .join(broadcast(bench), col("w") === col("bw"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("w")).as("n_shared_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PRODUCTION-WIDTH (8-token) decontamination with an overlap that is
+    * real by construction: the benchmark suite is built from genuine
+    * 20-token excerpts (token positions 5..24) of the docs with
+    * doc_id ≡ 7 mod 89 — the way real eval sets end up contaminated, by
+    * containing verbatim passages that also live in the crawl. Every
+    * corpus doc sharing at least one 8-token window with any excerpt is
+    * flagged (the excerpt sources themselves flag by construction, ≥ 1
+    * per 89 docs at every SF, so the cross-engine check can't go
+    * vacuous). Same scale shape as [[ddContamination]]: the excerpt side
+    * is tiny and broadcast, only 16-hex fingerprints join, the corpus
+    * text never shuffles. */
+  def ddContamination8(spark: SparkSession, dir: String): DataFrame = {
+    val bench = Tables.documents(spark, dir)
+      .filter(expr("doc_id % 89 = 7"))
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("excerpt", expr("array_join(slice(toks, 5, 20), ' ')"))
+      .select(explode_outer(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.PassageHash(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("excerpt")), 8))).as("bw"))
+      .filter(col("bw").isNotNull)
+      .distinct()
+    passageWindows(spark, dir, 8)
       .join(broadcast(bench), col("w") === col("bw"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("w")).as("n_shared_windows"))
@@ -1228,7 +1259,8 @@ object LlmOps {
     "txt_gopher" -> txtGopher _,
     "dd_lines" -> ddLines _,
     "dd_passages" -> ddPassages _,
-    "dd_contamination" -> ddContamination _,
+    "dd_contamination" -> ((s: SparkSession, d: String) => ddContamination(s, d, n = 4)),
+    "dd_contamination8" -> ddContamination8 _,
     "txt_clean_corpus" -> txtCleanCorpus _,
     "txt_shards" -> txtShards _,
     "txt_mixture" -> txtMixture _,
@@ -1476,6 +1508,22 @@ object LlmOps {
          |SELECT doc_id, count(DISTINCT w0.w) AS n_shared_windows
          |FROM w0 JOIN bench ON w0.w = bench.w
          |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd_contamination8" ->
+      s"""WITH $baseDuck, w0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 16))) AS w
+         |  FROM base),
+         |bx AS (
+         |  SELECT list_slice(toks, 5, 24) AS et FROM base WHERE doc_id % 89 = 7),
+         |bench AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(et) - 7, 0) + 1),
+         |      i -> substr(md5(array_to_string(list_slice(et, i, i + 7), ' ')), 1, 16))) AS w
+         |  FROM bx)
+         |SELECT doc_id, count(DISTINCT w0.w) AS n_shared_windows
+         |FROM w0 JOIN bench ON w0.w = bench.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dd_passages" ->
