@@ -39,19 +39,36 @@ object Bench {
         .selectExpr("dot_f(embedding, embedding)").count()
     } catch { case _: Throwable => () }
 
-    // (name, seconds, succeeded) — failures must be visible in the output,
+    // (name, seconds, error) — failures must be visible in the output, with
+    // enough of the exception to tell a contended-box OOM from a code bug,
     // not silently folded into a normal-looking total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").linesIterator
+            .find(_.nonEmpty).getOrElse("")
+          Some(s"${e.getClass.getName}: $msg".take(300))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    // `failed` keeps the name-array shape older tooling reads; `errors` maps
+    // each failed query to its exception class + first message line
+    val failed = results.collect { case (k, _, Some(_)) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val errors = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errors,"sf":"$sfDir"}""")
     graft.analytics.LlmOps.releaseCaches()
     spark.stop()
   }

@@ -56,9 +56,32 @@ object LlmOps {
     * to call repeatedly; after a release the next query rebuilds its caches
     * from scratch. */
   def releaseCaches(): Unit = synchronized {
-    tracked.foreach(f => try f() catch { case _: Throwable => () })
-    tracked.clear()
-    jpMemo.clear()
+    // Unpersisting a locally-checkpointed RDD makes its concrete class
+    // logger (e.g. org.apache.spark.rdd.MapPartitionsRDD) WARN "... was
+    // locally checkpointed, its lineage has been truncated". Here that is
+    // exactly the intent — the caches are being discarded, recomputation is
+    // not wanted — so the flood in Bench/Verify tails is pure noise; drop
+    // the rdd package logger to ERROR for the release and restore it after.
+    withQuietRddLogger {
+      tracked.foreach(f => try f() catch { case _: Throwable => () })
+      tracked.clear()
+      jpMemo.clear()
+    }
+  }
+
+  /** The org.apache.spark.rdd package logger, dropped to ERROR while `body`
+    * runs — covers every RDD subclass's "lineage has been truncated" WARN
+    * on the deliberate unpersists of locally-checkpointed RDDs (cache
+    * release, CC-loop prior-round frees). Restores the prior effective
+    * level afterwards. */
+  def withQuietRddLogger[A](body: => A): A = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val pkg = "org.apache.spark.rdd"
+    val prior = LogManager.getLogger(pkg).getLevel
+    Configurator.setLevel(pkg, Level.ERROR)
+    try body
+    finally Configurator.setLevel(pkg, prior)
   }
 
   // --------------------------------------------------------------- helpers
@@ -496,7 +519,8 @@ object LlmOps {
       val nextRdd = ckptRdd(next)
       nextRdd.foreach(r => if (r.getBoolean(2)) acc.add(1))
       changed = acc.value
-      labelsRdd.unpersist(blocking = false)
+      // deliberate free of a truncated-lineage RDD — suppress the WARN
+      withQuietRddLogger { labelsRdd.unpersist(blocking = false) }
       labelsRdd = nextRdd
       if (debug) println(f"CLUSTER round $rounds done ${(System.nanoTime() - rt) / 1e9}%.2fs changed=$changed")
     }
@@ -1065,17 +1089,19 @@ object LlmOps {
     * held-out eval data, and ANY shared passage taints the doc): docs
     * whose id ≡ 0 mod 97 stand in for the benchmark suite; every corpus
     * doc sharing at least one n-token window with any benchmark doc is
-    * flagged with its overlap count. The window width defaults to the
-    * production 8 tokens; the verification harness passes n=4 because the
+    * flagged with its overlap count. The window width is a parameter; the
+    * DEFAULT matches the cross-engine-verified registry entry (n=4: the
     * synthetic word-soup corpus has no verbatim 8-gram reuse ACROSS
-    * distinct docs, and a 4-gram window keeps that cross-engine check
-    * non-vacuous (8/8/727 flagged docs at sf0.001/0.01/0.1) while
-    * exercising the identical plan. [[ddContamination8]] is the
-    * production-width variant with a by-construction-real overlap.
+    * distinct docs, and a 4-gram window keeps the DuckDB check non-vacuous
+    * — 8/8/727 flagged docs at sf0.001/0.01/0.1 — while exercising the
+    * identical plan; the default-parameter path is therefore never
+    * oracle-unverified). Callers opt into any width; [[ddContamination8]]
+    * is the production-width (8-token) variant whose overlap is real by
+    * construction and which carries its own oracle.
     * Only 16-hex fingerprints join, and the benchmark side is tiny by
     * construction (eval suites are), so at scale this is a broadcast
     * semi-join against the fact scan — the corpus text never shuffles. */
-  def ddContamination(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  def ddContamination(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
     val w = passageWindows(spark, dir, n)
     val bench = w.filter(expr("doc_id % 97 = 0"))
       .select(col("w").as("bw")).distinct()
@@ -1259,7 +1285,7 @@ object LlmOps {
     "txt_gopher" -> txtGopher _,
     "dd_lines" -> ddLines _,
     "dd_passages" -> ddPassages _,
-    "dd_contamination" -> ((s: SparkSession, d: String) => ddContamination(s, d, n = 4)),
+    "dd_contamination" -> ((s: SparkSession, d: String) => ddContamination(s, d)),
     "dd_contamination8" -> ddContamination8 _,
     "txt_clean_corpus" -> txtCleanCorpus _,
     "txt_shards" -> txtShards _,

@@ -239,10 +239,17 @@ class LlmOpsSpec extends SparkSpec {
       Doc(2, "completely clean document with plenty of its own original words here", "en", "web", 60))
     val d = java.nio.file.Files.createTempDirectory("llmcontam").toString
     docs.toDF().write.parquet(s"$d/documents.parquet")
-    val rows = LlmOps.ddContamination(spark, d).collect()
+    // harness-verified width: the 10-token shared run yields exactly 7
+    // shared 4-windows (10 - 4 + 1), all of them distinct
+    val rows = LlmOps.ddContamination(spark, d, n = 4).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_windows")).toMap
     assert(rows.keySet == Set(1L), rows.toString)
-    assert(rows(1L) >= 3) // a 10-token shared run yields 7 shared 4-windows
+    assert(rows(1L) == 7, rows.toString)
+    // production width: the same run yields exactly 3 shared 8-windows
+    val rows8 = LlmOps.ddContamination(spark, d, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_windows")).toMap
+    assert(rows8.keySet == Set(1L), rows8.toString)
+    assert(rows8(1L) == 3, rows8.toString)
   }
 
   test("incremental dedup drops incoming docs whose content already exists") {
