@@ -593,7 +593,27 @@ object LlmOps {
     * in production) is the scalable form: a single global packing order
     * would serialize into one window partition. Emits one row per packed
     * sequence with its chunk count and token total. */
-  def txtPack(spark: SparkSession, dir: String): DataFrame = {
+  def txtPack(spark: SparkSession, dir: String): DataFrame =
+    packBySequence(spark, dir,
+      Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("chunk_idx")))
+
+  /** Length-DESCENDING packing — the first-fit-decreasing refinement of
+    * [[txtPack]]: within each lang shard the chunks pack in
+    * (n_toks DESC, doc_id, chunk_idx) order, so the full 32-token chunks
+    * pair into exactly-64-token sequences first and the short document
+    * tails backfill the end of the shard, instead of straddling budget
+    * boundaries wherever arrival order put them. Deterministic (ties break
+    * on doc ids) and identical shapes/scale to v1 — one window pass per
+    * shard, no global order. PackingSpec pins fill-rate >= v1's. */
+  def txtPackFfd(spark: SparkSession, dir: String): DataFrame =
+    packBySequence(spark, dir,
+      Window.partitionBy(col("lang"))
+        .orderBy(col("n_toks").desc, col("doc_id"), col("chunk_idx")))
+
+  /** Shared chunk-size derivation + running-total packing under the given
+    * per-shard window order (see [[txtPack]] for the scheme). */
+  private def packBySequence(spark: SparkSession, dir: String,
+      order: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
     val chunks = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
@@ -604,10 +624,9 @@ object LlmOps {
       .filter(col("col").isNotNull)
       .select(col("doc_id"), col("lang"), col("pos").cast("long").as("chunk_idx"),
         col("col").cast("long").as("n_toks"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("chunk_idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
-      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("cum", sum(col("n_toks")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("seq_id", expr("(cum - n_toks) div 64"))
       .groupBy(col("lang"), col("seq_id"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_toks")).as("n_toks_total"))
@@ -646,6 +665,58 @@ object LlmOps {
       .join(existing, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Incremental dedup against a BUCKETED fingerprint table — the at-scale
+    * form of [[ddIncremental]], on the driver-checked path (same result,
+    * same oracle). The corpus fingerprint table is materialized ONCE as a
+    * bucketed+sorted saved table (the ingestion-state a production pipeline
+    * keeps between batches — the same state-read-back lifecycle the
+    * reference sink implements, `/root/reference/index.js:109-122`), so the
+    * anti-join reads the corpus side already hash-partitioned on fp: the
+    * ONLY exchange in the join is the small incoming batch shuffling into
+    * the bucket layout. At 100 TB the corpus fingerprints are billions of
+    * rows — never re-shuffling (or re-hashing) them per batch is the entire
+    * point; bucket count scales with the cluster (8 here for sf-test data).
+    * The MERGE hint pins the sort-merge strategy the bucketing serves
+    * (without it the tiny test-SF corpus side would broadcast and the plan
+    * shape under test would vanish). */
+  def ddIncrementalBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val t = fingerprintTable(spark, dir)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 250L)
+      .withColumn("fp", md5(col("text")))
+      .join(spark.table(t).hint("merge"), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Idempotently materialize the existing-corpus fingerprint table
+    * (doc_id < 250, matching [[ddIncremental]]'s split) bucketed+sorted on
+    * fp. Guarded per (session, dir) like Tables.registerViews; a stale
+    * warehouse directory from a previous JVM (the in-memory catalog forgets
+    * tables across restarts but the files persist) is deleted before the
+    * rewrite. */
+  private def fingerprintTable(spark: SparkSession, dir: String): String = synchronized {
+    val t = "graft_fp_bucketed"
+    val marker = "graft.fp.bucketed.dir"
+    if (!spark.conf.getOption(marker).contains(dir) || !spark.catalog.tableExists(t)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .stripPrefix("file:")
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") < 250L)
+        .select(md5(col("text")).as("fp"))
+        .write.bucketBy(8, "fp").sortBy("fp").saveAsTable(t)
+      spark.conf.set(marker, dir)
+    }
+    t
   }
 
   /** MinHash signatures (k=8 permutations approximated by seeded md5 minima
@@ -918,22 +989,30 @@ object LlmOps {
   }
 
   /** Scrubbing / redaction (the cleaning stage of a training pipeline):
-    * URLs and e-mail addresses are replaced by placeholder tokens; the
-    * query emits the scrubbed-text fingerprint plus how many characters
-    * each rule removed. Both patterns use only constructs with identical
-    * semantics in Java regex and RE2 (no lookaround, no backrefs), so the
-    * oracle applies them verbatim. Pure per-row work — scales linearly,
-    * no shuffle before the final sort. */
+    * URLs, e-mail addresses, phone numbers and IPv4 addresses are replaced
+    * by placeholder tokens (in that order — URLs first so addresses inside
+    * them are already gone); the query emits the scrubbed-text fingerprint
+    * plus how many characters each rule removed. All four patterns use
+    * only constructs with identical semantics in Java regex and RE2 (no
+    * lookaround, no backrefs; \b is the ASCII word boundary in both), so
+    * the oracle applies them verbatim. Pure per-row work — scales
+    * linearly, no shuffle before the final sort. */
   def txtScrub(spark: SparkSession, dir: String): DataFrame = {
     val urlRe = raw"https?://\S+"
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val phoneRe = raw"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+    val ipRe = raw"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
     Tables.documents(spark, dir)
       .withColumn("no_url", regexp_replace(col("text"), urlRe, "<url>"))
-      .withColumn("clean", regexp_replace(col("no_url"), emailRe, "<email>"))
+      .withColumn("no_email", regexp_replace(col("no_url"), emailRe, "<email>"))
+      .withColumn("no_phone", regexp_replace(col("no_email"), phoneRe, "<phone>"))
+      .withColumn("clean", regexp_replace(col("no_phone"), ipRe, "<ip>"))
       .select(col("doc_id"),
         md5(col("clean")).as("clean_fp"),
         (length(col("text")) - length(col("no_url"))).cast("long").as("url_chars_delta"),
-        (length(col("no_url")) - length(col("clean"))).cast("long").as("email_chars_delta"),
+        (length(col("no_url")) - length(col("no_email"))).cast("long").as("email_chars_delta"),
+        (length(col("no_email")) - length(col("no_phone"))).cast("long").as("phone_chars_delta"),
+        (length(col("no_phone")) - length(col("clean"))).cast("long").as("ip_chars_delta"),
         length(col("clean")).cast("long").as("n_chars_clean"))
       .orderBy(col("doc_id"))
   }
@@ -1281,6 +1360,7 @@ object LlmOps {
     "txt_balance" -> txtBalance _,
     "txt_chunks" -> txtChunks _,
     "txt_pack" -> txtPack _,
+    "txt_pack_ffd" -> txtPackFfd _,
     "txt_scrub" -> txtScrub _,
     "txt_gopher" -> txtGopher _,
     "dd_lines" -> ddLines _,
@@ -1299,6 +1379,7 @@ object LlmOps {
     "dd_simhash_wide" -> ddSimhashWide _,
     "dd_simhash_wide_pairs" -> ddSimhashWidePairs _,
     "dd_incremental" -> ddIncremental _,
+    "dd_incremental_bucketed" -> ddIncrementalBucketed _,
     "dd_embed_topk" -> ddEmbedTopk _,
     "dd_embed_lsh" -> ddEmbedLsh _,
     "sim_topk_cosine" -> simTopkCosine _,
@@ -1569,13 +1650,23 @@ object LlmOps {
         |  SELECT doc_id, text,
         |    regexp_replace(text, 'https?://\S+', '<url>', 'g') AS no_url
         |  FROM documents),
-        |c AS (
+        |e AS (
         |  SELECT doc_id, text, no_url,
-        |    regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<email>', 'g') AS clean
-        |  FROM s)
+        |    regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<email>', 'g') AS no_email
+        |  FROM s),
+        |p AS (
+        |  SELECT doc_id, text, no_url, no_email,
+        |    regexp_replace(no_email, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<phone>', 'g') AS no_phone
+        |  FROM e),
+        |c AS (
+        |  SELECT doc_id, text, no_url, no_email, no_phone,
+        |    regexp_replace(no_phone, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<ip>', 'g') AS clean
+        |  FROM p)
         |SELECT doc_id, md5(clean) AS clean_fp,
         |  CAST(length(text) - length(no_url) AS BIGINT) AS url_chars_delta,
-        |  CAST(length(no_url) - length(clean) AS BIGINT) AS email_chars_delta,
+        |  CAST(length(no_url) - length(no_email) AS BIGINT) AS email_chars_delta,
+        |  CAST(length(no_email) - length(no_phone) AS BIGINT) AS phone_chars_delta,
+        |  CAST(length(no_phone) - length(clean) AS BIGINT) AS ip_chars_delta,
         |  CAST(length(clean) AS BIGINT) AS n_chars_clean
         |FROM c ORDER BY doc_id""".stripMargin,
 
@@ -1593,6 +1684,30 @@ object LlmOps {
          |r AS (
          |  SELECT lang, n_toks,
          |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM x)
+         |SELECT lang, CAST((cum - n_toks) // 64 AS BIGINT) AS seq_id,
+         |  count(*) AS n_chunks, CAST(sum(n_toks) AS BIGINT) AS n_toks_total
+         |FROM r
+         |GROUP BY lang, (cum - n_toks) // 64
+         |ORDER BY lang, seq_id""".stripMargin,
+
+    // txt_pack with the per-shard window re-ordered length-descending
+    "txt_pack_ffd" ->
+      s"""WITH $baseDuck, c AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(range(0, greatest(CAST(ceil(len(toks) / 32.0) AS INT), 1)),
+         |      i -> least(greatest(len(toks) - i * 32, 0), 32)) AS sizes
+         |  FROM base),
+         |x AS (
+         |  SELECT doc_id, lang,
+         |    unnest(range(0, len(sizes))) AS chunk_idx,
+         |    unnest(sizes) AS n_toks
+         |  FROM c),
+         |r AS (
+         |  SELECT lang, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY lang
+         |                      ORDER BY n_toks DESC, doc_id, chunk_idx
          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM x)
          |SELECT lang, CAST((cum - n_toks) // 64 AS BIGINT) AS seq_id,
@@ -1753,6 +1868,17 @@ object LlmOps {
          |FROM bits ORDER BY doc_id""".stripMargin,
 
     "dd_incremental" ->
+      """WITH existing AS (
+        |  SELECT md5(text) AS fp FROM documents WHERE doc_id < 250)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = md5(d.text))
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // same semantics as dd_incremental — the bucketed variant changes the
+    // physical plan (zero corpus-side exchange), never the result
+    "dd_incremental_bucketed" ->
       """WITH existing AS (
         |  SELECT md5(text) AS fp FROM documents WHERE doc_id < 250)
         |SELECT d.doc_id, d.lang, d.n_chars

@@ -126,6 +126,18 @@ object Oracles {
         |WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // q34 = q28's join without the salt (AQE splits the skew at runtime
+    // instead); the unsalted SQL is the oracle for BOTH formulations
+    "q34_skew_aqe" ->
+      """WITH dim AS (
+        |  SELECT l_returnflag, round(sum(l_discount), 2) / count(*) AS flag_avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT f.l_returnflag AS f_flag, count(*) AS n,
+        |  round(sum(f.l_extendedprice), 2) * (1 - d.flag_avg_disc) AS sum_disc_price
+        |FROM lineitem f JOIN dim d ON f.l_returnflag = d.l_returnflag
+        |GROUP BY f.l_returnflag, d.flag_avg_disc
+        |ORDER BY f_flag""".stripMargin,
+
     "q28_salted_join" ->
       """WITH dim AS (
         |  SELECT l_returnflag, round(sum(l_discount), 2) / count(*) AS flag_avg_disc

@@ -603,8 +603,63 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** AQE SKEW-JOIN demo — the native twin of [[q28SaltedJoin]]'s manual
+    * salting: the identical skewed join (fact side keyed on 3-value
+    * l_returnflag, so 3 reducers own the whole table in a naive shuffle
+    * join) left UNSALTED, with Adaptive Query Execution's skew-join
+    * splitting doing at runtime what q28 does by hand. Runs on a cloned
+    * session (`newSession` shares the SparkContext, catalog and block
+    * caches but has its OWN SQLConf), so the forced thresholds — required
+    * because test-SF partitions sit far below the 256 MB production
+    * default — scope to this one query and leak into nothing else. The
+    * MERGE hint keeps the 3-row dim side out of broadcast (otherwise
+    * there is no shuffle join to split); forceOptimizeSkewedJoin permits
+    * the split even though the downstream aggregation then needs its own
+    * re-shuffle. Result is identical to the unsalted join, which is
+    * exactly what the oracle runs — same SQL as q28's. At production
+    * scale this is the zero-code path (default thresholds, no hint); the
+    * explicit q28 salt remains the portable form for mid-pipeline skew
+    * AQE cannot split. */
+  def q34SkewAqe(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // factor 0: a partition is skewed whenever it clears the byte threshold
+    // (with 3 similar hot partitions the median IS a hot partition, so any
+    // factor >= 1 could mask the skew the demo exists to split)
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "0.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    // the trailing ROUND-ROBIN repartition matters twice over:
+    // OptimizeSkewedJoin only matches a sort-merge join whose children are
+    // bare ENSURE_REQUIREMENTS shuffle stages — with the dim-side
+    // HashAggregate directly under the join the rule never fires, and a
+    // keyed repartition would itself feed the join (REPARTITION_BY_NUM
+    // origin), which the rule skips equally. Round-robin forces the
+    // planner to add its own join-key exchange on top.
+    val dim = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg((round(sum(col("l_discount")), 2) / count(lit(1))).as("flag_avg_disc"))
+      .repartition(8)
+    // AQE splits a skewed partition at MAP-output granularity; the tiny
+    // test-SF parquet is one mapper, which would leave nothing to split.
+    // The orderkey repartition stands in for the many upstream tasks a
+    // production-scale scan has (where this line disappears).
+    val fact = Tables.lineitem(s, dir)
+      .repartition(16, col("l_orderkey"))
+      .select(col("l_returnflag").as("f_flag"), col("l_extendedprice"))
+    fact.join(dim.hint("merge"), col("f_flag") === col("l_returnflag"))
+      .groupBy(col("f_flag"), col("flag_avg_disc"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(col("f_flag"), col("n"),
+        (col("sum_price") * (lit(1) - col("flag_avg_disc"))).as("sum_disc_price"))
+      .orderBy(col("f_flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_bloom_prune" -> q33BloomPrune _,
+    "q34_skew_aqe" -> q34SkewAqe _,
     "q31_approx_quantile" -> q31ApproxQuantile _,
     "q32_zorder" -> q32Zorder _,
     "q30_grouping_sets" -> q30GroupingSets _,

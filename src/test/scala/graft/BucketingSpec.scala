@@ -102,4 +102,32 @@ class BucketingSpec extends SparkSpec {
       assert(kept.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
     }
   }
+
+  test("dd_incremental_bucketed (the DRIVER-path query) shuffles only the batch side") {
+    // The shape BucketingSpec proves above, promoted to the oracle-checked
+    // query surface: LlmOps.ddIncrementalBucketed materializes the corpus
+    // fingerprints bucketed on fp and anti-joins the batch against them.
+    // No broadcast-disabling conf needed — the MERGE hint in the query
+    // itself pins the sort-merge strategy, as it does under the driver.
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.analytics.LlmOps.ddIncrementalBucketed(spark, dir)
+    val rows = df.collect().map(_.getAs[Long]("doc_id")).toSeq
+
+    // executed (post-AQE) plan: a LeftAnti sort-merge join whose ONLY
+    // fp exchange feeds the incoming batch; the corpus side reads the
+    // bucketed table co-located. The AQE string repeats the tree under
+    // "== Initial Plan ==" — assert on the final section only.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
+    assert(plan.indexOf("Exchange hashpartitioning(fp") ==
+      plan.lastIndexOf("Exchange hashpartitioning(fp"), plan)
+    assert(plan.indexOf("Exchange hashpartitioning(fp") >= 0, plan)
+    assert(plan.contains("Bucketed: true"), plan)
+
+    // identical result to the plain anti-join formulation
+    val expected = graft.analytics.LlmOps.ddIncremental(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(rows == expected, s"bucketed=${rows.take(10)} plain=${expected.take(10)}")
+  }
 }

@@ -252,6 +252,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows8(1L) == 3, rows8.toString)
   }
 
+  test("scrubbing redacts urls, emails, phone numbers and IPv4 addresses") {
+    import spark.implicits._
+    val t0 = "visit https://ex.io/a?b=1 or mail bob.smith@ex-mail.co today"
+    val t1 = "call 555-123-4567 or +44 020 7946 0958 from host 192.168.0.1 ok"
+    val t2 = "perfectly clean text with no contact details at all"
+    val docs = Seq(Doc(0, t0, "en", "s", t0.length),
+      Doc(1, t1, "en", "s", t1.length),
+      Doc(2, t2, "en", "s", t2.length))
+    val d = java.nio.file.Files.createTempDirectory("llmscrub").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtScrub(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    def fp(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    // doc 0: one url (19 chars -> <url> 5), one email (20 -> <email> 7)
+    assert(rows(0L).getAs[String]("clean_fp") ==
+      fp("visit <url> or mail <email> today"))
+    assert(rows(0L).getAs[Long]("url_chars_delta") == 19 - 5)
+    assert(rows(0L).getAs[Long]("email_chars_delta") == 13)
+    assert(rows(0L).getAs[Long]("phone_chars_delta") == 0)
+    assert(rows(0L).getAs[Long]("ip_chars_delta") == 0)
+    // doc 1: the NANP phone matches, the +44 variant (2-4-4 grouping)
+    // deliberately does not; the IPv4 is redacted
+    assert(rows(1L).getAs[String]("clean_fp") ==
+      fp("call <phone> or +44 020 7946 0958 from host <ip> ok"))
+    assert(rows(1L).getAs[Long]("phone_chars_delta") == 12 - 7)
+    assert(rows(1L).getAs[Long]("ip_chars_delta") == 11 - 4)
+    // doc 2: untouched
+    assert(rows(2L).getAs[String]("clean_fp") == fp(t2))
+    assert(rows(2L).getAs[Long]("n_chars_clean") == t2.length)
+  }
+
   test("incremental dedup drops incoming docs whose content already exists") {
     import spark.implicits._
     // fresh corpus: ids 0..249 existing; 250 duplicates existing 0; 251 is new
