@@ -713,6 +713,11 @@ object LlmOps {
       Tables.documents(spark, dir)
         .filter(col("doc_id") < 250L)
         .select(md5(col("text")).as("fp"))
+        // single writer task: N input partitions x 8 buckets would commit
+        // up to 8N tiny files for a 250-row state table. At production
+        // scale this repartitions on the bucket key instead, sized so each
+        // task writes one healthy file per bucket.
+        .repartition(1)
         .write.bucketBy(8, "fp").sortBy("fp").saveAsTable(t)
       spark.conf.set(marker, dir)
     }
