@@ -1140,6 +1140,32 @@ object LlmOps {
       .orderBy(col("n_docs").desc, col("n_hits").desc, col("passage_fp"))
       .limit(100)
 
+  /** Per-document DUPLICATION FRACTION — the doc-level readout of the
+    * passage census (the "fraction of duplicated text" measurement of Lee
+    * et al. 2021 §4, recast per document): for every doc with >= 8 tokens,
+    * the share of its 8-token rolling windows that also occur verbatim in
+    * at least one OTHER document. The standard triage metric between
+    * exact dedup (whole-doc) and the cut-list action: rank docs by
+    * dup_frac, drop or rewrite the worst. Same scale shape as [[ddLines]]:
+    * one fingerprint-keyed census aggregation + one doc-keyed rebuild,
+    * both map-side combinable, and only 16-hex fingerprints ever shuffle. */
+  def ddDupFraction(spark: SparkSession, dir: String): DataFrame = {
+    val w = passageWindows(spark, dir, 8)
+    // windows seen in more than one distinct doc; the distinct-count runs
+    // on (w, doc_id) partial aggregates
+    val dup = w.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("w"), lit(true).as("is_dup"))
+    w.join(dup, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("is_dup"), 1)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows") / col("n_windows")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic class re-balancing for training mixes: cap every lang at
     * 64 docs, chosen by md5(doc_id) order — a seedless, partitioning-
     * independent "random" sample that is reproducible across engines and
@@ -1370,6 +1396,7 @@ object LlmOps {
     "txt_gopher" -> txtGopher _,
     "dd_lines" -> ddLines _,
     "dd_passages" -> ddPassages _,
+    "dd_dup_fraction" -> ddDupFraction _,
     "dd_contamination" -> ((s: SparkSession, d: String) => ddContamination(s, d)),
     "dd_contamination8" -> ddContamination8 _,
     "txt_clean_corpus" -> txtCleanCorpus _,
@@ -1649,6 +1676,21 @@ object LlmOps {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM w0 GROUP BY w HAVING count(DISTINCT doc_id) > 1
          |ORDER BY n_docs DESC, n_hits DESC, passage_fp LIMIT 100""".stripMargin,
+
+    "dd_dup_fraction" ->
+      s"""WITH $baseDuck, w0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 16))) AS w
+         |  FROM base),
+         |dup AS (
+         |  SELECT w FROM w0 GROUP BY w HAVING count(DISTINCT doc_id) > 1)
+         |SELECT w0.doc_id,
+         |  count(*) AS n_windows,
+         |  count(CASE WHEN dup.w IS NOT NULL THEN 1 END) AS n_dup_windows,
+         |  count(CASE WHEN dup.w IS NOT NULL THEN 1 END) / count(*) AS dup_frac
+         |FROM w0 LEFT JOIN dup ON w0.w = dup.w
+         |GROUP BY w0.doc_id ORDER BY w0.doc_id""".stripMargin,
 
     "txt_scrub" ->
       raw"""WITH s AS (

@@ -103,6 +103,22 @@ object EventStream {
       .select(col("user_id"), col("view_id"), col("click_id"), col("view_ts"), col("click_ts"), col("value"))
   }
 
+  /** Streaming INGESTION dedup — the streaming twin of the batch
+    * incremental dedup (`LlmOps.ddIncremental` / the bucketed driver-path
+    * variant): each micro-batch of incoming documents is content-
+    * fingerprinted and LEFT ANTI joined against the static corpus
+    * fingerprint state, so already-ingested content never re-enters the
+    * corpus. The static side is the same bucketed fingerprint table the
+    * batch path maintains — it re-reads per micro-batch (refreshable
+    * between restarts), needs no stream state at all, and at scale the
+    * bucket layout keeps the per-batch anti-join from ever re-shuffling
+    * the corpus side. Duplicates WITHIN one micro-batch are the
+    * upstream's concern (compose with [[dedupe]] keyed on fp). */
+  def dedupeAgainstCorpus(docs: DataFrame, corpusFps: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .join(corpusFps, Seq("fp"), "left_anti")
+
   /** Wire a streaming DataFrame to a memory sink for tests/demos. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

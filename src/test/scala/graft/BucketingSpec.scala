@@ -130,4 +130,49 @@ class BucketingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(rows == expected, s"bucketed=${rows.take(10)} plain=${expected.take(10)}")
   }
+
+  test("fingerprint state WRITE-BACK: appended batches keep the bucket layout and the single-exchange plan") {
+    // The full ingestion lifecycle: state <- state ∪ batch_fps after each
+    // accepted batch, appended IN the bucket layout, so the next batch's
+    // anti-join is co-located exactly like the first. (Own table name —
+    // the driver-path table must stay exactly the <250 fingerprint state.)
+    val dir = "/root/testdata/sf0.001"
+    val t = "fp_writeback_b"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val p = java.nio.file.Paths.get(s"spark-warehouse/$t")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def fps(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(org.apache.spark.sql.functions.md5(col("text")).as("fp"))
+
+    fps(0, 200).repartition(1)
+      .write.bucketBy(8, "fp").sortBy("fp").saveAsTable(t)
+    // batch 1: docs 200..350 anti-joined, then its fps appended to state
+    val kept1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+      .withColumn("fp", org.apache.spark.sql.functions.md5(col("text")))
+      .join(spark.table(t).hint("merge"), Seq("fp"), "left_anti")
+    val kept1Ids = kept1.collect().map(_.getAs[Long]("doc_id")).toSet
+    fps(200, 350).repartition(1)
+      .write.mode("append").bucketBy(8, "fp").sortBy("fp").saveAsTable(t)
+
+    // batch 2 sees batch 1's content as already ingested...
+    val redelivered = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+      .withColumn("fp", org.apache.spark.sql.functions.md5(col("text")))
+      .join(spark.table(t).hint("merge"), Seq("fp"), "left_anti")
+    assert(redelivered.count() == 0)
+    // ...and the appended (multi-file-per-bucket) table still serves the
+    // single-batch-side-exchange sort-merge anti-join
+    val plan = redelivered.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
+    assert(plan.indexOf("Exchange hashpartitioning(fp") ==
+      plan.lastIndexOf("Exchange hashpartitioning(fp"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(kept1Ids.nonEmpty) // the lifecycle actually ingested something
+  }
 }

@@ -107,6 +107,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingestion dedup drops docs whose content is already in the corpus state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus state: fingerprints of two already-ingested texts
+    val corpus = Seq("already ingested text one", "already ingested text two")
+      .toDF("text").selectExpr("md5(text) AS fp")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = EventStream.toMemorySink(
+      EventStream.dedupeAgainstCorpus(docs, corpus), "ingested", OutputMode.Append())
+    try {
+      input.addData(
+        (10L, "already ingested text one"),   // dup of state -> dropped
+        (11L, "genuinely new content here"),  // kept
+        (12L, "already ingested text two"))   // dup of state -> dropped
+      q.processAllAvailable()
+      input.addData((13L, "more new content arrives later")) // kept, next batch
+      q.processAllAvailable()
+      val kept = spark.table("ingested").collect().map(_.getAs[Long]("doc_id")).toSeq.sorted
+      assert(kept == Seq(11L, 13L), kept.mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with the broadcast user dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -229,6 +229,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.length == 5)
   }
 
+  test("dup fraction: shared-run docs score 5/10, the unrelated doc scores 0") {
+    import spark.implicits._
+    // same construction as the passage-census fixture: a 12-token run shared
+    // by docs 0 and 1 (17 tokens each -> 10 windows, 5 of them shared),
+    // doc 2 unrelated (11 tokens -> 4 windows, none shared)
+    val run = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      Doc(0, s"intro words here $run closing words", "en", "s", 10),
+      Doc(1, s"other prefix tokens $run different tail", "en", "s", 10),
+      Doc(2, "totally unrelated short text with eight distinct words exactly here now", "en", "s", 10))
+    val d = java.nio.file.Files.createTempDirectory("llmdupfrac").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.ddDupFraction(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[Long]("n_windows") == 10)
+    assert(rows(0L).getAs[Long]("n_dup_windows") == 5)
+    assert(rows(0L).getAs[Double]("dup_frac") == 0.5)
+    assert(rows(1L).getAs[Long]("n_dup_windows") == 5)
+    assert(rows(2L).getAs[Long]("n_windows") == 4)
+    assert(rows(2L).getAs[Double]("dup_frac") == 0.0)
+  }
+
   test("decontamination flags corpus docs sharing a benchmark passage, and only those") {
     import spark.implicits._
     val benchPassage = "the quick brown fox jumps over the lazy dog tonight"
