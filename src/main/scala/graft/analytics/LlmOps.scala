@@ -856,12 +856,14 @@ object LlmOps {
       .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
       .filter(col("t").isNotNull)
       .withColumn("h", expr(hex15("md5(t)")))
-    val bits = (0 until 60).map(i =>
-      sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
-    tok.groupBy(col("doc_id")).agg(bits.head, bits.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(i => expr(s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"))
-          .reduce(_ + _).cast("long").as("simhash"))
+    // one-pass SimhashAgg kernel (custom TypedImperativeAggregate): walks
+    // the 60 bit counters in a primitive loop per row, replacing the
+    // 60-column declarative sum the DuckDB oracle still runs (identical
+    // sign rule — SimhashAggSpec pins equality against the declarative
+    // form; the 16-bit simhashSig keeps that form as the didactic twin)
+    tok.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.graft.SimhashBridge
+        .simhashAgg(col("h"), 60).as("simhash"))
   }
 
   /** Wide-simhash near-dup pairs: six 10-bit bands (1024 values each) —
@@ -1140,6 +1142,41 @@ object LlmOps {
       .orderBy(col("n_docs").desc, col("n_hits").desc, col("passage_fp"))
       .limit(100)
 
+  /** VOCABULARY COVERAGE — the tokenizer-design readout: what fraction of
+    * all token OCCURRENCES in the corpus is covered by the top-N most
+    * frequent token types, for N in {4, 8, 16}. The curve that decides
+    * vocab size before training a tokenizer (diminishing coverage per
+    * added type). The cut points are sized to the synthetic corpus's
+    * 31-type vocabulary so every row exists at every SF (production runs
+    * would use {1k, 16k, 64k}); the SHAPE — rank window over aggregated
+    * type counts — is threshold-independent. Scale shape: the occurrence counting is one map-side
+    * combinable groupBy over tokens; the ranking window then runs over the
+    * AGGREGATED type table only, which is vocabulary-sized (Heaps' law:
+    * |V| grows ~sqrt of corpus), not corpus-sized — the standard shape for
+    * frequency-rank statistics. Ties rank deterministically by (count
+    * desc, token). */
+  def txtVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("t"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = counts.agg(sum(col("n")).as("total"))
+    ranked.filter(col("rk").isin(4, 8, 16))
+      .join(broadcast(total))
+      .select(col("rk").cast("long").as("vocab_size"),
+        col("cum").as("covered_occurrences"),
+        col("total").as("total_occurrences"),
+        (col("cum") / col("total")).as("coverage"))
+      .orderBy(col("vocab_size"))
+  }
+
   /** Per-document DUPLICATION FRACTION — the doc-level readout of the
     * passage census (the "fraction of duplicated text" measurement of Lee
     * et al. 2021 §4, recast per document): for every doc with >= 8 tokens,
@@ -1389,6 +1426,7 @@ object LlmOps {
     "dd_cluster" -> ddCluster _,
     "txt_tfidf" -> txtTfidf _,
     "txt_balance" -> txtBalance _,
+    "txt_vocab_coverage" -> txtVocabCoverage _,
     "txt_chunks" -> txtChunks _,
     "txt_pack" -> txtPack _,
     "txt_pack_ffd" -> txtPackFfd _,
@@ -1676,6 +1714,25 @@ object LlmOps {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM w0 GROUP BY w HAVING count(DISTINCT doc_id) > 1
          |ORDER BY n_docs DESC, n_hits DESC, passage_fp LIMIT 100""".stripMargin,
+
+    "txt_vocab_coverage" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT unnest(toks) AS t FROM base),
+         |counts AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+         |ranked AS (
+         |  SELECT t, n,
+         |    row_number() OVER (ORDER BY n DESC, t) AS rk,
+         |    sum(n) OVER (ORDER BY n DESC, t
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM counts),
+         |tot AS (SELECT sum(n) AS total FROM counts)
+         |SELECT CAST(rk AS BIGINT) AS vocab_size,
+         |  CAST(cum AS BIGINT) AS covered_occurrences,
+         |  CAST(total AS BIGINT) AS total_occurrences,
+         |  cum / total AS coverage
+         |FROM ranked, tot
+         |WHERE rk IN (4, 8, 16)
+         |ORDER BY vocab_size""".stripMargin,
 
     "dd_dup_fraction" ->
       s"""WITH $baseDuck, w0 AS (

@@ -219,6 +219,98 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** One-pass SimHash signature AGGREGATE — the custom-UDAF member of the
+  * kernel family (the scalar kernels cover projections; this covers the
+  * per-group fold). Input is the per-token hash (a LONG whose low `bits`
+  * bits matter); the buffer is one signed counter per bit position
+  * (+1 when the token's bit is set, -1 otherwise); the result is the
+  * `bits`-wide signature whose bit i is set iff counter i ended positive —
+  * exactly the sign rule of the declarative 60-column formulation
+  *
+  *   agg(sum(CASE WHEN (h div 2^i) % 2 = 1 THEN 1 ELSE -1 END) AS b_i ...)
+  *   select CASE WHEN b_i > 0 THEN 2^i ELSE 0 END summed
+  *
+  * that it replaces in [[graft.analytics.LlmOps.ddSimhashWide]], so the
+  * DuckDB oracle (which still runs the 60-sum SQL) is unchanged. Where the
+  * declarative form evaluates 60 CASE expressions per row into 60 buffer
+  * slots, the kernel walks the hash once per row inside a primitive int
+  * array. As a TypedImperativeAggregate it partial-aggregates (map-side
+  * combine) and merges buffers by element-wise add, so the shuffle carries
+  * one counter array per (partition, doc) — same volume as the 60 sums,
+  * ~60x fewer expression evaluations. Registered as SQL `simhash_agg`;
+  * the 16-bit [[graft.analytics.LlmOps.ddSimhash]] keeps the declarative
+  * form as the didactic (and spec-comparison) twin. */
+case class SimhashAgg(
+    child: Expression,
+    bits: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Int]]
+  with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 63, "simhash width must be 1..63 (signed-long safe)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash_agg"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](bits)
+
+  override def update(buf: Array[Int], input: org.apache.spark.sql.catalyst.InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < bits) {
+        buf(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < bits) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var sig = 0L
+    var i = 0
+    while (i < bits) { if (buf(i) > 0) sig |= 1L << i; i += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * bits)
+    var i = 0
+    while (i < bits) { bb.putInt(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bits)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimhashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimhashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimhashAgg =
+    copy(child = newChildren.head)
+}
+
+/** Column-level entry for [[SimhashAgg]]. */
+object SimhashBridge {
+  def simhashAgg(child: Column, bits: Int): Column =
+    ExpressionUtils.column(
+      SimhashAgg(ExpressionUtils.expression(child), bits).toAggregateExpression())
+}
+
 /** Column-level access to Spark's own bloom-filter expressions
   * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
   * / [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]).
@@ -270,6 +362,11 @@ object GraftFunctions {
       "shingle_hash32", exprs => ShingleHash32(exprs.head), "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "passage_hash", exprs => PassageHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    // aggregate: the analyzer wraps a bare AggregateFunction builder result
+    // in AggregateExpression, same as the built-in sum/min registrations
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_agg", exprs => SimhashAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 }
