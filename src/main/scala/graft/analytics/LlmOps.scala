@@ -1203,6 +1203,23 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** WITHIN-document duplicate n-gram fraction — the Gopher repetition rule
+    * [[txtGopher]] doesn't carry (Rae et al. 2021 §A1.1 lists duplicate
+    * 5..8-gram fractions as their own filters next to dup-line and
+    * top-bigram mass): per doc, the share of its 8-token windows that are
+    * repeats of an earlier window IN THE SAME doc. Complements
+    * [[ddDupFraction]] (cross-doc) on the same PassageHash explode; one
+    * doc-keyed map-side-combinable aggregation, fingerprints-only
+    * shuffle. */
+  def txtDupNgrams(spark: SparkSession, dir: String): DataFrame =
+    passageWindows(spark, dir, 8)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("w")).as("n_distinct"))
+      .select(col("doc_id"), col("n_windows"), col("n_distinct"),
+        ((col("n_windows") - col("n_distinct")) / col("n_windows")).as("dup_ngram_frac"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic class re-balancing for training mixes: cap every lang at
     * 64 docs, chosen by md5(doc_id) order — a seedless, partitioning-
     * independent "random" sample that is reproducible across engines and
@@ -1435,6 +1452,7 @@ object LlmOps {
     "dd_lines" -> ddLines _,
     "dd_passages" -> ddPassages _,
     "dd_dup_fraction" -> ddDupFraction _,
+    "txt_dup_ngrams" -> txtDupNgrams _,
     "dd_contamination" -> ((s: SparkSession, d: String) => ddContamination(s, d)),
     "dd_contamination8" -> ddContamination8 _,
     "txt_clean_corpus" -> txtCleanCorpus _,
@@ -1714,6 +1732,18 @@ object LlmOps {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM w0 GROUP BY w HAVING count(DISTINCT doc_id) > 1
          |ORDER BY n_docs DESC, n_hits DESC, passage_fp LIMIT 100""".stripMargin,
+
+    "txt_dup_ngrams" ->
+      s"""WITH $baseDuck, w0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 16))) AS w
+         |  FROM base)
+         |SELECT doc_id,
+         |  count(*) AS n_windows,
+         |  count(DISTINCT w) AS n_distinct,
+         |  (count(*) - count(DISTINCT w)) / count(*) AS dup_ngram_frac
+         |FROM w0 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "txt_vocab_coverage" ->
       s"""WITH $baseDuck, tok AS (

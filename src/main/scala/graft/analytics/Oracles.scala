@@ -126,6 +126,15 @@ object Oracles {
         |WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // q35 = the plain orderkey join; the bucketed layout changes only the
+    // physical plan (no exchange on either join side), never the result
+    "q35_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
     // q34 = q28's join without the salt (AQE splits the skew at runtime
     // instead); the unsalted SQL is the oracle for BOTH formulations
     "q34_skew_aqe" ->

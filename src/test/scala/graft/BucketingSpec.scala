@@ -131,6 +131,32 @@ class BucketingSpec extends SparkSpec {
     assert(rows == expected, s"bucketed=${rows.take(10)} plain=${expected.take(10)}")
   }
 
+  test("q35_bucketed_join (the DRIVER-path query): no exchange on either join side") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.analytics.Relational.q35BucketedJoin(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), plan)
+    // both sides co-located: no shuffle on either join key anywhere; the
+    // only exchanges left serve the aggregation and the final sort
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    assert(plan.split("Bucketed: true", -1).length - 1 == 2, plan)
+
+    // identical result to the plain parquet join
+    val expected = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+  }
+
   test("fingerprint state WRITE-BACK: appended batches keep the bucket layout and the single-exchange plan") {
     // The full ingestion lifecycle: state <- state ∪ batch_fps after each
     // accepted batch, appended IN the bucket layout, so the next batch's

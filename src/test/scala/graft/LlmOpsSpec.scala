@@ -251,6 +251,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("within-doc duplicate 8-grams: a self-repeating doc scores, a clean doc scores 0") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // doc 0 repeats its own 10-token run: each copy contributes the same
+    // 3 windows (10-8+1), so 3 of its windows are within-doc repeats
+    val docs = Seq(
+      Doc(0, s"$run and now once more $run", "en", "s", 10),
+      Doc(1, "all sixteen tokens in this document are completely distinct from one another indeed truly", "en", "s", 10))
+    val d = java.nio.file.Files.createTempDirectory("llmdupng").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtDupNgrams(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[Long]("n_windows") - rows(0L).getAs[Long]("n_distinct") == 3,
+      rows(0L).toString)
+    assert(rows(0L).getAs[Double]("dup_ngram_frac") > 0.0)
+    assert(rows(1L).getAs[Double]("dup_ngram_frac") == 0.0, rows(1L).toString)
+  }
+
   test("decontamination flags corpus docs sharing a benchmark passage, and only those") {
     import spark.implicits._
     val benchPassage = "the quick brown fox jumps over the lazy dog tonight"
