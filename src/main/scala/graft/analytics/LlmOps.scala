@@ -1203,6 +1203,38 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Sketch-based TERM-FREQUENCY estimation — the 100 TB path for term
+    * statistics (q20/q31/q33's verified-sketch pattern, for counts): a
+    * count-min sketch built over all token occurrences (one mergeable
+    * map-side-combinable aggregate — no type-table shuffle), shipped as a
+    * scalar subquery, probed for the exact top-8 terms via the
+    * [[org.apache.spark.sql.graft.CmsEstimate]] expression. Raw estimates
+    * are engine-specific, so the oracle-checked output carries the exact
+    * counts (DuckDB recomputes and hash-matches) plus two CMS-guarantee
+    * booleans the oracle pins TRUE: no_underestimate (CMS never
+    * undercounts) and bounded (overcount <= eps * total occurrences,
+    * eps = 1e-4). A drifting sketch flips a boolean and fails the hash
+    * match, so the estimate is genuinely verified without cross-engine
+    * sketch equality. */
+  def txtTopTermsCms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.CmsBridge
+    val tok = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
+    val sketch = tok.agg(CmsBridge.cmsAgg(col("t"), 1e-4, 0.99, 42).as("cms")).scalar()
+    val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.orderBy(col("n").desc, col("t")).limit(8)
+      .join(broadcast(total))
+      .withColumn("est", CmsBridge.estimate(sketch, col("t")))
+      .select(col("t").as("term"), col("n").as("n_exact"),
+        (col("est") >= col("n")).as("no_underestimate"),
+        ((col("est") - col("n")) <= col("total") * 1e-4).as("bounded"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
   /** WITHIN-document duplicate n-gram fraction — the Gopher repetition rule
     * [[txtGopher]] doesn't carry (Rae et al. 2021 §A1.1 lists duplicate
     * 5..8-gram fractions as their own filters next to dup-line and
@@ -1453,6 +1485,7 @@ object LlmOps {
     "dd_passages" -> ddPassages _,
     "dd_dup_fraction" -> ddDupFraction _,
     "txt_dup_ngrams" -> txtDupNgrams _,
+    "txt_top_terms_cms" -> txtTopTermsCms _,
     "dd_contamination" -> ((s: SparkSession, d: String) => ddContamination(s, d)),
     "dd_contamination8" -> ddContamination8 _,
     "txt_clean_corpus" -> txtCleanCorpus _,
@@ -1732,6 +1765,17 @@ object LlmOps {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM w0 GROUP BY w HAVING count(DISTINCT doc_id) > 1
          |ORDER BY n_docs DESC, n_hits DESC, passage_fp LIMIT 100""".stripMargin,
+
+    // exact side recomputed; the CMS-guarantee booleans pinned TRUE (the
+    // q20/q31/q33 verified-sketch pattern)
+    "txt_top_terms_cms" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT unnest(toks) AS t FROM base),
+         |counts AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+         |top AS (SELECT t, n FROM counts ORDER BY n DESC, t LIMIT 8)
+         |SELECT t AS term, CAST(n AS BIGINT) AS n_exact,
+         |  TRUE AS no_underestimate, TRUE AS bounded
+         |FROM top ORDER BY n_exact DESC, term""".stripMargin,
 
     "txt_dup_ngrams" ->
       s"""WITH $baseDuck, w0 AS (

@@ -348,6 +348,68 @@ object BloomBridge {
       ExpressionUtils.expression(value)))
 }
 
+/** Count-min sketch under query control — the frequency-estimation twin of
+  * [[BloomBridge]] (membership): build the sketch once with Spark's own
+  * `CountMinSketchAgg` (mergeable, map-side combinable — the structure
+  * that replaces a full type-table shuffle for term statistics at 100 TB),
+  * ship it as a scalar subquery, and probe per row with [[CmsEstimate]].
+  * Spark exposes the aggregate in SQL but no probe function — estimation
+  * normally requires collecting the sketch to the driver; the probe
+  * expression keeps the whole build-once/estimate-everywhere pattern
+  * inside one lazy plan. */
+object CmsBridge {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg
+
+  /** Aggregate building a count-min sketch over a string column. */
+  def cmsAgg(child: Column, eps: Double, confidence: Double, seed: Int): Column =
+    ExpressionUtils.column(new CountMinSketchAgg(
+      ExpressionUtils.expression(child),
+      Literal(eps), Literal(confidence), Literal(seed)).toAggregateExpression())
+
+  /** Estimated count of `item` (string) in the serialized sketch. */
+  def estimate(sketch: Column, item: Column): Column =
+    ExpressionUtils.column(CmsEstimate(
+      ExpressionUtils.expression(sketch),
+      ExpressionUtils.expression(item)))
+}
+
+/** Probe expression for a serialized count-min sketch: estimated count of a
+  * string item. Deserializes the sketch once per byte-array instance and
+  * caches it (the scalar-subquery value is one shared array per task, so
+  * the identity check makes per-row probing O(depth) instead of a
+  * deserialization per row) — the same pattern Spark's own
+  * BloomFilterMightContain uses. Probes with the UTF8 bytes, matching what
+  * CountMinSketchAgg adds for StringType input. CMS guarantees
+  * estimate >= true count always, and estimate <= true + eps*N with
+  * probability 1-delta — which is what the oracle-checked booleans in
+  * txt_top_terms_cms pin. */
+case class CmsEstimate(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "cms_estimate"
+
+  @transient private var cachedBytes: AnyRef = _
+  @transient private var cachedSketch: org.apache.spark.util.sketch.CountMinSketch = _
+
+  override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
+    val bytes = sketchBytes.asInstanceOf[Array[Byte]]
+    if (cachedSketch == null || (cachedBytes ne bytes)) {
+      cachedSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      cachedBytes = bytes
+    }
+    cachedSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration for sessions not built with
   * `spark.sql.extensions=graft.GraftExtensions` — makes `js_num` callable
   * from SQL text on an existing session. */

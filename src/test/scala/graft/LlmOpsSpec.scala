@@ -251,6 +251,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("vocab coverage: known Zipf-ish counts yield exact coverage fractions") {
+    import spark.implicits._
+    // 20 distinct tokens, token i appearing (21-i) times -> total 210,
+    // no count ties so the ranking is unambiguous
+    val text = (1 to 20).map(i => Seq.fill(21 - i)(f"tok$i%02d").mkString(" ")).mkString(" ")
+    val docs = Seq(Doc(0, text, "en", "s", text.length))
+    val d = java.nio.file.Files.createTempDirectory("llmvocab").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtVocabCoverage(spark, d).collect()
+      .map(r => r.getAs[Long]("vocab_size") -> r).toMap
+    assert(rows.keySet == Set(4L, 8L, 16L), rows.keySet.toString)
+    assert(rows(4L).getAs[Long]("covered_occurrences") == 20 + 19 + 18 + 17)
+    assert(rows(8L).getAs[Long]("covered_occurrences") == (13 to 20).sum)
+    assert(rows(16L).getAs[Long]("covered_occurrences") == (5 to 20).sum)
+    assert(rows.values.forall(_.getAs[Long]("total_occurrences") == 210))
+    assert(rows(16L).getAs[Double]("coverage") == (5 to 20).sum / 210.0)
+  }
+
+  test("cms top terms: exact top-8 with sketch-guarantee booleans true") {
+    import spark.implicits._
+    // same Zipf fixture as vocab coverage: token i appears (21-i) times
+    val text = (1 to 20).map(i => Seq.fill(21 - i)(f"tok$i%02d").mkString(" ")).mkString(" ")
+    val docs = Seq(Doc(0, text, "en", "s", text.length))
+    val d = java.nio.file.Files.createTempDirectory("llmcms").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtTopTermsCms(spark, d).collect()
+    assert(rows.map(_.getAs[String]("term")).toSeq ==
+      (1 to 8).map(i => f"tok$i%02d"), rows.mkString(";"))
+    assert(rows.map(_.getAs[Long]("n_exact")).toSeq == (13 to 20).reverse.map(_.toLong))
+    assert(rows.forall(_.getAs[Boolean]("no_underestimate")))
+    assert(rows.forall(_.getAs[Boolean]("bounded")))
+  }
+
   test("within-doc duplicate 8-grams: a self-repeating doc scores, a clean doc scores 0") {
     import spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
