@@ -66,6 +66,7 @@ object LlmOps {
       tracked.foreach(f => try f() catch { case _: Throwable => () })
       tracked.clear()
       jpMemo.clear()
+      pwMemo.clear()
     }
   }
 
@@ -1270,15 +1271,32 @@ object LlmOps {
 
   /** Per-doc rolling n-token window fingerprints (PassageHash kernel),
     * one row per window occurrence — the shared explode under the passage
-    * census and both decontamination variants. */
+    * census, both decontamination variants and both duplication-fraction
+    * metrics. Memoized per (dir, n) and cached (same reasoning as the
+    * jaccard-pairs memo: five consumers would otherwise each re-scan the
+    * text and re-run the kernel, and the contamination queries use the
+    * table TWICE in one plan). The cached table is (doc_id, 16-hex)
+    * pairs — bounded by token count, small at any SF; materialized
+    * eagerly so parallel stages of one consuming job can't race past the
+    * unpopulated cache and double-build (the minhash-signature lesson).
+    * Released with everything else by [[releaseCaches]]. */
+  private val pwMemo = scala.collection.mutable.HashMap.empty[(String, Int), DataFrame]
+
   private def passageWindows(spark: SparkSession, dir: String, n: Int): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode_outer(
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          org.apache.spark.sql.graft.PassageHash(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), n))).as("w"))
-      .filter(col("w").isNotNull)
+    synchronized {
+      pwMemo.getOrElseUpdate((dir, n), {
+        val df = Tables.documents(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode_outer(
+            org.apache.spark.sql.graft.ColumnBridge.column(
+              org.apache.spark.sql.graft.PassageHash(
+                org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), n))).as("w"))
+          .filter(col("w").isNotNull)
+          .cache()
+        df.count()
+        track(df)
+      })
+    }
 
   /** Benchmark DECONTAMINATION — the test-set-overlap check every serious
     * training run performs (distinct from dedup: the reference set is
