@@ -1253,6 +1253,49 @@ object LlmOps {
         ((col("n_windows") - col("n_distinct")) / col("n_windows")).as("dup_ngram_frac"))
       .orderBy(col("doc_id"))
 
+  /** PAIR ALIGNMENT — longest shared verbatim passage per near-duplicate
+    * pair: for every Jaccard >= 0.8 pair (the dedup action's edge set), the
+    * maximum run of CONSECUTIVE shared 8-token windows, i.e. the length of
+    * the longest common verbatim span — the measurement behind
+    * substring-cut decisions (drop the doc vs cut the shared span, Lee et
+    * al. 2021's exact-substring action). Classic diagonal run-length
+    * analysis: a match at corpus positions (pa, pb) lies on diagonal
+    * pa-pb; consecutive pa values on one diagonal form a run
+    * (pa - row_number is constant), and max run + 7 converts windows back
+    * to tokens. Scale shape: the pair set is blocking-bounded (never
+    * doc²), the positioned-window table joins it broadcast-style, and the
+    * run window partitions by (pair, diagonal) — no global sort
+    * anywhere. */
+  def ddAlign(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode_outer(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.PassageHash(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 8))))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val pairs = jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("ia"), col("ib"))
+    val wa = w.toDF("ia", "pa", "wa")
+    val wb = w.toDF("ib", "pb", "wb")
+    val matches = pairs.join(wa, Seq("ia")).join(wb,
+      wb("ib") === pairs("ib") && col("wa") === col("wb"))
+      .select(pairs("ia"), pairs("ib"), col("pa"), col("pb"))
+    val runW = Window.partitionBy(col("ia"), col("ib"), col("diag")).orderBy(col("pa"))
+    matches
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("rn", row_number().over(runW))
+      .groupBy(col("ia"), col("ib"), col("diag"), (col("pa") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(max(col("run_len")).as("max_run_windows"))
+      .select(col("ia"), col("ib"), col("max_run_windows"),
+        (col("max_run_windows") + 7).as("max_run_tokens"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
   /** Deterministic class re-balancing for training mixes: cap every lang at
     * 64 docs, chosen by md5(doc_id) order — a seedless, partitioning-
     * independent "random" sample that is reproducible across engines and
@@ -1502,6 +1545,7 @@ object LlmOps {
     "dd_lines" -> ddLines _,
     "dd_passages" -> ddPassages _,
     "dd_dup_fraction" -> ddDupFraction _,
+    "dd_align" -> ddAlign _,
     "txt_dup_ngrams" -> txtDupNgrams _,
     "txt_top_terms_cms" -> txtTopTermsCms _,
     "dd_contamination" -> ((s: SparkSession, d: String) => ddContamination(s, d)),
@@ -1783,6 +1827,55 @@ object LlmOps {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM w0 GROUP BY w HAVING count(DISTINCT doc_id) > 1
          |ORDER BY n_docs DESC, n_hits DESC, passage_fp LIMIT 100""".stripMargin,
+
+    // near-dup pairs via the same shingle/blocking CTEs as dd_dedup_keep;
+    // alignment = diagonal run-length over positioned 8-token windows
+    "dd_align" ->
+      s"""WITH $baseDuck, sh0 AS (
+         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
+         |  FROM base),
+         |sh AS (
+         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (
+         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
+         |  HAVING count(*) <= $StopShingleCap),
+         |capped AS (
+         |  SELECT sh.* FROM sh SEMI JOIN rare
+         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
+         |cpairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+         |  FROM capped a JOIN capped b
+         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jpairs AS (
+         |  SELECT ia, ib FROM cpairs
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE common / (sa.n + sb.n - common) >= 0.8),
+         |wlist AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 16)) AS ws
+         |  FROM base),
+         |w0 AS (
+         |  SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS w
+         |  FROM wlist),
+         |m AS (
+         |  SELECT p.ia, p.ib, a.pos AS pa, b.pos AS pb
+         |  FROM jpairs p
+         |  JOIN w0 a ON a.doc_id = p.ia
+         |  JOIN w0 b ON b.doc_id = p.ib AND a.w = b.w),
+         |r AS (
+         |  SELECT ia, ib, pa - pb AS diag, pa,
+         |    row_number() OVER (PARTITION BY ia, ib, pa - pb ORDER BY pa) AS rn
+         |  FROM m),
+         |runs AS (
+         |  SELECT ia, ib, count(*) AS run_len
+         |  FROM r GROUP BY ia, ib, diag, pa - rn)
+         |SELECT ia, ib,
+         |  CAST(max(run_len) AS BIGINT) AS max_run_windows,
+         |  CAST(max(run_len) + 7 AS BIGINT) AS max_run_tokens
+         |FROM runs GROUP BY ia, ib ORDER BY ia, ib""".stripMargin,
 
     // exact side recomputed; the CMS-guarantee booleans pinned TRUE (the
     // q20/q31/q33 verified-sketch pattern)

@@ -251,6 +251,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("alignment: a one-token tail change leaves a 22-window (29-token) shared run") {
+    import spark.implicits._
+    // 30 distinct tokens; doc 1 replaces only the last one. Shingle
+    // jaccard = 25/31 ≈ 0.806 (>= 0.8, so the pair enters the edge set);
+    // 23 windows per doc, the last window differs -> the shared run is
+    // windows 0..21 on diagonal 0: 22 windows = 29 verbatim tokens.
+    val toks = (1 to 30).map(i => f"w$i%02d")
+    val a = toks.mkString(" ")
+    val b = (toks.dropRight(1) :+ "zzz").mkString(" ")
+    val docs = Seq(Doc(0, a, "en", "s", 100), Doc(1, b, "en", "s", 100))
+    val d = java.nio.file.Files.createTempDirectory("llmalign").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.ddAlign(spark, d).collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows(0).getAs[Long]("ia") == 0L && rows(0).getAs[Long]("ib") == 1L)
+    assert(rows(0).getAs[Long]("max_run_windows") == 22, rows(0).toString)
+    assert(rows(0).getAs[Long]("max_run_tokens") == 29)
+  }
+
   test("vocab coverage: known Zipf-ish counts yield exact coverage fractions") {
     import spark.implicits._
     // 20 distinct tokens, token i appearing (21-i) times -> total 210,
