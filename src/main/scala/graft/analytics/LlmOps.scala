@@ -1143,6 +1143,24 @@ object LlmOps {
       .orderBy(col("n_docs").desc, col("n_hits").desc, col("passage_fp"))
       .limit(100)
 
+  /** Token-LENGTH HISTOGRAM (log2 buckets) per language — the length
+    * distribution every corpus data card reports, and the input to
+    * sequence-length planning (packing budget, truncation point). Bucket
+    * arithmetic is INTEGER on both engines — length(bin(n)) - 1 is
+    * floor(log2(n)) without the float log2 whose last-ulp rounding can
+    * disagree across libm implementations at exact powers of two. One
+    * map-side-combinable aggregation over per-row token counts. */
+  def txtLenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("lang"), greatest(size(col("toks")).cast("long"), lit(1L)).as("n_toks"))
+      .withColumn("bucket_log2", (length(expr("bin(n_toks)")) - 1).cast("long"))
+      .groupBy(col("lang"), col("bucket_log2"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_toks")).as("min_toks"),
+        max(col("n_toks")).as("max_toks"))
+      .orderBy(col("lang"), col("bucket_log2"))
+
   /** VOCABULARY COVERAGE — the tokenizer-design readout: what fraction of
     * all token OCCURRENCES in the corpus is covered by the top-N most
     * frequent token types, for N in {4, 8, 16}. The curve that decides
@@ -1537,6 +1555,7 @@ object LlmOps {
     "txt_tfidf" -> txtTfidf _,
     "txt_balance" -> txtBalance _,
     "txt_vocab_coverage" -> txtVocabCoverage _,
+    "txt_len_histogram" -> txtLenHistogram _,
     "txt_chunks" -> txtChunks _,
     "txt_pack" -> txtPack _,
     "txt_pack_ffd" -> txtPackFfd _,
@@ -1899,6 +1918,19 @@ object LlmOps {
          |  count(DISTINCT w) AS n_distinct,
          |  (count(*) - count(DISTINCT w)) / count(*) AS dup_ngram_frac
          |FROM w0 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // integer bucket: length of the binary representation - 1 ==
+    // floor(log2), avoiding cross-libm float log2 rounding at powers of 2
+    "txt_len_histogram" ->
+      s"""WITH $baseDuck, n AS (
+         |  SELECT lang, greatest(CAST(len(toks) AS BIGINT), 1) AS n_toks FROM base)
+         |SELECT lang,
+         |  CAST(length(bin(n_toks)) - 1 AS BIGINT) AS bucket_log2,
+         |  count(*) AS n_docs,
+         |  CAST(min(n_toks) AS BIGINT) AS min_toks,
+         |  CAST(max(n_toks) AS BIGINT) AS max_toks
+         |FROM n GROUP BY lang, length(bin(n_toks)) - 1
+         |ORDER BY lang, bucket_log2""".stripMargin,
 
     "txt_vocab_coverage" ->
       s"""WITH $baseDuck, tok AS (
