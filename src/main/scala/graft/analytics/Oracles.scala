@@ -142,7 +142,7 @@ object Oracles {
         |  SELECT l_returnflag, round(sum(l_discount), 2) / count(*) AS flag_avg_disc
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT f.l_returnflag AS f_flag, count(*) AS n,
-        |  round(sum(f.l_extendedprice), 2) * (1 - d.flag_avg_disc) AS sum_disc_price
+        |  CAST(round(sum(CAST(f.l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE) * (1 - d.flag_avg_disc) AS sum_disc_price
         |FROM lineitem f JOIN dim d ON f.l_returnflag = d.l_returnflag
         |GROUP BY f.l_returnflag, d.flag_avg_disc
         |ORDER BY f_flag""".stripMargin,
@@ -152,7 +152,7 @@ object Oracles {
         |  SELECT l_returnflag, round(sum(l_discount), 2) / count(*) AS flag_avg_disc
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT f.l_returnflag AS f_flag, count(*) AS n,
-        |  round(sum(f.l_extendedprice), 2) * (1 - d.flag_avg_disc) AS sum_disc_price
+        |  CAST(round(sum(CAST(f.l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE) * (1 - d.flag_avg_disc) AS sum_disc_price
         |FROM lineitem f JOIN dim d ON f.l_returnflag = d.l_returnflag
         |GROUP BY f.l_returnflag, d.flag_avg_disc
         |ORDER BY f_flag""".stripMargin,
@@ -222,7 +222,7 @@ object Oracles {
     "q22_cube" ->
       """SELECT coalesce(o_orderpriority, '(all)') AS priority,
         |  coalesce(o_orderstatus, '(all)') AS status,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+        |  count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_total
         |FROM orders
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
@@ -251,11 +251,11 @@ object Oracles {
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
         |  round(sum(l_quantity), 2) / count(*) AS avg_qty,
-        |  round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE) / count(*) AS avg_price,
         |  round(sum(l_discount), 2) / count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_quantity <= 45
@@ -293,7 +293,7 @@ object Oracles {
 
     "q05_region_revenue" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -305,7 +305,7 @@ object Oracles {
 
     "q06_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS sum_total
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_total
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
@@ -383,7 +383,7 @@ object Oracles {
     "q13_conditional_agg" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
-        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS sum_f,
+        |  CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_f,
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price
         |FROM orders

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Determinism rules (driver hash-compares against DuckDB):
   *  - every query ends in a total ORDER BY over a unique key set;
-  *  - aggregate SUMS are `round(…, g)` at their true decimal granularity g
-  *    (partial-agg order perturbs the last ulps; rounding at g recovers the
-  *    exact decimal in both engines). Everything derived per-row or from a
-  *    rounded sum is emitted as a RAW double — both engines compute the
-  *    bit-identical IEEE value, and further rounding would be LESS safe:
+  *  - aggregate SUMS that can cross ~1e9 go through [[dsum]] (exact
+  *    DECIMAL accumulation at the term's true scale, cast to double);
+  *    small-magnitude sums keep `round(…, g)` at their decimal granularity
+  *    g, where the double error provably stays under g/2. Everything
+  *    derived per-row or from an exact sum is emitted as a RAW double —
+  *    both engines compute the bit-identical IEEE value, and further
+  *    rounding would be LESS safe:
   *    Spark rounds via exact BigDecimal while DuckDB rounds via a float
   *    multiply, and the two disagree on terminating decimals like sum/8
   *    that land exactly on a half-boundary;
@@ -28,6 +30,35 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** EXACT money sum: accumulate in DECIMAL, return DOUBLE. Double
+    * summation order is plan-dependent (partial aggregation, AQE splits,
+    * shuffle partitioning), and once a sum passes ~1e10 the accumulated
+    * ulp error exceeds any rounding granularity — the sf1 (6M-row)
+    * rehearsal measured ±0.01 vs DuckDB on q01/q05/q28, past the 2dp
+    * boundary. Casting each term to DECIMAL(38,6) recovers its exact
+    * decimal value (all money columns are ≤6dp products of 2dp factors;
+    * the per-row double is within 1e-12 of it), and decimal addition is
+    * associative, so ANY partitioning yields identical bits; the oracle
+    * SQL mirrors the same cast chain. This is also the at-scale answer:
+    * a 100 TB aggregate that changes with the partition count is not
+    * reproducible. Used on every sum whose magnitude can cross ~1e9;
+    * small-magnitude sums (quantity ≤50/row, 2dp discounts) keep the
+    * plain double path, where the rounding granularity provably absorbs
+    * the error.
+    *
+    * `scale` must be the term's TRUE decimal scale (2dp money, 4dp/6dp
+    * for products of 2dp factors) so the accumulation is exact, and the
+    * OUTPUT is quantized to 2dp (money cents) IN DECIMAL before the one
+    * double cast: a 1e10+ sum at 6dp needs 17 significant digits — beyond
+    * double — and even the decimal→double cast then differs per engine
+    * (DuckDB routes through a hugeint divide, two roundings; observed
+    * 1-ulp disagreement on sf1 q01 sum_charge). At 2dp the value ×100
+    * stays under 2^53, so decimal→double is EXACT everywhere. There is
+    * deliberately no round(double, n) anywhere on the path. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, scale)))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double")
+
   /** TPC-H Q1 shape: single scan, map-side partial aggregation, tiny result.
     * At 100 TB this is the ideal Spark plan already: predicate + column
     * pruning reach the parquet scan; the groupBy key cardinality (≤ 6) makes
@@ -38,18 +69,16 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        // sums rounded at the true decimal granularity of the product
-        // (2dp price × 2dp factors) — recovers the exact decimal value, so
-        // partial-aggregation summation order can't flip a rounding boundary
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
-        // averages derived from the granularity-rounded sum: both engines
-        // then divide the *same* double, so the final rounding can't land on
-        // opposite sides of a half-boundary (sum/n is often a terminating
-        // decimal ending in 5 when n has only 2s and 5s)
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        // money sums via dsum: exact decimal accumulation, order-independent
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        // averages derived from the exact sum: both engines divide the SAME
+        // double, so the final rounding can't land on opposite sides of a
+        // half-boundary (sum/n is often a terminating decimal ending in 5
+        // when n has only 2s and 5s)
         (round(sum(col("l_quantity")), 2) / count(lit(1))).as("avg_qty"),
-        (round(sum(col("l_extendedprice")), 2) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
         (round(sum(col("l_discount")), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -106,7 +135,7 @@ object Relational {
       .join(nation, col("c_nationkey") === col("n_nationkey"))
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -117,7 +146,7 @@ object Relational {
     Tables.orders(spark, dir)
       .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_total"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("sum_total"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -212,7 +241,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
-        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("sum_f"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0), 2).as("sum_f"),
         round(min(col("o_totalprice")), 2).as("min_price"),
         round(max(col("o_totalprice")), 2).as("max_price"))
       .orderBy(col("o_orderpriority"))
@@ -354,7 +383,7 @@ object Relational {
   def q22Cube(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .cube(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_total"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_total"))
       .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
         coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
         col("n"), col("sum_total"))
@@ -470,7 +499,7 @@ object Relational {
       .withColumn("f_salt", pmod(col("l_orderkey"), lit(16)).cast("int"))
     fact.join(dim, col("f_flag") === col("l_returnflag") && col("f_salt") === col("salt"))
       .groupBy(col("f_flag"), col("flag_avg_disc"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_price"))
       .select(col("f_flag"), col("n"),
         (col("sum_price") * (lit(1) - col("flag_avg_disc"))).as("sum_disc_price"))
       .orderBy(col("f_flag"))
@@ -651,7 +680,7 @@ object Relational {
       .select(col("l_returnflag").as("f_flag"), col("l_extendedprice"))
     fact.join(dim.hint("merge"), col("f_flag") === col("l_returnflag"))
       .groupBy(col("f_flag"), col("flag_avg_disc"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_price"))
       .select(col("f_flag"), col("n"),
         (col("sum_price") * (lit(1) - col("flag_avg_disc"))).as("sum_disc_price"))
       .orderBy(col("f_flag"))
