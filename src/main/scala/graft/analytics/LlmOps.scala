@@ -852,12 +852,29 @@ object LlmOps {
         .reduce(_ + _).cast("long").as("simhash"))
   }
 
+  /** Per-(band, bucket) membership CAP for the simhash LSH paths — the
+    * [[StopShingleCap]] analog: a band bucket contributes at most cap²/2
+    * candidate pairs regardless of corpus size, so total candidate volume
+    * is bounded by buckets × cap²/2 — a CONSTANT per configuration — not
+    * by the square of the largest duplicate cluster. The sf1 rehearsal
+    * measured why this is required: the synthetic corpus's 31-token
+    * vocabulary collapses 24.9k docs to 3.8k distinct 16-bit signatures
+    * (largest identical-signature cluster 2,019 docs ⇒ 2M+ pairs from ONE
+    * bucket; 21.9s). The cap keeps the smallest `SimhashBucketCap` doc_ids
+    * per bucket (deterministic, window row_number, mirrored in the
+    * oracle); monster clusters still surface — their lowest-id members
+    * pair among themselves and fill the top-200 with hamming-0 rows — and
+    * members lost to the cap are same-bucket near-identicals a production
+    * pipeline removes with EXACT dedup upstream of LSH. */
+  private val SimhashBucketCap = 64
+
   /** SimHash near-dup PAIRS: banded candidate generation + exact Hamming
     * verify. The 16-bit simhash splits into four 4-bit bands; two hashes
     * within Hamming distance 3 differ in at most 3 bands, so they agree
     * exactly on at least one (pigeonhole) — candidates are pairs sharing
     * any band value, verified with bit_count(xor) <= 3. Banding bounds the
-    * join fanout the same way MinHash-LSH banding does: no doc² anywhere.
+    * join fanout the same way MinHash-LSH banding does: no doc² anywhere;
+    * [[SimhashBucketCap]] bounds the per-bucket fanout.
     *
     * The 16-bit width is the DIDACTIC twin of [[ddSimhashWidePairs]] (the
     * production path): with only 64 band buckets its candidate set is
@@ -873,6 +890,9 @@ object LlmOps {
         explode_outer(expr("sequence(0, 3)")).as("band"))
       .filter(col("band").isNotNull)
       .withColumn("bv", expr("(simhash div CAST(pow(16, band) AS BIGINT)) % 16"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= SimhashBucketCap).drop("rn")
     val cand = bands.toDF("ia", "ha", "band", "bv")
       .join(bands.toDF("ib", "hb", "band2", "bv2"),
         col("band") === col("band2") && col("bv") === col("bv2") && col("ia") < col("ib"))
@@ -922,6 +942,9 @@ object LlmOps {
         explode_outer(expr("sequence(0, 5)")).as("band"))
       .filter(col("band").isNotNull)
       .withColumn("bv", expr("(simhash div shiftleft(CAST(1 AS BIGINT), 10 * band)) % 1024"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= SimhashBucketCap).drop("rn")
     val cand = bands.toDF("ia", "ha", "band", "bv")
       .join(bands.toDF("ib", "hb", "band2", "bv2"),
         col("band") === col("band2") && col("bv") === col("bv2") && col("ia") < col("ib"))
@@ -2271,9 +2294,13 @@ object LlmOps {
          |  SELECT doc_id, simhash, band,
          |    (simhash // CAST(pow(16, band) AS BIGINT)) % 16 AS bv
          |  FROM sig, unnest([0, 1, 2, 3]) AS u(band)),
+         |capped AS (
+         |  SELECT doc_id, simhash, band, bv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) AS rn
+         |    FROM bands) WHERE rn <= $SimhashBucketCap),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.simhash AS ha, b.simhash AS hb
-         |  FROM bands a JOIN bands b
+         |  FROM capped a JOIN capped b
          |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT ia, ib, bit_count(xor(ha, hb)) AS hamming
          |FROM cand
@@ -2310,9 +2337,13 @@ object LlmOps {
          |  SELECT doc_id, simhash, band,
          |    (simhash // CAST(pow(2, 10 * band) AS BIGINT)) % 1024 AS bv
          |  FROM sig, unnest([0, 1, 2, 3, 4, 5]) AS u(band)),
+         |capped AS (
+         |  SELECT doc_id, simhash, band, bv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) AS rn
+         |    FROM bands) WHERE rn <= $SimhashBucketCap),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.simhash AS ha, b.simhash AS hb
-         |  FROM bands a JOIN bands b
+         |  FROM capped a JOIN capped b
          |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT ia, ib, bit_count(xor(ha, hb)) AS hamming
          |FROM cand
