@@ -67,6 +67,7 @@ object LlmOps {
       tracked.clear()
       jpMemo.clear()
       pwMemo.clear()
+      sigMemo.clear()
     }
   }
 
@@ -333,6 +334,8 @@ object LlmOps {
     "jaccard_pairs" -> (() => { jaccardPairs(spark, dir).count(); () }),
     "passage_windows_n4" -> (() => { passageWindows(spark, dir, 4).count(); () }),
     "passage_windows_n8" -> (() => { passageWindows(spark, dir, 8).count(); () }),
+    "simhash_sig" -> (() => { simhashSig(spark, dir).count(); () }),
+    "simhash_wide_sig" -> (() => { simhashWideSig(spark, dir).count(); () }),
     "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }))
 
   /** Note `sizes` counts the FULL shingle set (the Jaccard denominator),
@@ -820,7 +823,7 @@ object LlmOps {
   /** 16-bit SimHash over the distinct word set (md5-derived 16-bit token
     * hashes, per-bit majority vote). */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashSig(spark, dir).orderBy(col("doc_id"))
+    simhashSig(spark, dir).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
 
   /** The unordered signature table — what the pairs query materializes.
     * NO orderBy here: a global sort ahead of a checkpoint would run the
@@ -835,22 +838,38 @@ object LlmOps {
   private val evenFpSpark =
     "substr(md5(text), 1, 1) IN ('0','2','4','6','8','a','c','e')"
 
-  private def simhashSig(spark: SparkSession, dir: String,
-      sampleEvenFp: Boolean = false): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-    val tok = (if (sampleEvenFp) docs.filter(expr(evenFpSpark)) else docs)
-      .withColumn("toks", expr(toksSpark))
-      .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
-      .filter(col("t").isNotNull)
-      .withColumn("h", expr(hex4("md5(t)")).cast("long"))
-    val bits = (0 until 16).map(i =>
-      sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
-    val bitSums = tok.groupBy(col("doc_id")).agg(bits.head, bits.tail: _*)
-    bitSums.select(col("doc_id"),
-      (0 until 16).map(i => expr(s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"))
-        .reduce(_ + _).cast("long").as("simhash"))
+  /** Memoized per (session, dir, width): ONE signature build serves both
+    * the signature-reporting query and the pairs query of its width (and
+    * is prewarmed by [[stateBuilders]] so neither absorbs the build into
+    * its floor). The 16-bit table carries the [[evenFpSpark]] flag as a
+    * column, so the sampled pairs twin is a FILTER over the shared table
+    * instead of a second tokenize pass. */
+  private val sigMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+  private def memoSig(spark: SparkSession, dir: String, kind: String)
+      (build: => DataFrame): DataFrame = synchronized {
+    sigMemo.getOrElseUpdate((spark, dir, kind), {
+      val df = build.cache(); df.count(); track(df)
+    })
   }
+
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "sig16") {
+      val tok = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("efp", expr(evenFpSpark))
+        .withColumn("toks", expr(toksSpark))
+        .select(col("doc_id"), col("efp"),
+          explode_outer(array_distinct(col("toks"))).as("t"))
+        .filter(col("t").isNotNull)
+        .withColumn("h", expr(hex4("md5(t)")).cast("long"))
+      val bits = (0 until 16).map(i =>
+        sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
+      val bitSums = tok.groupBy(col("doc_id"), col("efp")).agg(bits.head, bits.tail: _*)
+      bitSums.select(col("doc_id"), col("efp"),
+        (0 until 16).map(i => expr(s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"))
+          .reduce(_ + _).cast("long").as("simhash"))
+    }
 
   /** Per-(band, bucket) membership CAP for the simhash LSH paths — the
     * [[StopShingleCap]] analog: a band bucket contributes at most cap²/2
@@ -883,9 +902,9 @@ object LlmOps {
     * in the oracle SQL) — candidates quarter while the banding/verify
     * plan under demonstration stays identical. */
   def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // eager cache, same AQE-preserving reasoning as the minhash signature
-    val sig = track(simhashSig(spark, dir, sampleEvenFp = true).cache())
-    sig.count()
+    // the memoized full-corpus table filtered by the precomputed sample
+    // flag — no second tokenize pass for the sampled twin
+    val sig = simhashSig(spark, dir).filter(col("efp"))
     val bands = sig.select(col("doc_id"), col("simhash"),
         explode_outer(expr("sequence(0, 3)")).as("band"))
       .filter(col("band").isNotNull)
@@ -912,22 +931,23 @@ object LlmOps {
   def ddSimhashWide(spark: SparkSession, dir: String): DataFrame =
     simhashWideSig(spark, dir).orderBy(col("doc_id"))
 
-  private def simhashWideSig(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("toks", expr(toksSpark))
-      .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
-      .filter(col("t").isNotNull)
-      .withColumn("h", expr(hex15("md5(t)")))
-    // one-pass SimhashAgg kernel (custom TypedImperativeAggregate): walks
-    // the 60 bit counters in a primitive loop per row, replacing the
-    // 60-column declarative sum the DuckDB oracle still runs (identical
-    // sign rule — SimhashAggSpec pins equality against the declarative
-    // form; the 16-bit simhashSig keeps that form as the didactic twin)
-    tok.groupBy(col("doc_id"))
-      .agg(org.apache.spark.sql.graft.SimhashBridge
-        .simhashAgg(col("h"), 60).as("simhash"))
-  }
+  private def simhashWideSig(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "sig60") {
+      val tok = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", expr(toksSpark))
+        .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
+        .filter(col("t").isNotNull)
+        .withColumn("h", expr(hex15("md5(t)")))
+      // one-pass SimhashAgg kernel (custom TypedImperativeAggregate): walks
+      // the 60 bit counters in a primitive loop per row, replacing the
+      // 60-column declarative sum the DuckDB oracle still runs (identical
+      // sign rule — SimhashAggSpec pins equality against the declarative
+      // form; the 16-bit simhashSig keeps that form as the didactic twin)
+      tok.groupBy(col("doc_id"))
+        .agg(org.apache.spark.sql.graft.SimhashBridge
+          .simhashAgg(col("h"), 60).as("simhash"))
+    }
 
   /** Wide-simhash near-dup pairs: six 10-bit bands (1024 values each) —
     * hamming ≤ 5 ⇒ at most 5 differing bands ⇒ agreement on at least one
@@ -936,8 +956,7 @@ object LlmOps {
     * candidate set collapses to the near-dup pairs themselves — the
     * measured form of "widening the hash divides candidate volume". */
   def ddSimhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = track(simhashWideSig(spark, dir).cache())
-    sig.count()
+    val sig = simhashWideSig(spark, dir) // memoized + cached table
     val bands = sig.select(col("doc_id"), col("simhash"),
         explode_outer(expr("sequence(0, 5)")).as("band"))
       .filter(col("band").isNotNull)
