@@ -49,6 +49,9 @@ object CliScale {
     * freetrade 500k rows (~1% statements, dropped), ii 300k (~1% fee rows,
     * dropped), fidelity 198k (+8-line preamble, ~1% Cash In, dropped),
     * bullionvault 2k emails — ~1M total lines. */
+  private[graft] def genFixturesForTest(dir: String, scale: Double): (Long, Long, Long, Long) =
+    genFixtures(dir, scale)
+
   private def genFixtures(dir: String, scale: Double): (Long, Long, Long, Long) = {
     val d = Paths.get(dir)
     Files.createDirectories(d)

@@ -27,6 +27,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * TESTDATA.md readers expect); generation runs in parallel across tables.
   *
   * Usage: runMain graft.GenData <outDir> [sf]   (default sf=1.0)
+  *
+  * POST-STEP (driver-side): `python3 scripts/cast_events_ns.py <outDir>`
+  * rewrites events.ts to the driver layout — INT64 TIMESTAMP(nanos), which
+  * the engine reads as an epoch-nanos LONG under `nanosAsLong`. Spark
+  * cannot emit nanosecond timestamps itself, so the generated events table
+  * is not usable by the events queries until the cast runs.
   */
 object GenData {
 
