@@ -1612,6 +1612,44 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** SEMANTIC dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a coarse
+    * quantizer, compare vectors ONLY within their cluster, and drop every
+    * vector whose cosine to a LOWER-id cluster-mate clears the dedup
+    * threshold (0.9) — the embedding-space generalization of near-dup
+    * text removal, catching paraphrases no shingle/simhash family can.
+    * Reuses [[simIvf]]'s deterministic 16-centroid broadcast quantizer
+    * (production: sampled k-means with k ∝ N, which keeps cluster sizes —
+    * and therefore the per-cluster pair quadratic — BOUNDED as the corpus
+    * grows; the cluster-scoped join shape here is exactly that plan).
+    * Emits one row per vector: its cell, the max cosine to any lower-id
+    * cluster-mate (NULL when none), and the keep verdict. */
+  def ddSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val a = assigned.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("cell").as("cellb"))
+    // max is order-independent over doubles, so the aggregate is exact
+    val low = a.join(b, col("cell") === col("cellb") && col("ib") < col("ia"))
+      .withColumn("cos", dotF(col("ea"), col("eb")) / sqrt(col("na") * col("nb")))
+      .groupBy(col("ia")).agg(max(col("cos")).as("max_cos_lower"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(low.withColumnRenamed("ia", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("max_cos_lower"),
+        (col("max_cos_lower").isNull || col("max_cos_lower") < 0.9).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal column plumbing: treat content as opaque binary + typed
@@ -1665,6 +1703,7 @@ object LlmOps {
     "dd_simhash_pairs" -> ddSimhashPairs _,
     "dd_simhash_wide" -> ddSimhashWide _,
     "dd_simhash_wide_pairs" -> ddSimhashWidePairs _,
+    "dd_semdedup" -> ddSemdedup _,
     "dd_incremental" -> ddIncremental _,
     "dd_incremental_bucketed" -> ddIncrementalBucketed _,
     "dd_embed_topk" -> ddEmbedTopk _,
@@ -2473,7 +2512,33 @@ object LlmOps {
     "mm_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha_hex, source
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same quantizer CTEs as sim_ivf; low-id in-cluster max cosine + verdict
+    "dd_semdedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id < 16),
+         |ass AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |               cents.cent_id) AS ark
+         |  FROM e CROSS JOIN cents),
+         |cell AS (
+         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1),
+         |low AS (
+         |  SELECT a.vec_id,
+         |    max((${dot("a.embedding", "b.embedding", 1)}) / sqrt(a.nrm * b.nrm)) AS max_cos_lower
+         |  FROM cell a JOIN cell b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  GROUP BY a.vec_id)
+         |SELECT c.vec_id, c.cell, l.max_cos_lower,
+         |  (l.max_cos_lower IS NULL OR l.max_cos_lower < 0.9) AS kept
+         |FROM cell c LEFT JOIN low l ON c.vec_id = l.vec_id
+         |ORDER BY c.vec_id""".stripMargin)
 
   private def minhashSliceCols: String =
     (0 until 8).map { j =>

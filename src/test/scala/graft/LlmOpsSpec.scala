@@ -389,4 +389,35 @@ class LlmOpsSpec extends SparkSpec {
     val kept = LlmOps.ddIncremental(spark, d).collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(kept == Seq(251L), kept.mkString(","))
   }
+
+  test("semantic dedup drops in-cluster near-duplicates and keeps cluster representatives") {
+    import spark.implicits._
+    // 16 orthogonal unit centroids (ids 0-15), a near-copy of 3 (id 16),
+    // an orthogonal newcomer (id 17), an exact copy of 5 (id 18), and a
+    // 0.7-cosine neighbor of 2 (id 19) - below the 0.9 threshold
+    def unit(i: Int): Array[Float] = Array.tabulate(64)(j => if (j == i) 1f else 0f)
+    def mix(i: Int, j: Int, wi: Float, wj: Float): Array[Float] = {
+      val v = Array.tabulate(64)(k => (if (k == i) wi else 0f) + (if (k == j) wj else 0f))
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val vecs = (0 until 16).map(i => (i.toLong, unit(i), i % 10)) ++ Seq(
+      (16L, mix(3, 20, 0.995f, 0.0999f), 3),
+      (17L, unit(17), 7),
+      (18L, unit(5), 5),
+      (19L, mix(2, 21, 0.7f, 0.714f), 2))
+    val d = java.nio.file.Files.createTempDirectory("semdedup").toString
+    vecs.toDF("vec_id", "embedding", "label").write.parquet(s"$d/embeddings.parquet")
+    val rows = LlmOps.ddSemdedup(spark, d).collect()
+    assert(rows.length == 20)
+    val byId = rows.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("cell"), Option(r.getAs[Any]("max_cos_lower")).map(_.asInstanceOf[Double]),
+        r.getAs[Boolean]("kept"))).toMap
+    val dropped = byId.collect { case (id, (_, _, false)) => id }.toSet
+    assert(dropped == Set(16L, 18L), s"dropped=$dropped")
+    assert(byId(16L)._1 == 3L && byId(16L)._2.exists(_ >= 0.9))
+    assert(byId(18L)._1 == 5L && byId(18L)._2.exists(c => math.abs(c - 1.0) < 1e-6))
+    assert(byId(19L)._1 == 2L && byId(19L)._3, "0.7-cosine neighbor must survive")
+    assert((0L until 16L).forall(byId(_)._3), "centroid representatives must be kept")
+  }
 }
