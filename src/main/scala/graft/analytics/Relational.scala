@@ -616,8 +616,17 @@ object Relational {
     val bigOrders = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 300000)
       .select(col("o_orderkey"))
+    // SIZE THE SKETCH FROM THE DATA: a fixed capacity saturates at scale —
+    // the 20x rehearsal put ~1.2M build keys into the original 1M-item/1MB
+    // filter and the false-positive rate honestly blew the 2% bound the
+    // query asserts. The orders row count is a metadata-only parquet count
+    // (footer stats, no scan); capacity never shrinks below the original
+    // constants, so small-SF results stay byte-identical.
+    val nOrders = Tables.orders(spark, dir).count()
+    val expected = math.max(1000000L, nOrders)
     val bloom = bigOrders
-      .agg(BloomBridge.bloomAgg(col("o_orderkey"), 1000000L, 8388608L).as("bf"))
+      .agg(BloomBridge.bloomAgg(col("o_orderkey"), expected,
+        math.max(8388608L, 10L * expected)).as("bf"))
       .scalar()
     val li = Tables.lineitem(spark, dir)
     val exact = li.join(broadcast(bigOrders), col("l_orderkey") === col("o_orderkey"), "left_semi")
