@@ -1612,6 +1612,37 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Unigram RARITY / LM-quality score — the CCNet-style signal (Wenzek
+    * et al. 2020 score docs by LM perplexity; the unigram degenerate case
+    * needs no model): each doc's tokens are weighted by their CORPUS
+    * frequency, so boilerplate-heavy docs score high and rare-token noise
+    * scores low. Emitted as exact BIGINT aggregates (sum/min of corpus
+    * term counts over the doc's token instances) plus ONE final double
+    * division — integer arithmetic end-to-end means the cross-engine hash
+    * cannot wobble (no float sums anywhere; see [[graft.analytics
+    * .Relational]]'s dsum note for why that matters). Plan shape: one
+    * text scan, a map-side-combinable term-frequency agg (vocab-bounded),
+    * the tiny tf table broadcast back onto the token stream, one doc-keyed
+    * agg — two bounded shuffles at any corpus size. */
+  def txtRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
+    val tf = toks.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val total = tf.agg(sum(col("n_t")).as("n_corpus"))
+    toks.join(broadcast(tf), Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("n_t")).as("sum_tf"),
+        min(col("n_t")).as("min_tf"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_toks"), col("sum_tf"), col("min_tf"),
+        (col("sum_tf").cast("double") / col("n_toks") / col("n_corpus"))
+          .as("mean_tf_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SEMANTIC dedup — the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with a coarse
     * quantizer, compare vectors ONLY within their cluster, and drop every
@@ -1704,6 +1735,7 @@ object LlmOps {
     "dd_simhash_wide" -> ddSimhashWide _,
     "dd_simhash_wide_pairs" -> ddSimhashWidePairs _,
     "dd_semdedup" -> ddSemdedup _,
+    "txt_rarity" -> txtRarity _,
     "dd_incremental" -> ddIncremental _,
     "dd_incremental_bucketed" -> ddIncrementalBucketed _,
     "dd_embed_topk" -> ddEmbedTopk _,
@@ -2513,6 +2545,22 @@ object LlmOps {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha_hex, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // integer-exact mirror: bigint tf sums, one final double division
+    "txt_rarity" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT doc_id, unnest(toks) AS t FROM base),
+         |tf AS (
+         |  SELECT t, count(*) AS n_t FROM tok GROUP BY t),
+         |total AS (
+         |  SELECT sum(n_t) AS n_corpus FROM tf)
+         |SELECT doc_id, count(*) AS n_toks,
+         |  CAST(sum(n_t) AS BIGINT) AS sum_tf,
+         |  min(n_t) AS min_tf,
+         |  CAST(CAST(sum(n_t) AS BIGINT) AS DOUBLE) / count(*) / (SELECT n_corpus FROM total) AS mean_tf_share
+         |FROM tok JOIN tf USING (t)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // same quantizer CTEs as sim_ivf; low-id in-cluster max cosine + verdict
     "dd_semdedup" ->

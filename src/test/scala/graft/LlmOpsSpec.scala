@@ -420,4 +420,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(byId(19L)._1 == 2L && byId(19L)._3, "0.7-cosine neighbor must survive")
     assert((0L until 16L).forall(byId(_)._3), "centroid representatives must be kept")
   }
+
+  test("unigram rarity scores boilerplate-heavy docs above unique-token docs") {
+    val rows = LlmOps.txtRarity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("min_tf"), r.getAs[Double]("mean_tf_share"))).toMap
+    assert(rows.size == 5)
+    // docs 0/1 are exact duplicates: every token appears >= 2x in the corpus
+    assert(rows(0L)._1 >= 2 && rows(1L)._1 >= 2)
+    // doc 3's tokens are unique to it -> minimum corpus frequency 1
+    assert(rows(3L)._1 == 1L)
+    assert(rows(0L)._2 > rows(3L)._2,
+      s"duplicated doc must outscore unique-token doc: ${rows(0L)._2} vs ${rows(3L)._2}")
+  }
 }
