@@ -43,11 +43,20 @@ object Bench {
     // window memos, bucketed fact + fingerprint state tables) BEFORE the
     // query loop, so family members no longer absorb build cost into their
     // per-query floors (dd_align used to carry ~5s of jaccard state).
+    // (name, seconds, error): a FAILED build must be visible — swallowed, it
+    // is indistinguishable from a fast one, and its cost silently shifts back
+    // into the first family query (the exact floor distortion the pre-stage
+    // exists to remove).
     val stateTimes = (graft.analytics.LlmOps.stateBuilders(spark, sfDir) ++
       graft.analytics.Relational.stateBuilders(spark, sfDir)).map { case (name, f) =>
       val t0 = System.nanoTime()
-      try f() catch { case _: Throwable => () }
-      (name, (System.nanoTime() - t0) / 1e9)
+      val err = try { f(); None } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").linesIterator
+            .find(_.nonEmpty).getOrElse("")
+          Some(s"${e.getClass.getName}: $msg".take(300))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val stateTotal = stateTimes.map(_._2).sum
 
@@ -73,16 +82,18 @@ object Bench {
       } + "\""
     // `failed` keeps the name-array shape older tooling reads; `errors` maps
     // each failed query to its exception class + first message line
-    val failed = results.collect { case (k, _, Some(_)) => s"\"" + k + "\"" }
+    val failed = (results.collect { case (k, _, Some(_)) => s"\"" + k + "\"" } ++
+      stateTimes.collect { case (k, _, Some(_)) => s"\"state:" + k + "\"" })
       .mkString("[", ",", "]")
-    val errors = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+    val errors = (results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) } ++
+      stateTimes.collect { case (k, _, Some(e)) => s"\"state:" + k + "\":" + jstr(e) })
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def line(fmt: Double => String, stateDetail: Boolean, failParts: Boolean): String = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val st = if (stateDetail)
-        stateTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        stateTimes.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
           .mkString("\"state_build\":{", ",", "},")
       else ""
       val fp = if (failParts) s""""failed":$failed,"errors":$errors,""" else ""
@@ -94,11 +105,14 @@ object Bench {
     // queries in round 8); the one printed line is the same query map at
     // trailing-zero-stripped 2-decimal precision — measured under the tail
     // budget — with failed/errors included only when non-empty.
+    // Locale.ROOT: a comma-decimal default locale would print "1,23" and
+    // make the JSON line unparseable — the formatted path must be as
+    // locale-independent as the old v.toString one.
     def f2(v: Double): String = {
-      val s = f"$v%.2f"
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    val anyFailed = results.exists(_._3.isDefined)
+    val anyFailed = results.exists(_._3.isDefined) || stateTimes.exists(_._3.isDefined)
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -235,8 +235,11 @@ object CliScale {
     }
 
     val pass = okCount == expected && badFormat == 0L && badOrder == 0L
-    val phaseJson = phases.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
-    println(f"""{"metric":"cli_scale","pass":$pass,"lines":$okCount,"expected":$expected,"bad_format":$badFormat,"bad_order":$badOrder,"gen_sec":$tGen%.2f,$phaseJson,"verify_sec":$tVerify%.2f}""")
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale would print "1,23" into the JSON line.
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val phaseJson = phases.map { case (k, v) => s""""$k":${f2(v)}""" }.mkString(",")
+    println(s"""{"metric":"cli_scale","pass":$pass,"lines":$okCount,"expected":$expected,"bad_format":$badFormat,"bad_order":$badOrder,"gen_sec":${f2(tGen)},$phaseJson,"verify_sec":${f2(tVerify)}}""")
     require(pass, s"CLI-scale verification failed: lines=$okCount/$expected badFormat=$badFormat badOrder=$badOrder")
     spark.stop()
   }

@@ -609,8 +609,8 @@ object Relational {
     * count per group) and a bounded false-positive overshoot — and the
     * oracle recomputes the exact side, pinning both TRUE. The sketch is a
     * scalar subquery (`Dataset.scalar`), so the build runs lazily inside
-    * the returned plan — constructing the frame costs nothing, like every
-    * other query builder here. */
+    * the returned plan — constructing the frame schedules no Spark job
+    * (the capacity sizing reads parquet footers only). */
   def q33BloomPrune(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.BloomBridge
     val bigOrders = Tables.orders(spark, dir)
@@ -619,10 +619,12 @@ object Relational {
     // SIZE THE SKETCH FROM THE DATA: a fixed capacity saturates at scale —
     // the 20x rehearsal put ~1.2M build keys into the original 1M-item/1MB
     // filter and the false-positive rate honestly blew the 2% bound the
-    // query asserts. The orders row count is a metadata-only parquet count
-    // (footer stats, no scan); capacity never shrinks below the original
-    // constants, so small-SF results stay byte-identical.
-    val nOrders = Tables.orders(spark, dir).count()
+    // query asserts. The orders row count comes straight from the parquet
+    // FOOTERS (Tables.rowCount — no Spark job), so constructing the frame
+    // still schedules nothing. Capacity never shrinks below the original
+    // constants; at small SF the SKETCH itself differs (more bits) but the
+    // emitted rows are unchanged — the booleans it pins hold either way.
+    val nOrders = Tables.rowCount(spark, dir, "orders")
     val expected = math.max(1000000L, nOrders)
     val bloom = bigOrders
       .agg(BloomBridge.bloomAgg(col("o_orderkey"), expected,
@@ -704,7 +706,7 @@ object Relational {
     * either side; the only shuffles left are the post-join aggregation and
     * final sort. At 100 TB this is the difference between re-shuffling
     * both fact tables on every join and paying the layout once at load
-    * time (bucket count scales with the cluster; 8 here). The MERGE hint
+    * time (bucket count data-sized via [[factBuckets]]). The MERGE hint
     * pins the sort-merge strategy the bucket layout serves at test SF.
     * Result is identical to the plain parquet join, which the oracle
     * runs. */
@@ -717,14 +719,31 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** DATA-SIZED bucket count for the fact layout: next power of two above
+    * maxRows/512Ki, floor 8 (the original constant — sf0.1 and below are
+    * unchanged), cap 1024. The fixed 8 made the bucketed WRITE the
+    * scale bottleneck — 8 writer tasks serialized the sf2 lineitem commit
+    * at 35 s — because with one file per bucket, bucket count IS write
+    * parallelism. Row count comes from parquet footers (no Spark job).
+    * Both fact tables share one count-derived value: equal bucket counts
+    * on both sides are what lets the join drop its exchanges. */
+  private def factBuckets(spark: SparkSession, dir: String): Int = {
+    val rows = math.max(Tables.rowCount(spark, dir, "orders"),
+      Tables.rowCount(spark, dir, "lineitem"))
+    var b = 8
+    while (b < 1024 && b.toLong * 524288L < rows) b <<= 1
+    b
+  }
+
   /** Idempotently materialize orders/lineitem bucketed+sorted on the
-    * orderkey (8 buckets), same lifecycle pattern as the LLM side's
-    * fingerprint state table: the table names carry a tag of the source
-    * dir (so two dirs in one warehouse/SharedState never clobber each
-    * other and no session-conf marker is needed), stale warehouse dirs
-    * from a previous JVM deleted before the rewrite, writers
-    * repartitioned on the bucket key so the 8-bucket layout commits 8
-    * files in parallel (production scales file count with data). */
+    * orderkey ([[factBuckets]] buckets), same lifecycle pattern as the
+    * LLM side's fingerprint state table: the table names carry a tag of
+    * the source dir (so two dirs in one warehouse/SharedState never
+    * clobber each other and no session-conf marker is needed), stale
+    * warehouse dirs from a previous JVM deleted before the rewrite,
+    * writers repartitioned on the bucket key so the N-bucket layout
+    * commits N files in parallel (production scales file count with
+    * data). */
   private def bucketedFactTables(spark: SparkSession, dir: String): (String, String) =
     synchronized {
       val tag = graft.analytics.Tables.dirTag(dir)
@@ -733,6 +752,7 @@ object Relational {
       if (!exists) {
         val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
           .stripPrefix("file:")
+        val nb = factBuckets(spark, dir)
         Seq(ordersT -> "orders", lineitemT -> "lineitem").foreach { case (t, src) =>
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val p = java.nio.file.Paths.get(wh, t)
@@ -744,12 +764,12 @@ object Relational {
           val key = if (src == "orders") "o_orderkey" else "l_orderkey"
           // repartition on the bucket key with the bucket count: Spark's
           // repartition and bucketBy share the Murmur3 hash, so every
-          // writer task holds exactly one bucket's rows — 8 parallel
+          // writer task holds exactly one bucket's rows — nb parallel
           // writers, one file per bucket (repartition(1) measured 8s
           // single-threaded for the sf0.1 lineitem write; this shape is
           // also the production one, scaled to files-per-bucket targets)
-          Tables(spark, dir, src).repartition(8, col(key))
-            .write.bucketBy(8, key).sortBy(key).saveAsTable(t)
+          Tables(spark, dir, src).repartition(nb, col(key))
+            .write.bucketBy(nb, key).sortBy(key).saveAsTable(t)
         }
       }
       (ordersT, lineitemT)

@@ -12,6 +12,38 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Parquet row count read from FILE FOOTERS — no Spark job, no scan.
+    * This is the sizing primitive for every data-derived capacity (bloom
+    * bits, quantizer cell counts, LSH plane counts, bucket counts): a query
+    * builder may call it at frame-construction time without scheduling
+    * work, so plan-shape audits that never execute the frame stay job-free.
+    * Handles both a single parquet file and a directory of part files.
+    * Memoized on (path, latest mtime, total length), so a rewritten dir
+    * (GenData regeneration in the same JVM) is re-read, not served stale. */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files = {
+      val st = fs.getFileStatus(root)
+      if (st.isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      else Seq(st)
+    }
+    val key = (root.toString,
+      files.map(_.getModificationTime).maxOption.getOrElse(0L),
+      files.map(_.getLen).sum)
+    rowCountMemo.getOrElseUpdate(key, files.map { s =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum)
+  }
+  private val rowCountMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
+
   /** Short stable tag of a data directory, safe inside a table identifier —
     * used to key materialized state tables (bucketed facts, fingerprint
     * state) by the dir they were built from, so two dirs in one warehouse
