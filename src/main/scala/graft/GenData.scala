@@ -26,7 +26,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * parquet FILE named `{table}.parquet` (the layout the DuckDB oracle and
   * TESTDATA.md readers expect); generation runs in parallel across tables.
   *
-  * Usage: runMain graft.GenData <outDir> [sf]   (default sf=1.0)
+  * Usage: runMain graft.GenData <outDir> [sf] [zipf]   (default sf=1.0,
+  * uniform; `zipf` switches foreign-key/categorical draws harmonic — see
+  * [[zipfDraw]])
   *
   * POST-STEP (driver-side): `python3 scripts/cast_events_ns.py <outDir>`
   * rewrites events.ts to the driver layout — INT64 TIMESTAMP(nanos), which
@@ -46,6 +48,14 @@ object GenData {
   private def rng(salt: Long, id: Long): SplittableRandom =
     new SplittableRandom(mix(salt * 0x100000001b3L + id))
   private def r2(d: Double): Double = math.rint(d * 100) / 100
+
+  /** Harmonic (Zipf s=1) draw over [0, n): inverse-CDF of p(k) ∝ 1/(k+1)
+    * via k = floor((n+1)^u - 1). Key 0 receives ~ln(2)/ln(n+1) of all draws
+    * (≈5% at n=1.5M) — a genuinely hot key, the shape the salting / AQE
+    * skew-join / bucket-cap machinery exists for and which the uniform
+    * generator never produces. Deterministic per row like every other draw. */
+  private def zipfDraw(r: SplittableRandom, n: Long): Long =
+    math.min(n - 1, (math.pow(n.toDouble + 1, r.nextDouble()) - 1).toLong)
 
   private val ts0 = LocalDate.of(1995, 1, 1)
   private def dayTs(days: Int): Timestamp =
@@ -133,6 +143,12 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val outDir = Paths.get(args.headOption.getOrElse("/root/testdata-local/sf1"))
     val sf = if (args.length > 1) args(1).toDouble else 1.0
+    // Opt-in `zipf` mode: same schemas/row counts/planted dups, but the
+    // foreign-key and categorical draws become harmonic — hot customer, hot
+    // order, hot user, 90%-en documents — so the skew machinery (AQE skew
+    // join, bucket caps, blocked near-dup) is rehearsed against the key
+    // distribution it exists for. Uniform mode is byte-identical to before.
+    val skew = args.length > 2 && args(2) == "zipf"
     Files.createDirectories(outDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -200,13 +216,15 @@ object GenData {
       },
       gen("orders", nOrders) { id =>
         val r = rng(4001, id)
-        Order(id, r.nextLong(nCust), "FOP".charAt(r.nextInt(3)).toString,
+        Order(id, if (skew) zipfDraw(r, nCust) else r.nextLong(nCust),
+          "FOP".charAt(r.nextInt(3)).toString,
           r2(1000 + r.nextDouble() * 499000), dayTs(r.nextInt(2400)),
           priorities(r.nextInt(5)))
       },
       gen("lineitem", nLine) { id =>
         val r = rng(5001, id)
-        Lineitem(r.nextLong(nOrders), r.nextLong(nPart), r.nextLong(nSupp),
+        Lineitem(if (skew) zipfDraw(r, nOrders) else r.nextLong(nOrders),
+          if (skew) zipfDraw(r, nPart) else r.nextLong(nPart), r.nextLong(nSupp),
           1 + r.nextInt(7), (1 + r.nextInt(50)).toDouble, r2(r.nextDouble() * 100000),
           r.nextInt(11) / 100.0, r.nextInt(9) / 100.0,
           "ANR".charAt(r.nextInt(3)).toString, "FO".charAt(r.nextInt(2)).toString,
@@ -215,14 +233,17 @@ object GenData {
       gen("events", nEvents) { id =>
         val r = rng(6001, id)
         Event(id, microTs(ev0micros + id * evSpacing + r.nextLong(30000000L)),
-          r.nextLong(nUsers), etypes(r.nextInt(5)), r2(r.nextDouble() * 560),
+          if (skew) zipfDraw(r, nUsers) else r.nextLong(nUsers),
+          etypes(r.nextInt(5)), r2(r.nextDouble() * 560),
           s"""{"k": ${r.nextInt(100)}}""")
       },
       gen("documents", nDocs) { id =>
         val r = rng(7003, id)
         val text = docText(id)
-        val lang = if (r.nextInt(100) < 41) "en" else langs(1 + r.nextInt(4))
-        Doc(id, text, lang, s"src${id % 20}", text.length.toLong)
+        val enPct = if (skew) 90 else 41 // skew: one fat (lang, len) block family
+        val lang = if (r.nextInt(100) < enPct) "en" else langs(1 + r.nextInt(4))
+        val source = if (skew) s"src${zipfDraw(r, 20)}" else s"src${id % 20}"
+        Doc(id, text, lang, source, text.length.toLong)
       },
       gen("embeddings", nEmb)(embRow))
 

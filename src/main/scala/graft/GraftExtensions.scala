@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DotProductF, DotProductRewrite, JsNumberFormat, ShingleHash32}
+import org.apache.spark.sql.graft.{DotProductF, DotProductFL, DotProductRewrite, JsNumberFormat, ShingleHash32}
 
 /** Session extensions for the graft engine: registers the custom Catalyst
   * functions so SQL users get them too.
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_fl"),
+      new ExpressionInfo(classOf[DotProductFL].getName, "dot_fl"),
+      (children: Seq[Expression]) => DotProductFL(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("shingle_hash32"),
       new ExpressionInfo(classOf[ShingleHash32].getName, "shingle_hash32"),

@@ -152,6 +152,15 @@ object LlmOps {
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
+  /** Mixed float-array × BIGINT-array dot via the codegen'd
+    * [[org.apache.spark.sql.graft.DotProductFL]] — the k-means assignment
+    * kernel (float row against an integer Lloyd-sum centroid). */
+  private def dotFL(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.DotProductFL(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Per-doc distinct-3-gram-shingle hashes via the
     * [[org.apache.spark.sql.graft.ShingleHash32]] kernel (see its Scaladoc
     * for why this beats the declarative HOF chain ~5x). */
@@ -1739,6 +1748,72 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Component quantization scale for the k-means Lloyd sums: 2^20 keeps a
+    * unit-norm float component's information (float ulp at |x|<=1 is 2^-24;
+    * the quantization error 2^-21 is far below any cosine tie that matters)
+    * while a cell's component SUM stays orders of magnitude inside BIGINT. */
+  private val KmQuant = 1L << 20
+
+  /** IVF over a K-MEANS-REFINED coarse quantizer — one deterministic,
+    * SAMPLED Lloyd round on top of [[simIvf]]'s first-k init (production
+    * trains IVF quantizers exactly this way: sample → a few Lloyd rounds →
+    * broadcast the centroid table). The refinement is CROSS-ENGINE EXACT,
+    * which a float mean could never be (a per-cell avg() of doubles is
+    * partition-order-dependent — the dsum lesson): each sampled member's
+    * components are quantized to BIGINT (round(x * [[KmQuant]])), summed
+    * per cell — integer sums are exact under any partitioning — and the
+    * UN-normalized sum vector IS the refined centroid, because cosine only
+    * needs the direction: Lloyd's divide-by-count cancels and is never
+    * computed. Full-corpus assignment against the refined centroids runs
+    * through the codegen'd [[org.apache.spark.sql.graft.DotProductFL]]
+    * (float row × BIGINT centroid); the ranking divides by
+    * sqrt(nrm * snrm) where snrm is the left-folded double self-dot of the
+    * sum vector — every post-sum step is fixed-order per-row arithmetic,
+    * so the DuckDB oracle (same unrolled left-associated chains) hashes
+    * identically. The POINT is cell balance: the first-k init inherits the
+    * id order's density; one Lloyd round moves centroids onto actual mass,
+    * evening occupancy and with it both recall and the per-cell pair cost
+    * that governs scale (LlmOpsSpec pins recall parity with [[simIvf]]). */
+  def simIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val k = ivfK(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val cents0 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    // sampled Lloyd round: every 5th vector, a deterministic id stride
+    val wInit = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val members = e.filter(expr("vec_id % 5 = 0")).crossJoin(broadcast(cents0))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wInit))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val cents1 = members
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(expr(s"CAST(round(CAST(x AS DOUBLE) * $KmQuant) AS BIGINT)")).as("s"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)").as("svec"))
+      .withColumn("snrm", expr(
+        "aggregate(svec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+    val wRef = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(cents1))
+      .withColumn("cos_c", dotFL(col("embedding"), col("svec")) / sqrt(col("nrm") * col("snrm")))
+      .withColumn("ark", row_number().over(wRef))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val q = assigned.filter(expr("vec_id % 50 = 0"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("cell"))
+    val c = assigned
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"), col("cell").as("ccell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    q.join(c, col("cell") === col("ccell") && col("qid") =!= col("cid"))
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Unigram RARITY / LM-quality score — the CCNet-style signal (Wenzek
     * et al. 2020 score docs by LM perplexity; the unigram degenerate case
     * needs no model): each doc's tokens are weighted by their CORPUS
@@ -1885,6 +1960,7 @@ object LlmOps {
     "sim_ann_probe2" -> simAnnProbe2 _,
     "sim_ivf" -> simIvf _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
+    "sim_ivf_kmeans" -> simIvfKmeans _,
     "mm_meta" -> mmMeta _)
 
   // ------------------------------------------------------- DuckDB oracles
@@ -2711,6 +2787,50 @@ object LlmOps {
          |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
          |  FROM q2 q JOIN cell c
          |    ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT qid, rk, cid, cos_exact AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // k-means-refined IVF: sampled Lloyd round with INTEGER quantized-
+    // component sums (exact in both engines under any execution order);
+    // the un-normalized sum vector is the centroid — cosine needs only
+    // the direction, so Lloyd's divide-by-count cancels. All post-sum
+    // arithmetic is the same left-associated double chains Spark folds.
+    "sim_ivf_kmeans" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents0 AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id < (SELECT k FROM params)),
+         |a0 AS (
+         |  SELECT e.vec_id, e.embedding, cents0.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (${dot("e.embedding", "cents0.cemb", 1)}) / sqrt(e.nrm * cents0.cnrm) DESC,
+         |               cents0.cent_id) AS ark
+         |  FROM e CROSS JOIN cents0 WHERE e.vec_id % 5 = 0),
+         |m AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE ark = 1),
+         |cents1 AS (
+         |  SELECT cell, [${(1 to 64).map(i =>
+             s"SUM(CAST(round(CAST(embedding[$i] AS DOUBLE) * $KmQuant) AS BIGINT))").mkString(", ")}] AS svec
+         |  FROM m GROUP BY cell),
+         |cents2 AS (SELECT cell, svec, ${dot("svec", "svec", 1)} AS snrm FROM cents1),
+         |a1 AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (${dot("e.embedding", "c.svec", 1)}) / sqrt(e.nrm * c.snrm) DESC,
+         |               c.cell) AS ark
+         |  FROM e CROSS JOIN cents2 c),
+         |cell1 AS (SELECT vec_id, embedding, nrm, cell FROM a1 WHERE ark = 1),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
+         |  FROM cell1 q JOIN cell1 c
+         |    ON q.cell = c.cell AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos_exact,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk

@@ -108,7 +108,8 @@ object Oracles {
       """SELECT
         |  CASE WHEN grouping(o_orderpriority) = 1 THEN '(by status)' ELSE o_orderpriority END AS priority,
         |  CASE WHEN grouping(o_orderstatus) = 1 THEN '(by priority)' ELSE o_orderstatus END AS status,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         |ORDER BY priority, status""".stripMargin,
@@ -271,7 +272,7 @@ object Oracles {
 
     "q03_join_revenue" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -283,7 +284,7 @@ object Oracles {
     "q04_broadcast_star" ->
       """SELECT p_brand, s_nationkey,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_price,
         |  count(*) AS n
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -362,7 +363,7 @@ object Oracles {
     "q11_rollup" ->
       """SELECT coalesce(r_name, '(all)') AS region,
         |  coalesce(n_name, '(all)') AS nation,
-        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_bal,
         |  count(*) AS n_cust
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey

@@ -102,7 +102,11 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust.filter(col("c_mktsegment") === "BUILDING"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      // dsum, not round(sum(double)): the zipfian rehearsal put ~290k
+      // lineitems under ONE hot orderkey — a 1.4e10 revenue group where
+      // double-sum order-dependence exceeds the rounding granularity
+      // (observed: spark ...7986 vs duck ...7984 at skewed sf1)
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(20)
   }
@@ -116,8 +120,11 @@ object Relational {
     li.join(part, col("l_partkey") === col("p_partkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_brand"), col("s_nationkey"))
+      // sum_qty: quantities are integers, the double sum is exact at any N.
+      // sum_price: crosses 1e9 per group once a zipfian part key fattens one
+      // brand — same class as q03's observed divergence, so dsum.
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        dsum(col("l_extendedprice"), 2).as("sum_price"),
         count(lit(1)).as("n"))
       .orderBy(col("p_brand"), col("s_nationkey"))
   }
@@ -217,7 +224,9 @@ object Relational {
       .join(nation, col("c_nationkey") === col("n_nationkey"))
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"), count(lit(1)).as("n_cust"))
+      // the (all) rollup level sums EVERY customer balance — 1.5e9 at sf1
+      // and growing with SF, so the money sum takes the dsum path
+      .agg(dsum(col("c_acctbal"), 2).as("sum_bal"), count(lit(1)).as("n_cust"))
       .select(coalesce(col("r_name"), lit("(all)")).as("region"),
         coalesce(col("n_name"), lit("(all)")).as("nation"),
         col("sum_bal"), col("n_cust"))
@@ -533,7 +542,8 @@ object Relational {
       """SELECT
         |  CASE WHEN grouping(o_orderpriority) = 1 THEN '(by status)' ELSE o_orderpriority END AS priority,
         |  CASE WHEN grouping(o_orderstatus) = 1 THEN '(by priority)' ELSE o_orderstatus END AS status,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         |ORDER BY priority, status""".stripMargin)

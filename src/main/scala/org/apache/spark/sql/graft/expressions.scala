@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for JS `Number → String` rendering — the one
@@ -95,6 +95,63 @@ case class DotProductF(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[DotProductF]]'s mixed-type sibling: float array × BIGINT array →
+  * double, same left-to-right accumulation from 0.0 with per-term double
+  * widening. Exists for the k-means-refined IVF quantizer, whose Lloyd
+  * centroids are INTEGER sum vectors (quantized-component sums — exact and
+  * partition-order-independent where a float mean would be neither); the
+  * assignment loop then needs N×k dots of a float embedding against a
+  * BIGINT centroid direction, which must run as a codegen primitive loop,
+  * not an interpreted HOF chain. A BIGINT below 2^53 widens to double
+  * exactly, so the result is bit-identical to the oracle's unrolled
+  * `CAST(a[i] AS DOUBLE) * CAST(s[i] AS DOUBLE)` chain. Registered as SQL
+  * function `dot_fl`. */
+case class DotProductFL(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_fl"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getLong(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getLong($i));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductFL =
     copy(left = newLeft, right = newRight)
 }
 
@@ -420,6 +477,8 @@ object GraftFunctions {
       "js_num", exprs => JsNumberFormat(exprs.head), "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_fl", exprs => DotProductFL(exprs(0), exprs(1)), "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hash32", exprs => ShingleHash32(exprs.head), "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
