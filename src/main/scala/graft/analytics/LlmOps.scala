@@ -141,6 +141,13 @@ object LlmOps {
   private def dot(a: String, b: String, base: Int): String =
     (base until base + 64).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
 
+  /** [[dot]]'s 8-dim sibling for the PQ oracles: the subspace starting at
+    * 1-based index `base` of two 64-dim lists, unrolled left-associated —
+    * bit-identical to a [[org.apache.spark.sql.graft.DotProductF]] run
+    * over `slice(v, base, 8)`. */
+  private def pqDot(a: String, b: String, base: Int): String =
+    (base until base + PqSub).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
+
   /** Spark-side dot product via the native codegen'd Catalyst expression
     * [[org.apache.spark.sql.graft.DotProductF]] — a tight primitive loop,
     * numerically identical to the left-folded HOF formulation AND to the
@@ -1814,6 +1821,85 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Product-quantization geometry: 64 dims = [[PqM]] subspaces ×
+    * [[PqSub]] dims, [[PqCodes]] codes per subspace. Unlike the coarse
+    * quantizers these are PRECISION knobs, not occupancy caps — the PQ
+    * index costs PqM code bytes per vector and one 128-entry lookup table
+    * per (query, subspace) REGARDLESS of N, so there is no capacity to
+    * data-size and no latent scale cliff (production uses 8-bit codes,
+    * i.e. PqCodes=256; 16 keeps the oracle's per-subspace argmin scan
+    * small). */
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqCodes = 16
+
+  /** `transform(sequence(0, 7), s -> slice(v, s*8+1, 8))` — a 64-dim float
+    * array as its [[PqM]] ordered subvectors (Spark SQL text; `slice` is
+    * 1-based). */
+  private def pqSplit(v: String): String =
+    s"transform(sequence(0, ${PqM - 1}), s -> slice($v, s * $PqSub + 1, $PqSub))"
+
+  /** IVF-PQ with asymmetric-distance (ADC) scan — the canonical web-scale
+    * ANN layout (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the coarse IVF quantizer ([[ivfAssigned]],
+    * data-sized k) bounds WHICH vectors a query scans; PQ bounds WHAT the
+    * scan reads — each candidate is 8 code bytes + a stored norm instead
+    * of 256 bytes of floats, and each pair costs 8 table lookups instead
+    * of a 64-dim dot. At 100 TB that is the difference between scanning
+    * the embedding column and scanning a ~16 B/vector index that fits in
+    * memory: the full-precision vectors are never read after encode time.
+    *
+    * Cross-engine determinism, step by step: the codebook is the first
+    * [[PqCodes]] vectors' subvectors (same first-k convention as
+    * [[simIvf]]); encode picks argmin_code of `cent·cent - 2·sub·cent`
+    * (the rank-equivalent of L2 distance — the candidate's own `sub·sub`
+    * term is code-independent and dropped), tie-broken by code id, via a
+    * map-side-combinable `min(struct(d, code))` — no window, no shuffle of
+    * the N×128 distance rows (the oracle's row_number() formulation picks
+    * the identical argmin). The query-side ADC table is the 128 partials
+    * `q_s · cent(s,c)` ordered (s, code); the pair score is 8 literal
+    * array lookups summed left-to-right, normalized by the STORED exact
+    * norms (`adc / sqrt(qn·cn)` — the norm-corrected cosine form of PQ
+    * inner-product search; norms ride along with the codes exactly as in
+    * a production IVF-PQ index). Every chain is fixed-order double
+    * arithmetic, so DuckDB hashes identically. */
+  def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (q0, c0) = ivfAssigned(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    // 128-row codebook: (s, code, cent[8], cc = cent·cent)
+    val cb = e.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "cent")))
+      .withColumn("cc", dotF(col("cent"), col("cent")))
+    // encode: per (vec, s) the argmin-(d, code) code — min(struct) aggregates
+    // with partial combine instead of windowing the N*128 distance rows
+    val codes = e
+      .select(col("vec_id"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "sub")))
+      .join(broadcast(cb), "s")
+      .withColumn("d", col("cc") - lit(2.0) * dotF(col("sub"), col("cent")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
+    // query ADC tables: 128 partials q_s · cent(s,c), ordered (s, code)
+    val qtabs = q0.filter(col("ark") === 1)
+      .select(col("qid"), col("qn"), col("cell"), posexplode(expr(pqSplit("qe"))).as(Seq("s", "qsub")))
+      .join(broadcast(cb), "s")
+      .withColumn("part", dotF(col("qsub"), col("cent")))
+      .groupBy(col("qid"), col("qn"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code, part))), p -> p.part)").as("qtab"))
+    val cands = c0.select(col("cid"), col("cn"), col("ccell"))
+      .join(codes.withColumnRenamed("vec_id", "cid"), "cid")
+    val adc = (0 until PqM)
+      .map(s => s"qtab[CAST($s * $PqCodes + codes[$s] AS INT)]").mkString(" + ")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_adc").desc, col("cid"))
+    qtabs.join(cands, col("cell") === col("ccell") && col("qid") =!= col("cid"))
+      .withColumn("cos_adc", expr(adc) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_adc"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Unigram RARITY / LM-quality score — the CCNet-style signal (Wenzek
     * et al. 2020 score docs by LM perplexity; the unigram degenerate case
     * needs no model): each doc's tokens are weighted by their CORPUS
@@ -1961,6 +2047,7 @@ object LlmOps {
     "sim_ivf" -> simIvf _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
+    "sim_ivf_pq" -> simIvfPq _,
     "mm_meta" -> mmMeta _)
 
   // ------------------------------------------------------- DuckDB oracles
@@ -2836,6 +2923,68 @@ object LlmOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
          |  FROM pairs)
          |SELECT qid, rk, cid, cos_exact AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // IVF-PQ/ADC: coarse cells as in sim_ivf; the PQ codebook is the first
+    // 16 vectors' subvectors (one UNION branch per subspace so every array
+    // index is a literal); encode = argmin (cc - 2*sub.cent, code); the
+    // pair score is 8 list lookups into the query's (s, code)-ordered ADC
+    // table, summed left-to-right and normalized by the stored exact norms
+    // - every chain fixed-order double arithmetic, same as the Spark side.
+    "sim_ivf_pq" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id < (SELECT k FROM params)),
+         |ass AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |               cents.cent_id) AS ark
+         |  FROM e CROSS JOIN cents),
+         |cell AS (
+         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1),
+         |cb16 AS (SELECT vec_id, embedding FROM e WHERE vec_id < $PqCodes),
+         |enc AS (
+         |${(0 until PqM).map { s =>
+             val b = s * PqSub + 1
+             s"""  SELECT e.vec_id, $s AS s, c.vec_id AS code,
+                |    (${pqDot("c.embedding", "c.embedding", b)}) - 2 * (${pqDot("e.embedding", "c.embedding", b)}) AS d
+                |  FROM e CROSS JOIN cb16 c""".stripMargin
+           }.mkString("\n  UNION ALL\n")}),
+         |enc_rk AS (
+         |  SELECT vec_id, s, code,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code) AS erk
+         |  FROM enc),
+         |codes AS (
+         |  SELECT vec_id, list(code ORDER BY s) AS codes
+         |  FROM enc_rk WHERE erk = 1 GROUP BY vec_id),
+         |qpart AS (
+         |${(0 until PqM).map { s =>
+             val b = s * PqSub + 1
+             s"""  SELECT q.vec_id AS qid, $s AS s, c.vec_id AS code,
+                |    (${pqDot("q.embedding", "c.embedding", b)}) AS part
+                |  FROM e q CROSS JOIN cb16 c WHERE q.vec_id % 50 = 0""".stripMargin
+           }.mkString("\n  UNION ALL\n")}),
+         |qtab AS (
+         |  SELECT qid, list(part ORDER BY s, code) AS qtab
+         |  FROM qpart GROUP BY qid),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    (${(0 until PqM).map(s => s"(t.qtab[($s * $PqCodes + k2.codes[${s + 1}]) + 1])").mkString(" + ")})
+         |      / sqrt(q.nrm * c.nrm) AS cos_adc
+         |  FROM cell q JOIN cell c
+         |    ON q.cell = c.cell AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+         |  JOIN qtab t ON t.qid = q.vec_id
+         |  JOIN codes k2 ON k2.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos_adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT qid, rk, cid, cos_adc
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // radius-2 multiprobe: the full MaxPlanes mask list sliced to the

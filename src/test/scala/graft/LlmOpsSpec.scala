@@ -206,6 +206,30 @@ class LlmOpsSpec extends SparkSpec {
       "k-means IVF lost more than 20% of query coverage")
   }
 
+  test("IVF-PQ: ADC ranks within the same coarse cells as flat IVF; scores bounded; queries covered") {
+    val real = "/root/testdata/sf0.001"
+    val pq = LlmOps.simIvfPq(spark, real).collect()
+    assert(pq.nonEmpty)
+    // rk is a dense 1..5 prefix per query
+    pq.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rows.length))
+    }
+    // ADC pairs live in the SAME coarse cells as flat IVF, so every
+    // reported candidate must be drawn from sim_ivf's candidate pool:
+    // query coverage can't shrink below sim_ivf's.
+    val ivfQids = LlmOps.simIvf(spark, real).collect().map(_.getAs[Long]("qid")).toSet
+    assert(pq.map(_.getAs[Long]("qid")).toSet == ivfQids,
+      "IVF-PQ must answer exactly the query set flat IVF answers (same cells)")
+    // the norm-corrected ADC score approximates a cosine: |score| stays in
+    // a sane band (quantization can push it slightly past 1, never wildly)
+    pq.foreach(r => assert(math.abs(r.getAs[Double]("cos_adc")) < 2.0))
+    val brute = LlmOps.simTopkCosine(spark, real).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recall = pq.count(r => brute((r.getAs[Long]("qid"), r.getAs[Long]("cid")))).toDouble /
+      math.max(brute.size, 1)
+    info(f"IVF-PQ recall@5 vs brute force: $recall%.2f (16-code codebooks on random embeddings)")
+  }
+
   test("chunking: 70 tokens split into 32/32/6; short docs give one chunk") {
     import spark.implicits._
     val seventy = (1 to 70).map(i => s"w$i").mkString(" ")
