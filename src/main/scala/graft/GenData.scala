@@ -30,11 +30,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * uniform; `zipf` switches foreign-key/categorical draws harmonic — see
   * [[zipfDraw]])
   *
-  * POST-STEP (driver-side): `python3 scripts/cast_events_ns.py <outDir>`
-  * rewrites events.ts to the driver layout — INT64 TIMESTAMP(nanos), which
-  * the engine reads as an epoch-nanos LONG under `nanosAsLong`. Spark
-  * cannot emit nanosecond timestamps itself, so the generated events table
-  * is not usable by the events queries until the cast runs.
+  * events.ts is written as Spark's native TIMESTAMP(MICROS) — the same
+  * layout the driver's testdata now ships — and [[graft.analytics.Tables
+  * .events]] normalizes it to epoch-nanos LONG at read time. The optional
+  * post-step `python3 scripts/cast_events_ns.py <outDir>` rewrites it to
+  * the older INT64 TIMESTAMP(nanos) layout; both layouts are read
+  * correctly (the normalizer handles either), so the cast is no longer
+  * required.
   */
 object GenData {
 

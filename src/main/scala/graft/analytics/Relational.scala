@@ -180,12 +180,11 @@ object Relational {
 
   /** Running aggregation window over the events stream table.
     *
-    * NOTE on `events.ts`: the parquet column is TIMESTAMP(NANOS), which
-    * Spark's reader rejects by default — our sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, so `ts` arrives as a
-    * LongType epoch-nanos value (ordering-equivalent to the timestamp).
-    * DuckDB reads the same column as TIMESTAMP_NS; oracles bridge via
-    * `epoch_ns(ts)`. */
+    * NOTE on `events.ts`: [[Tables.events]] normalizes `ts` to an
+    * epoch-nanos LongType regardless of the physical parquet layout
+    * (INT64 TIMESTAMP(NANOS) or TIMESTAMP(MICROS) — the driver has shipped
+    * both). DuckDB oracles bridge via `epoch_ns(ts)`, which is
+    * UTC-anchored exactly like the normalization. */
   def q09WindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -62,7 +62,12 @@ object Tables {
   def registerViews(spark: SparkSession, sfDir: String, force: Boolean = false): Unit = {
     val marker = "graft.views.dir"
     if (force || !spark.conf.getOption(marker).contains(sfDir)) {
-      names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+      // events goes through the normalizing loader so the SQL surface sees
+      // the same epoch-nanos `ts` contract as the DataFrame surface
+      names.foreach { n =>
+        val df = if (n == "events") events(spark, sfDir) else apply(spark, sfDir, n)
+        df.createOrReplaceTempView(n)
+      }
       spark.conf.set(marker, sfDir)
     }
   }
@@ -74,7 +79,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** Events with `ts` normalized to epoch-nanos LongType regardless of the
+    * physical parquet layout. The driver's testdata has shipped `ts` two
+    * ways across rounds: INT64 TIMESTAMP(NANOS) (arrives as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and TIMESTAMP(MICROS)
+    * (arrives as TimestampType/TimestampNTZType). Every downstream query
+    * and every DuckDB oracle (`epoch_ns(ts)` — UTC-anchored for naive
+    * timestamps) is written against the epoch-nanos contract, so the
+    * conversion happens HERE, once: `unix_micros * 1000` under the pinned
+    * UTC session timezone is bit-identical to DuckDB's `epoch_ns`. The
+    * branch is a schema check — no job, no data pass beyond the projection
+    * Catalyst folds into the scan it already runs. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * 1000L"))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
