@@ -1864,6 +1864,18 @@ object LlmOps {
     * a production IVF-PQ index). Every chain is fixed-order double
     * arithmetic, so DuckDB hashes identically. */
   def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_adc").desc, col("cid"))
+    ivfPqAdcPairs(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_adc"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The IVF-PQ/ADC candidate scan shared by [[simIvfPq]] and
+    * [[simIvfPqRerank]]: every (query, same-cell candidate) pair with its
+    * ADC-approximated cosine. Columns (qid, cid, cos_adc). */
+  private def ivfPqAdcPairs(spark: SparkSession, dir: String): DataFrame = {
     val (q0, c0) = ivfAssigned(spark, dir)
     val e = Tables.embeddings(spark, dir)
     // 128-row codebook: (s, code, cent[8], cc = cent·cent)
@@ -1891,12 +1903,50 @@ object LlmOps {
       .join(codes.withColumnRenamed("vec_id", "cid"), "cid")
     val adc = (0 until PqM)
       .map(s => s"qtab[CAST($s * $PqCodes + codes[$s] AS INT)]").mkString(" + ")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_adc").desc, col("cid"))
     qtabs.join(cands, col("cell") === col("ccell") && col("qid") =!= col("cid"))
       .withColumn("cos_adc", expr(adc) / sqrt(col("qn") * col("cn")))
-      .withColumn("rk", row_number().over(w))
+      .select(col("qid"), col("cid"), col("cos_adc"))
+  }
+
+  /** How many ADC-ranked candidates per query survive into the exact
+    * re-rank — a 4× overfetch over the emitted top-5, the standard
+    * refine-stage ratio (enough that an ADC mis-ranking inside the cell
+    * cannot evict a true top-5 neighbor unless PQ error exceeds the
+    * 15-candidate margin). A PRECISION knob like [[PqCodes]], not an
+    * occupancy cap: the refine cost is |Q| × depth exact dots regardless
+    * of corpus size, so there is nothing to data-size. */
+  private val PqRerankDepth = 20
+
+  /** IVF-PQ with EXACT RE-RANK — the full two-stage retrieval layout every
+    * production PQ index runs (Jégou et al. 2011 §V: ADC shortlist, then
+    * re-rank with original vectors): the ADC scan ([[ivfPqAdcPairs]] —
+    * codes only, vectors never read) keeps the top-[[PqRerankDepth]]
+    * candidates per query, and ONLY those pairs fetch their full-precision
+    * vectors for an exact cosine, which decides the emitted top-5. At
+    * 100 TB the split is the whole point: the code index (~16 B/vector)
+    * serves the O(N/k)-per-query scan, while the 256 B/vector embedding
+    * column is touched |Q| × depth times total — a targeted id-join
+    * (shuffle-hash at scale, adaptively broadcast when the shortlist is
+    * small), never a scan. Emits the EXACT cosine, so output quality
+    * equals brute force on whatever the shortlist covers — PQ error can
+    * no longer mis-order the final ranking, only (rarely) exclude a
+    * candidate from the shortlist. */
+  def simIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("cos_adc").desc, col("cid"))
+    val short = ivfPqAdcPairs(spark, dir)
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= PqRerankDepth)
+      .select(col("qid"), col("cid"))
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    short.join(qv, "qid").join(cv, "cid")
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wEx))
       .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("cid"), col("cos_adc"))
+      .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -2048,12 +2098,70 @@ object LlmOps {
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
     "sim_ivf_pq" -> simIvfPq _,
+    "sim_ivf_pq_rerank" -> simIvfPqRerank _,
     "mm_meta" -> mmMeta _)
 
   // ------------------------------------------------------- DuckDB oracles
 
   private val baseDuck =
     s"base AS (SELECT doc_id, lang, source, n_chars, text, $toksDuck AS toks FROM documents)"
+
+  /** Shared CTE body of the IVF-PQ oracles (everything through the ADC
+    * `pairs`), mirroring [[ivfPqAdcPairs]]: coarse cells as in sim_ivf; the
+    * PQ codebook is the first [[PqCodes]] vectors' subvectors (one UNION
+    * branch per subspace so every array index is a literal); encode =
+    * argmin (cc - 2*sub.cent, code); the pair score is [[PqM]] list lookups
+    * into the query's (s, code)-ordered ADC table, summed left-to-right and
+    * normalized by the stored exact norms — every chain fixed-order double
+    * arithmetic, same as the Spark side. */
+  private val ivfPqPairsDuck: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+       |  FROM e WHERE vec_id < (SELECT k FROM params)),
+       |ass AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+       |               cents.cent_id) AS ark
+       |  FROM e CROSS JOIN cents),
+       |cell AS (
+       |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1),
+       |cb16 AS (SELECT vec_id, embedding FROM e WHERE vec_id < $PqCodes),
+       |enc AS (
+       |${(0 until PqM).map { s =>
+           val b = s * PqSub + 1
+           s"""  SELECT e.vec_id, $s AS s, c.vec_id AS code,
+              |    (${pqDot("c.embedding", "c.embedding", b)}) - 2 * (${pqDot("e.embedding", "c.embedding", b)}) AS d
+              |  FROM e CROSS JOIN cb16 c""".stripMargin
+         }.mkString("\n  UNION ALL\n")}),
+       |enc_rk AS (
+       |  SELECT vec_id, s, code,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code) AS erk
+       |  FROM enc),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY s) AS codes
+       |  FROM enc_rk WHERE erk = 1 GROUP BY vec_id),
+       |qpart AS (
+       |${(0 until PqM).map { s =>
+           val b = s * PqSub + 1
+           s"""  SELECT q.vec_id AS qid, $s AS s, c.vec_id AS code,
+              |    (${pqDot("q.embedding", "c.embedding", b)}) AS part
+              |  FROM e q CROSS JOIN cb16 c WHERE q.vec_id % 50 = 0""".stripMargin
+         }.mkString("\n  UNION ALL\n")}),
+       |qtab AS (
+       |  SELECT qid, list(part ORDER BY s, code) AS qtab
+       |  FROM qpart GROUP BY qid),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    (${(0 until PqM).map(s => s"(t.qtab[($s * $PqCodes + k2.codes[${s + 1}]) + 1])").mkString(" + ")})
+       |      / sqrt(q.nrm * c.nrm) AS cos_adc
+       |  FROM cell q JOIN cell c
+       |    ON q.cell = c.cell AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+       |  JOIN qtab t ON t.qid = q.vec_id
+       |  JOIN codes k2 ON k2.vec_id = c.vec_id)""".stripMargin
 
   val duckdb: Map[String, String] = Map(
     "txt_top_terms" ->
@@ -2925,66 +3033,40 @@ object LlmOps {
          |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
-    // IVF-PQ/ADC: coarse cells as in sim_ivf; the PQ codebook is the first
-    // 16 vectors' subvectors (one UNION branch per subspace so every array
-    // index is a literal); encode = argmin (cc - 2*sub.cent, code); the
-    // pair score is 8 list lookups into the query's (s, code)-ordered ADC
-    // table, summed left-to-right and normalized by the stored exact norms
-    // - every chain fixed-order double arithmetic, same as the Spark side.
+    // IVF-PQ/ADC: shared CTE body in ivfPqPairsDuck (see its Scaladoc)
     "sim_ivf_pq" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id < (SELECT k FROM params)),
-         |ass AS (
-         |  SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
-         |               cents.cent_id) AS ark
-         |  FROM e CROSS JOIN cents),
-         |cell AS (
-         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1),
-         |cb16 AS (SELECT vec_id, embedding FROM e WHERE vec_id < $PqCodes),
-         |enc AS (
-         |${(0 until PqM).map { s =>
-             val b = s * PqSub + 1
-             s"""  SELECT e.vec_id, $s AS s, c.vec_id AS code,
-                |    (${pqDot("c.embedding", "c.embedding", b)}) - 2 * (${pqDot("e.embedding", "c.embedding", b)}) AS d
-                |  FROM e CROSS JOIN cb16 c""".stripMargin
-           }.mkString("\n  UNION ALL\n")}),
-         |enc_rk AS (
-         |  SELECT vec_id, s, code,
-         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code) AS erk
-         |  FROM enc),
-         |codes AS (
-         |  SELECT vec_id, list(code ORDER BY s) AS codes
-         |  FROM enc_rk WHERE erk = 1 GROUP BY vec_id),
-         |qpart AS (
-         |${(0 until PqM).map { s =>
-             val b = s * PqSub + 1
-             s"""  SELECT q.vec_id AS qid, $s AS s, c.vec_id AS code,
-                |    (${pqDot("q.embedding", "c.embedding", b)}) AS part
-                |  FROM e q CROSS JOIN cb16 c WHERE q.vec_id % 50 = 0""".stripMargin
-           }.mkString("\n  UNION ALL\n")}),
-         |qtab AS (
-         |  SELECT qid, list(part ORDER BY s, code) AS qtab
-         |  FROM qpart GROUP BY qid),
-         |pairs AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-         |    (${(0 until PqM).map(s => s"(t.qtab[($s * $PqCodes + k2.codes[${s + 1}]) + 1])").mkString(" + ")})
-         |      / sqrt(q.nrm * c.nrm) AS cos_adc
-         |  FROM cell q JOIN cell c
-         |    ON q.cell = c.cell AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
-         |  JOIN qtab t ON t.qid = q.vec_id
-         |  JOIN codes k2 ON k2.vec_id = c.vec_id),
+         |$ivfPqPairsDuck,
          |ranked AS (
          |  SELECT qid, cid, cos_adc,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS rk
          |  FROM pairs)
          |SELECT qid, rk, cid, cos_adc
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // IVF-PQ + exact re-rank: ADC shortlist (top PqRerankDepth per query,
+    // (cos_adc, cid) order), then full-precision cosine on just those
+    // pairs decides the emitted top-5 — mirrors simIvfPqRerank exactly
+    "sim_ivf_pq_rerank" ->
+      s"""WITH $paramsDuck,
+         |$ivfPqPairsDuck,
+         |short AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS ark
+         |    FROM pairs)
+         |  WHERE ark <= $PqRerankDepth),
+         |rer AS (
+         |  SELECT s.qid, s.cid,
+         |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.qid
+         |  JOIN e c ON c.vec_id = s.cid),
+         |ranked AS (
+         |  SELECT qid, cid, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM rer)
+         |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // radius-2 multiprobe: the full MaxPlanes mask list sliced to the

@@ -230,6 +230,32 @@ class LlmOpsSpec extends SparkSpec {
     info(f"IVF-PQ recall@5 vs brute force: $recall%.2f (16-code codebooks on random embeddings)")
   }
 
+  test("IVF-PQ re-rank: exact cosines agree with brute force; recall >= plain ADC ordering") {
+    val real = "/root/testdata/sf0.001"
+    val bruteMap = LlmOps.simTopkCosine(spark, real).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> r.getAs[Double]("cos")).toMap
+    val rer = LlmOps.simIvfPqRerank(spark, real).collect()
+    assert(rer.nonEmpty)
+    // the re-rank stage scores with full-precision vectors, so wherever a
+    // reported pair is also a true top-5 pair the cosine must be EQUAL to
+    // the brute-force value (same fixed-order arithmetic), not approximate
+    rer.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      bruteMap.get(key).foreach(c => assert(c == r.getAs[Double]("cos"),
+        s"re-ranked pair $key cosine diverged from brute force"))
+    }
+    // re-ranking a 4x-overfetched ADC shortlist with exact scores can only
+    // fix in-shortlist mis-orderings — recall must not drop below plain PQ
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.count(r => bruteMap.contains((r.getAs[Long]("qid"), r.getAs[Long]("cid")))).toDouble /
+        math.max(bruteMap.size, 1)
+    val plainPq = recall(LlmOps.simIvfPq(spark, real).collect())
+    val rerank = recall(rer)
+    info(f"IVF-PQ recall@5: rerank $rerank%.2f vs plain ADC $plainPq%.2f")
+    assert(rerank >= plainPq,
+      f"exact re-rank recall $rerank%.2f fell below plain ADC $plainPq%.2f")
+  }
+
   test("chunking: 70 tokens split into 32/32/6; short docs give one chunk") {
     import spark.implicits._
     val seventy = (1 to 70).map(i => s"w$i").mkString(" ")
