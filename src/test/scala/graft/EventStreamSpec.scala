@@ -36,6 +36,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transform run in batch mode equals the batch tumbling query (unified semantics)") {
+    // Spark's unified model: the SAME windowedCounts transform accepts a
+    // bounded DataFrame (withWatermark is a no-op in batch). Running it
+    // over the real testdata events table and comparing against
+    // q21Tumbling — the oracle-checked batch twin — extends the DuckDB
+    // correctness gate to the streaming transform's logic: only the
+    // watermark/trigger mechanics (spec-covered above) remain untestable
+    // against an oracle.
+    import org.apache.spark.sql.functions.{col, date_format, expr}
+    val dir = "/root/testdata/sf0.001"
+    val asTs = graft.analytics.Tables.events(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamed = EventStream.windowedCounts(asTs)
+      .withColumn("w_start", date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss"))
+      .collect()
+      .map(r => (r.getAs[String]("w_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      .toSet
+    val batch = graft.analytics.Relational.q21Tumbling(spark, dir).collect()
+      .map(r => (r.getAs[String]("w_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      .toSet
+    assert(streamed == batch,
+      "streaming transform diverged from the oracle-checked batch twin")
+  }
+
   test("stream-stream interval join attributes clicks to in-window views and drops the rest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
