@@ -1924,10 +1924,15 @@ object LlmOps {
     * candidates per query, and ONLY those pairs fetch their full-precision
     * vectors for an exact cosine, which decides the emitted top-5. At
     * 100 TB the split is the whole point: the code index (~16 B/vector)
-    * serves the O(N/k)-per-query scan, while the 256 B/vector embedding
-    * column is touched |Q| × depth times total — a targeted id-join
-    * (shuffle-hash at scale, adaptively broadcast when the shortlist is
-    * small), never a scan. Emits the EXACT cosine, so output quality
+    * serves the O(N/k)-per-query ADC scan with the vector column never in
+    * the loop; the refine stage joins the |Q| × depth shortlist back to
+    * the vector table by id — here ONE column-pruned pass of (vec_id,
+    * embedding) as the join's probe side (the shortlist side broadcasts).
+    * On a production 100 TB index the pass itself is what you'd shave:
+    * shortlist-id runtime filtering (bloom pushdown to the scan — the
+    * q33 pattern) or an id-bucketed vector layout (the q35 pattern) turns
+    * it into targeted reads; both are shipped elsewhere in this library
+    * and compose here unchanged. Emits the EXACT cosine, so output quality
     * equals brute force on whatever the shortlist covers — PQ error can
     * no longer mis-order the final ranking, only (rarely) exclude a
     * candidate from the shortlist. */
