@@ -411,7 +411,8 @@ object LlmOps {
     "simhash_wide_sig" -> (() => { simhashWideSig(spark, dir).count(); () }),
     "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }),
     "ivf_assign" -> (() => { ivfAssignTable(spark, dir).count(); () }),
-    "ivf_kmeans_assign" -> (() => { ivfKmeansAssignTable(spark, dir).count(); () }))
+    "ivf_kmeans_assign" -> (() => { ivfKmeansAssignTable(spark, dir).count(); () }),
+    "ann_bucket" -> (() => { annBucketTable(spark, dir).count(); () }))
 
   /** Note `sizes` counts the FULL shingle set (the Jaccard denominator),
     * while the join runs on the stop-shingle-capped set. */
@@ -1110,10 +1111,19 @@ object LlmOps {
     * sign-buckets; queries only scan their own bucket. The scale path —
     * candidate count drops ~2^AnnPlanes× vs brute force, at measured recall
     * cost (see LlmOpsSpec's recall probe). */
+  /** The sign-bucket table (vec_id, embedding, nrm, bucket) shared by the
+    * three hyperplane-LSH queries, memoized per (session, dir) and
+    * prewarmed by [[stateBuilders]] — the LSH index analogue of
+    * [[ivfAssignTable]]'s build-once contract. */
+  private def annBucketTable(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "ann_bucket") {
+      Tables.embeddings(spark, dir)
+        .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+        .withColumn("bucket", expr(bucketHof("embedding", annPlanes(spark, dir))))
+    }
+
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
-      .withColumn("bucket", expr(bucketHof("embedding", annPlanes(spark, dir))))
+    val e = annBucketTable(spark, dir)
     val q = e.filter(expr("vec_id % 50 = 0"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"), col("bucket").as("cb"))
@@ -1138,9 +1148,7 @@ object LlmOps {
     * literal array — no join amplification beyond the bucket lookups. */
   def simAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val pl = annPlanes(spark, dir)
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
-      .withColumn("bucket", expr(bucketHof("embedding", pl)))
+    val e = annBucketTable(spark, dir)
     val probes = (0 until pl).map(p => s"bucket ^ ${1 << p}").mkString(", ")
     val q = e.filter(expr("vec_id % 50 = 0"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
@@ -1177,9 +1185,7 @@ object LlmOps {
     * floor LlmOpsSpec pins (radius-1 measured 0.46 on the spec corpus). */
   def simAnnProbe2(spark: SparkSession, dir: String): DataFrame = {
     val pl = annPlanes(spark, dir)
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
-      .withColumn("bucket", expr(bucketHof("embedding", pl)))
+    val e = annBucketTable(spark, dir)
     val probes = probe2Masks(pl).map(m => s"bucket ^ $m").mkString(", ")
     val q = e.filter(expr("vec_id % 50 = 0"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
@@ -2036,16 +2042,10 @@ object LlmOps {
     * Emits one row per vector: its cell, the max cosine to any lower-id
     * cluster-mate (NULL when none), and the keep verdict. */
   def ddSemdedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
-    val cents = e.filter(col("vec_id") < ivfK(spark, dir))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-      .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    // the cluster structure IS sim_ivf's coarse assignment (same centroids,
+    // same argmin, same tie-break) — reuse the memoized index table
+    val assigned = ivfAssignTable(spark, dir).filter(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val a = assigned.select(col("vec_id").as("ia"), col("embedding").as("ea"),
       col("nrm").as("na"), col("cell"))
     val b = assigned.select(col("vec_id").as("ib"), col("embedding").as("eb"),
