@@ -1074,9 +1074,8 @@ object LlmOps {
     * Same deterministic hyperplanes as [[simAnnLsh]]; the label-only query
     * stays as the exactness twin the recall probe measures against. */
   def ddEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
-      .withColumn("bucket", expr(bucketHof("embedding", annPlanes(spark, dir))).cast("long"))
+    val e = annBucketTable(spark, dir)
+      .withColumn("bucket", col("bucket").cast("long"))
     val a = e.select(col("vec_id").as("ia"), col("label"), col("bucket"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("ib"), col("label").as("lb"), col("bucket").as("bb"),
@@ -1117,6 +1116,8 @@ object LlmOps {
     * [[ivfAssignTable]]'s build-once contract. */
   private def annBucketTable(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "ann_bucket") {
+      // carries `label` so the embedding near-dup query (label-blocked)
+      // reads the same index table as the three ANN queries
       Tables.embeddings(spark, dir)
         .withColumn("nrm", dotF(col("embedding"), col("embedding")))
         .withColumn("bucket", expr(bucketHof("embedding", annPlanes(spark, dir))))
