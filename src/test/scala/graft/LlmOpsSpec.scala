@@ -256,6 +256,24 @@ class LlmOpsSpec extends SparkSpec {
       f"exact re-rank recall $rerank%.2f fell below plain ADC $plainPq%.2f")
   }
 
+  test("index tables are session-memoized: re-running the family adds no new cached state") {
+    val real = "/root/testdata/sf0.001"
+    // first pass builds + caches the coarse assignment, bucket and code
+    // tables (normally prewarmed by stateBuilders)
+    LlmOps.simIvf(spark, real).collect()
+    LlmOps.simAnnLsh(spark, real).collect()
+    LlmOps.simIvfPq(spark, real).collect()
+    val n0 = spark.sparkContext.getPersistentRDDs.size
+    // second pass over the same (session, dir) must REUSE every index
+    // table — the build-once contract the state pre-stage depends on
+    LlmOps.simIvf(spark, real).collect()
+    LlmOps.simAnnLsh(spark, real).collect()
+    LlmOps.simIvfPq(spark, real).collect()
+    LlmOps.ddSemdedup(spark, real).collect() // rides the sim_ivf assignment
+    val n1 = spark.sparkContext.getPersistentRDDs.size
+    assert(n1 == n0, s"index state was rebuilt: $n0 cached RDDs grew to $n1")
+  }
+
   test("chunking: 70 tokens split into 32/32/6; short docs give one chunk") {
     import spark.implicits._
     val seventy = (1 to 70).map(i => s"w$i").mkString(" ")
