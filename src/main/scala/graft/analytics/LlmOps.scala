@@ -414,7 +414,8 @@ object LlmOps {
     "ivf_assign" -> (() => { ivfAssignTable(spark, dir).count(); () }),
     "ivf_kmeans_assign" -> (() => { ivfKmeansAssignTable(spark, dir).count(); () }),
     "ann_bucket" -> (() => { annBucketTable(spark, dir).count(); () }),
-    "pq_codes" -> (() => { pqCodesTable(spark, dir).count(); () }))
+    "pq_codes" -> (() => { pqCodesTable(spark, dir).count(); () }),
+    "ivf_serve_assign" -> (() => { ivfServeAssignTable(spark, dir).count(); () }))
 
   /** Note `sizes` counts the FULL shingle set (the Jaccard denominator),
     * while the join runs on the stop-shingle-capped set. */
@@ -1731,6 +1732,66 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** IVF SERVE path — queries the index has NEVER seen. Every other sim
+    * query draws its query set from index members; production serves
+    * arbitrary incoming vectors against an already-built index. Corpus =
+    * vectors with vec_id % 4 != 3; its centroids are the k lowest-id
+    * CORPUS vectors (the index knows nothing of the held-out quarter);
+    * the corpus-side assignment is memoized index state
+    * ([[ivfServeAssignTable]]). An incoming (held-out, % 200 = 3) vector
+    * is quantized against the broadcast centroid table at query time —
+    * the serve-path cost is k dots + one cell scan, independent of any
+    * index rebuild — and ranked exactly within its cell. This is also
+    * the INSERT path of an incremental IVF index: assign-to-existing-
+    * cells is precisely how new vectors join (the index absorbs inserts
+    * until cell occupancy drifts and a periodic re-train rebalances —
+    * the re-train being [[simIvfKmeans]]'s Lloyd round). */
+  def simIvfServe(spark: SparkSession, dir: String): DataFrame = {
+    val c = ivfServeAssignTable(spark, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"), col("cell").as("ccell"))
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val cents = serveCentroids(spark, dir)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val q = e.filter(expr("vec_id % 200 = 3"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    q.join(c, col("cell") === col("ccell"))
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The k lowest-id corpus vectors as serve-index centroids —
+    * deterministic (TakeOrdered, no global sort materialized). */
+  private def serveCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(expr("vec_id % 4 <> 3"))
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+      .orderBy(col("vec_id")).limit(ivfK(spark, dir))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+
+  /** Corpus-side assignment of the serve index (vec_id, embedding, nrm,
+    * cell), memoized + prewarmed like [[ivfAssignTable]]. */
+  private def ivfServeAssignTable(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "ivf_serve_assign") {
+      val e = Tables.embeddings(spark, dir)
+        .filter(expr("vec_id % 4 <> 3"))
+        .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+      e.crossJoin(broadcast(serveCentroids(spark, dir)))
+        .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+        .withColumn("ark", row_number().over(wAssign))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    }
+
   /** Shared IVF assignment: queries carry their rank-1 AND rank-2 cells
     * (`ark`), candidates their rank-1 cell — [[simIvf]] keeps ark=1,
     * [[simIvfNprobe2]] both.
@@ -2143,6 +2204,7 @@ object LlmOps {
     "sim_ann_multiprobe" -> simAnnMultiprobe _,
     "sim_ann_probe2" -> simAnnProbe2 _,
     "sim_ivf" -> simIvf _,
+    "sim_ivf_serve" -> simIvfServe _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
     "sim_ivf_pq" -> simIvfPq _,
@@ -2998,6 +3060,45 @@ object LlmOps {
          |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
          |  FROM cell q JOIN cell c
          |    ON q.cell = c.cell AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT qid, rk, cid, cos_exact AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // SERVE path: corpus (vec_id % 4 <> 3) builds the index — centroids
+    // are its k lowest-id members — and held-out (% 200 = 3) vectors are
+    // quantized at query time and ranked within their cell
+    "sim_ivf_serve" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id % 4 <> 3
+         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |corpus AS (
+         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 4 <> 3)
+         |  WHERE ark = 1),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 200 = 3)
+         |  WHERE ark = 1),
+         |pairs AS (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |    (${dot("q.qe", "c.embedding", 1)}) / sqrt(q.qn * c.nrm) AS cos_exact
+         |  FROM q JOIN corpus c ON q.cell = c.cell),
          |ranked AS (
          |  SELECT qid, cid, cos_exact,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk

@@ -256,6 +256,24 @@ class LlmOpsSpec extends SparkSpec {
       f"exact re-rank recall $rerank%.2f fell below plain ADC $plainPq%.2f")
   }
 
+  test("IVF serve path: held-out queries are answered from corpus cells only, with exact cosines") {
+    val real = "/root/testdata/sf0.001"
+    val rows = LlmOps.simIvfServe(spark, real).collect()
+    assert(rows.nonEmpty)
+    // every query is a held-out vector; no candidate is (the held-out
+    // quarter is invisible to the index by construction)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qid") % 200 == 3)
+      assert(r.getAs[Long]("cid") % 4 != 3,
+        s"held-out vector ${r.getAs[Long]("cid")} served as an index member")
+    }
+    // rk is a dense 1..n prefix per query and cosines are exact doubles
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { qr =>
+      assert(qr.map(_.getAs[Int]("rk")).sorted.sameElements(1 to qr.length))
+    }
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+  }
+
   test("index tables are session-memoized: re-running the family adds no new cached state") {
     val real = "/root/testdata/sf0.001"
     // first pass builds + caches the coarse assignment, bucket and code
