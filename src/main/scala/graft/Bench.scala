@@ -24,20 +24,29 @@ object Bench {
     // then exercise the interpreted-lambda tokenize path and the codegen'd
     // dot product on a few rows so the first measured query isn't charged
     // for HotSpot/janino warmup of those evaluation paths.
+    // Warmup failures stay non-fatal (timings must not change) but are
+    // logged at WARN: a missing/renamed table here is a layout break that
+    // would otherwise surface only as a mysteriously slow first query.
+    val warmLog = org.slf4j.LoggerFactory.getLogger("graft.Bench")
+    def warm(what: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          warmLog.warn(s"warmup '$what' failed (continuing): " +
+            s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").linesIterator.find(_.nonEmpty).getOrElse("")}")
+      }
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
-      catch { case _: Throwable => () }
+      warm(s"footer $t")(spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
     }
-    try {
+    warm("tokenize/dot_f paths") {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
         .selectExpr(raw"explode(filter(split(lower(trim(text)), '\\s+'), t -> t != '')) AS t")
         .count()
       org.apache.spark.sql.graft.GraftFunctions.register(spark)
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
         .selectExpr("dot_f(embedding, embedding)").count()
-    } catch { case _: Throwable => () }
+    }
 
     // Explicitly timed one-time STATE builds (jaccard pairs table, passage
     // window memos, bucketed fact + fingerprint state tables) BEFORE the
@@ -89,6 +98,10 @@ object Bench {
       stateTimes.collect { case (k, _, Some(e)) => s"\"state:" + k + "\":" + jstr(e) })
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The summary fields (metric/value/state_build_sec/failed/errors/sf) sit
+    // at the END of the line: the driver's stdout capture keeps only a ~2KB
+    // TAIL, and at 91 queries the line is ~2.6KB — a head-first layout lost
+    // the "metric":"total" head entirely in round 10 (BENCH_r10 parsed:null).
     def line(fmt: Double => String, stateDetail: Boolean, failParts: Boolean): String = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -97,14 +110,15 @@ object Bench {
           .mkString("\"state_build\":{", ",", "},")
       else ""
       val fp = if (failParts) s""""failed":$failed,"errors":$errors,""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        st + s""""state_build_sec":${fmt(stateTotal)},""" + fp + s""""sf":"$sfDir"}"""
+      s"""{"queries":$qs,""" + st + fp +
+        s""""metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""state_build_sec":${fmt(stateTotal)},"sf":"$sfDir"}"""
     }
     // Full precision + per-item state detail goes to a FILE (the driver's
     // stdout capture keeps only a ~2KB tail, which truncated 18 of 83
-    // queries in round 8); the one printed line is the same query map at
-    // trailing-zero-stripped 2-decimal precision — measured under the tail
-    // budget — with failed/errors included only when non-empty.
+    // queries in round 8); the printed full line is the same query map at
+    // trailing-zero-stripped 2-decimal precision, with failed/errors
+    // included only when non-empty.
     // Locale.ROOT: a comma-decimal default locale would print "1,23" and
     // make the JSON line unparseable — the formatted path must be as
     // locale-independent as the old v.toString one.
@@ -119,6 +133,20 @@ object Bench {
     java.nio.file.Files.write(outPath,
       (line(v => v.toString, stateDetail = true, failParts = true) + "\n").getBytes("UTF-8"))
     println(line(f2, stateDetail = false, failParts = anyFailed))
+    // A SHORT, complete summary line printed LAST: whatever happens to the
+    // full line under the 2KB tail window, the tail always ends with one
+    // self-contained parseable JSON object carrying the headline total, the
+    // slowest queries, and any failures. Kept well under 1.5KB by design.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    val failedShort = (results.collect { case (k, _, Some(_)) => k } ++
+      stateTimes.collect { case (k, _, Some(_)) => "state:" + k })
+    val failedJson = failedShort.take(5).map(k => "\"" + k + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
+        s""""queries":$slowest,"queries_full":${results.size},""" +
+        s""""state_build_sec":${f2(stateTotal)},""" +
+        s""""failed_count":${failedShort.size},"failed":$failedJson,"sf":"$sfDir"}""")
     graft.analytics.LlmOps.releaseCaches()
     spark.stop()
   }
