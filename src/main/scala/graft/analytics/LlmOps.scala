@@ -415,7 +415,8 @@ object LlmOps {
     "ivf_kmeans_assign" -> (() => { ivfKmeansAssignTable(spark, dir).count(); () }),
     "ann_bucket" -> (() => { annBucketTable(spark, dir).count(); () }),
     "pq_codes" -> (() => { pqCodesTable(spark, dir).count(); () }),
-    "ivf_serve_assign" -> (() => { ivfServeAssignTable(spark, dir).count(); () }))
+    "ivf_serve_assign" -> (() => { ivfServeAssignTable(spark, dir).count(); () }),
+    "ivf_serve_pq_codes" -> (() => { servePqCodesTable(spark, dir).count(); () }))
 
   /** Note `sizes` counts the FULL shingle set (the Jaccard denominator),
     * while the join runs on the stop-shingle-capped set. */
@@ -1970,9 +1971,6 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** The IVF-PQ/ADC candidate scan shared by [[simIvfPq]] and
-    * [[simIvfPqRerank]]: every (query, same-cell candidate) pair with its
-    * ADC-approximated cosine. Columns (qid, cid, cos_adc). */
   /** 128-row PQ codebook: (s, code, cent[8], cc = cent·cent). Cheap to
     * derive (PqCodes vectors), rebuilt inline by both consumers. */
   private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
@@ -1998,6 +1996,9 @@ object LlmOps {
         .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
     }
 
+  /** The IVF-PQ/ADC candidate scan shared by [[simIvfPq]] and
+    * [[simIvfPqRerank]]: every (query, same-cell candidate) pair with its
+    * ADC-approximated cosine. Columns (qid, cid, cos_adc). */
   private def ivfPqAdcPairs(spark: SparkSession, dir: String): DataFrame = {
     val (q0, c0) = ivfAssigned(spark, dir)
     val cb = pqCodebook(spark, dir)
@@ -2056,6 +2057,104 @@ object LlmOps {
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val cv = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    short.join(qv, "qid").join(cv, "cid")
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wEx))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** How many cells a SERVE query probes against the compressed index —
+    * nprobe=2 closes [[simIvfServe]]'s single-cell recall bound (a held-out
+    * vector near a cell boundary finds its true neighbors in the runner-up
+    * cell); candidates still live in exactly one cell so no pair is
+    * produced twice. */
+  private val ServeNprobe = 2
+
+  /** SERVE-index PQ codebook: the first [[PqCodes]] CORPUS vectors'
+    * subvectors (the held-out quarter must not train the codebook — the
+    * index has never seen it). Corpus vec_ids are not dense, so the code
+    * id is the rank in vec_id order (0-based, identical in the oracle);
+    * 16 rows, built inline and broadcast like [[pqCodebook]]. */
+  private def servePqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("vec_id"))
+    Tables.embeddings(spark, dir).filter(expr("vec_id % 4 <> 3"))
+      .orderBy(col("vec_id")).limit(PqCodes)
+      .withColumn("code", row_number().over(w) - 1)
+      .select(col("code"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "cent")))
+      .withColumn("cc", dotF(col("cent"), col("cent")))
+  }
+
+  /** The serve index's PQ code table — (vec_id, codes[PqM]) over CORPUS
+    * members only, encoded against [[servePqCodebook]] — memoized +
+    * prewarmed like [[pqCodesTable]] (encode-once is the PQ contract;
+    * ~PqM bytes/vector is what a deployed serve index persists next to
+    * the cell assignment). */
+  private def servePqCodesTable(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "ivf_serve_pq_codes") {
+      Tables.embeddings(spark, dir).filter(expr("vec_id % 4 <> 3"))
+        .select(col("vec_id"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "sub")))
+        .join(broadcast(servePqCodebook(spark, dir)), "s")
+        .withColumn("d", col("cc") - lit(2.0) * dotF(col("sub"), col("cent")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d"), col("code"))).as("best"))
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
+    }
+
+  /** SERVE path against the COMPRESSED index — production's actual serving
+    * shape, composing [[simIvfServe]]'s held-out-query contract with
+    * [[simIvfPqRerank]]'s two-stage retrieval: an incoming (held-out,
+    * % 200 = 3) vector is quantized against the broadcast corpus centroids
+    * at query time, probes its [[ServeNprobe]] nearest cells, ADC-scans
+    * ONLY the ~8-byte PQ codes of those cells' members (the full-precision
+    * corpus vectors are not read by the scan), and the top-[[PqRerankDepth]]
+    * shortlist alone fetches its exact vectors for the re-rank that decides
+    * the emitted top-5. Per incoming vector the cost is k centroid dots +
+    * ~2N/k code lookups + depth exact dots — independent of any index
+    * rebuild, and the memory the scan touches is the ~16 B/vector code
+    * index, the property that makes 100 TB serving feasible. nprobe=2
+    * closes the flat serve path's single-cell recall bound (LlmOpsSpec pins
+    * held-out recall@5 >= [[simIvfServe]]'s). */
+  def simIvfServePq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val cents = serveCentroids(spark, dir)
+    val cb = servePqCodebook(spark, dir)
+    // query-time quantization: ServeNprobe nearest cells per held-out vector
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val q2 = e.filter(expr("vec_id % 200 = 3"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") <= ServeNprobe)
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"), col("cent_id").as("cell"))
+    // per-query ADC table (built once per qid, then joined to its probe cells)
+    val qtabs = e.filter(expr("vec_id % 200 = 3"))
+      .select(col("vec_id").as("qid"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "qsub")))
+      .join(broadcast(cb), "s")
+      .withColumn("part", dotF(col("qsub"), col("cent")))
+      .groupBy(col("qid"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code, part))), p -> p.part)").as("qtab"))
+    val cands = ivfServeAssignTable(spark, dir)
+      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell").as("ccell"))
+      .join(servePqCodesTable(spark, dir).withColumnRenamed("vec_id", "cid"), "cid")
+    val adc = (0 until PqM)
+      .map(s => s"qtab[CAST($s * $PqCodes + codes[$s] AS INT)]").mkString(" + ")
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("cos_adc").desc, col("cid"))
+    val short = q2.join(qtabs, "qid")
+      .join(cands, col("cell") === col("ccell"))
+      .withColumn("cos_adc", expr(adc) / sqrt(col("qn") * col("cn")))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= PqRerankDepth)
+      .select(col("qid"), col("cid"))
+    // exact re-rank: only the shortlist fetches full-precision vectors
+    val qv = e.filter(expr("vec_id % 200 = 3"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cv = ivfServeAssignTable(spark, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val wEx = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
     short.join(qv, "qid").join(cv, "cid")
       .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
@@ -2205,6 +2304,7 @@ object LlmOps {
     "sim_ann_probe2" -> simAnnProbe2 _,
     "sim_ivf" -> simIvf _,
     "sim_ivf_serve" -> simIvfServe _,
+    "sim_ivf_serve_pq" -> simIvfServePq _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
     "sim_ivf_pq" -> simIvfPq _,
@@ -3103,6 +3203,89 @@ object LlmOps {
          |  SELECT qid, cid, cos_exact,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
          |  FROM pairs)
+         |SELECT qid, rk, cid, cos_exact AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // SERVE path against the COMPRESSED index: corpus-only centroids AND
+    // corpus-only PQ codebook (dense code = rank in vec_id order); held-out
+    // queries probe ServeNprobe cells, ADC-score the cells' codes, and the
+    // top-PqRerankDepth shortlist is re-ranked with exact cosines
+    "sim_ivf_serve_pq" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id % 4 <> 3
+         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |corpus AS (
+         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 4 <> 3)
+         |  WHERE ark = 1),
+         |q2 AS (
+         |  SELECT qid, qn, cell FROM (
+         |    SELECT e.vec_id AS qid, e.nrm AS qn, cents.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 200 = 3)
+         |  WHERE ark <= $ServeNprobe),
+         |scb AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code, embedding
+         |  FROM (SELECT vec_id, embedding FROM e WHERE vec_id % 4 <> 3
+         |        ORDER BY vec_id LIMIT $PqCodes)),
+         |enc AS (
+         |${(0 until PqM).map { s =>
+             val b = s * PqSub + 1
+             s"""  SELECT v.vec_id, $s AS s, b.code,
+                |    (${pqDot("b.embedding", "b.embedding", b)}) - 2 * (${pqDot("v.embedding", "b.embedding", b)}) AS d
+                |  FROM e v CROSS JOIN scb b WHERE v.vec_id % 4 <> 3""".stripMargin
+           }.mkString("\n  UNION ALL\n")}),
+         |enc_rk AS (
+         |  SELECT vec_id, s, code,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code) AS erk
+         |  FROM enc),
+         |codes AS (
+         |  SELECT vec_id, list(code ORDER BY s) AS codes
+         |  FROM enc_rk WHERE erk = 1 GROUP BY vec_id),
+         |qpart AS (
+         |${(0 until PqM).map { s =>
+             val b = s * PqSub + 1
+             s"""  SELECT q.vec_id AS qid, $s AS s, b.code,
+                |    (${pqDot("q.embedding", "b.embedding", b)}) AS part
+                |  FROM e q CROSS JOIN scb b WHERE q.vec_id % 200 = 3""".stripMargin
+           }.mkString("\n  UNION ALL\n")}),
+         |qtab AS (
+         |  SELECT qid, list(part ORDER BY s, code) AS qtab
+         |  FROM qpart GROUP BY qid),
+         |pairs AS (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |    (${(0 until PqM).map(s => s"(t.qtab[($s * $PqCodes + k2.codes[${s + 1}]) + 1])").mkString(" + ")})
+         |      / sqrt(q.qn * c.nrm) AS cos_adc
+         |  FROM q2 q JOIN corpus c ON q.cell = c.cell
+         |  JOIN qtab t ON t.qid = q.qid
+         |  JOIN codes k2 ON k2.vec_id = c.vec_id),
+         |short AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS ark
+         |    FROM pairs)
+         |  WHERE ark <= $PqRerankDepth),
+         |rer AS (
+         |  SELECT s.qid, s.cid,
+         |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.qid
+         |  JOIN e c ON c.vec_id = s.cid),
+         |ranked AS (
+         |  SELECT qid, cid, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM rer)
          |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 

@@ -274,6 +274,41 @@ class LlmOpsSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
   }
 
+  test("PQ serve path: held-out queries, corpus-only candidates, recall@5 >= flat serve") {
+    import spark.implicits._
+    val real = "/root/testdata/sf0.001"
+    val rows = LlmOps.simIvfServePq(spark, real).collect()
+    assert(rows.nonEmpty)
+    // same serve contract as the flat path: queries held-out, candidates
+    // corpus-only (the compressed index never encoded the held-out quarter)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qid") % 200 == 3)
+      assert(r.getAs[Long]("cid") % 4 != 3,
+        s"held-out vector ${r.getAs[Long]("cid")} served from the PQ index")
+    }
+    // ground truth: brute-force exact top-5 over the corpus per held-out query
+    val e = spark.read.parquet(s"$real/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val corpus = e.filter(_._1 % 4 != 3)
+    val truth = e.filter(_._1 % 200 == 3).flatMap { case (qid, qe) =>
+      corpus.map { case (cid, ce) =>
+        (qid, cid, dot(qe, ce) / math.sqrt(dot(qe, qe) * dot(ce, ce))) }
+        .sortBy { case (_, cid, cos) => (-cos, cid) }.take(5)
+    }.map { case (qid, cid, _) => (qid, cid) }.toSet
+    def recall(got: Array[org.apache.spark.sql.Row]): Double =
+      got.count(r => truth((r.getAs[Long]("qid"), r.getAs[Long]("cid")))).toDouble /
+        math.max(truth.size, 1)
+    val flat = recall(LlmOps.simIvfServe(spark, real).collect())
+    val pq = recall(rows)
+    info(f"serve recall@5 vs brute force: PQ+rerank(nprobe=2) $pq%.2f vs flat(nprobe=1) $flat%.2f")
+    // nprobe=2 + exact re-rank must not serve worse than the single-cell
+    // flat path — the recall bound this query exists to close
+    assert(pq >= flat, f"PQ serve recall $pq%.2f fell below flat serve $flat%.2f")
+  }
+
   test("index tables are session-memoized: re-running the family adds no new cached state") {
     val real = "/root/testdata/sf0.001"
     // first pass builds + caches the coarse assignment, bucket and code
