@@ -62,6 +62,37 @@ class EventStreamSpec extends SparkSpec {
       "streaming transform diverged from the oracle-checked batch twin")
   }
 
+  test("stateful sessionizer run in batch mode matches the oracle-checked q10 sessionization") {
+    // Same unified-model parity as the tumbling test above, extended to the
+    // flatMapGroupsWithState sessionizer: in batch mode each user's full
+    // event iterator arrives in one call, so every session the gap logic
+    // CLOSES must equal a q10 session. The one semantic difference is the
+    // output contract, not the gap logic: the sessionizer emits sessions on
+    // CLOSE (Append mode), so each user's final session stays open in state
+    // — parity set = q10 minus each user's last session.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.analytics.Tables.events(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val closed = EventStream.sessionize(ev).collect()
+      .map(r => (r.user_id, r.n_events, r.sum_value))
+    assert(closed.nonEmpty)
+    val batch = graft.analytics.Relational.q10Sessionize(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    val lastIdx = batch.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+    val expected = batch.collect { case (u, idx, n, s) if idx != lastIdx(u) => (u, n, s) }
+    def ms(xs: Seq[(Long, Long, Double)]) =
+      xs.groupBy(identity).view.mapValues(_.size).toMap
+    val (got, want) = (ms(closed.toSeq), ms(expected.toSeq))
+    val diff = (got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k))
+    assert(diff.isEmpty,
+      s"sessionizer diverged from q10 on ${diff.size} sessions, e.g. ${diff.take(3).mkString(", ")}")
+  }
+
   test("stream-stream interval join attributes clicks to in-window views and drops the rest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
