@@ -309,6 +309,73 @@ class LlmOpsSpec extends SparkSpec {
     assert(pq >= flat, f"PQ serve recall $pq%.2f fell below flat serve $flat%.2f")
   }
 
+  test("incremental IVF lifecycle: inserts drift cell occupancy, a Lloyd re-train rebalances without losing recall") {
+    // Executable form of the simIvfServe Scaladoc contract: new vectors
+    // join by assign-to-existing-cells (the serve/insert path), occupancy
+    // drifts as inserts accumulate, and the periodic re-train — one Lloyd
+    // round over the grown membership, simIvfKmeans's move — rebalances
+    // cells. Driver-side model over the real sf0.001 vectors with the
+    // exact production formulas (max-cosine assignment, low-id tie-break,
+    // mean-direction Lloyd update), small enough to be exhaustive.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val n = e.length
+    val k = math.max(16, math.sqrt(n / 2).toInt)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val corpus = e.filter(_._1 % 4 != 3)
+    val inserts = e.filter(_._1 % 4 == 3)
+    val cents0 = corpus.take(k).map(_._2)
+    def assign(v: Array[Double], cents: Array[Array[Double]]): Int =
+      cents.zipWithIndex.maxBy { case (c, i) => (cos(v, c), -i) }._2
+    def occupancy(vs: Array[(Long, Array[Double])], cents: Array[Array[Double]]): Map[Int, Int] =
+      vs.groupBy { case (_, v) => assign(v, cents) }.view.mapValues(_.length).toMap
+    def skew(occ: Map[Int, Int]): Double = {
+      val counts = (0 until k).map(c => occ.getOrElse(c, 0).toDouble)
+      counts.max / (counts.sum / k)
+    }
+    val skewCorpus = skew(occupancy(corpus, cents0))
+    val combined = corpus ++ inserts
+    val skewInserted = skew(occupancy(combined, cents0))
+    // re-train: one Lloyd round over the grown membership; an empty cell
+    // keeps its old centroid (cosine needs only the mean DIRECTION)
+    val byCell = combined.groupBy { case (_, v) => assign(v, cents0) }
+    val cents1 = cents0.indices.map { c =>
+      byCell.get(c).fold(cents0(c)) { members =>
+        val s = new Array[Double](cents0(c).length)
+        members.foreach { case (_, v) => v.indices.foreach(i => s(i) += v(i)) }
+        s
+      }
+    }.toArray
+    val skewRetrained = skew(occupancy(combined, cents1))
+    info(f"occupancy skew (max/mean): corpus $skewCorpus%.2f -> +inserts $skewInserted%.2f -> re-trained $skewRetrained%.2f")
+    assert(skewRetrained <= skewInserted,
+      f"Lloyd re-train worsened occupancy skew: $skewInserted%.2f -> $skewRetrained%.2f")
+    // recall@5 of the cell-scan retrieval for the inserted vectors, before
+    // vs after the re-train, against exhaustive search over the grown index
+    def recall(cents: Array[Array[Double]]): Double = {
+      val cells = combined.groupBy { case (_, v) => assign(v, cents) }
+      val hits = inserts.map { case (qid, q) =>
+        val truth = combined.filter(_._1 != qid)
+          .map { case (cid, c) => (cid, cos(q, c)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(5).map(_._1).toSet
+        val got = cells(assign(q, cents)).filter(_._1 != qid)
+          .map { case (cid, c) => (cid, cos(q, c)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(5).map(_._1).toSet
+        (got & truth).size.toDouble / truth.size
+      }
+      hits.sum / hits.length
+    }
+    val (rBefore, rAfter) = (recall(cents0), recall(cents1))
+    info(f"insert recall@5: pre-re-train $rBefore%.2f -> post-re-train $rAfter%.2f")
+    assert(rAfter >= rBefore,
+      f"re-train degraded insert recall: $rBefore%.2f -> $rAfter%.2f")
+  }
+
   test("index tables are session-memoized: re-running the family adds no new cached state") {
     val real = "/root/testdata/sf0.001"
     // first pass builds + caches the coarse assignment, bucket and code
