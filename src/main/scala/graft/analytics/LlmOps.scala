@@ -1059,10 +1059,28 @@ object LlmOps {
       .limit(200)
   }
 
+  /** Per-label membership CAP for [[ddEmbedTopk]] — the [[SimhashBucketCap]]
+    * treatment applied to the exactness twin's label blocks: with a fixed
+    * label vocabulary, per-label membership grows ~N/|labels| and the
+    * within-label join quadratically (the hot label owned the runtime at
+    * every measured SF: 9.4 s at sf1, 12.1 s at sf2). Labels at or under
+    * the cap keep EXACT all-pairs behavior (at sf0.01 the largest label is
+    * 59 — the cap never binds); above it, the deterministic lowest-id
+    * members represent the label (window row_number, mirrored verbatim in
+    * the oracle), bounding per-label pairs at cap²/2 regardless of N.
+    * Members past the cap are same-label vectors whose near-dups a
+    * production pipeline finds via [[ddEmbedLsh]] — the scale path this
+    * twin is the yardstick for. */
+  private val EmbedLabelCap = 1024
+
   /** Embedding near-dup: top-50 most-similar within-label pairs (label is
-    * the blocking key; cosine emitted as explicit per-dim arithmetic). */
+    * the blocking key; cosine emitted as explicit per-dim arithmetic;
+    * per-label membership bounded by [[EmbedLabelCap]]). */
   def ddEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val wLbl = Window.partitionBy(col("label")).orderBy(col("vec_id"))
     val e = Tables.embeddings(spark, dir)
+      .withColumn("lrk", row_number().over(wLbl))
+      .filter(col("lrk") <= EmbedLabelCap)
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val a = e.select(col("vec_id").as("ia"), col("label"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("ib"), col("label").as("lb"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -3065,7 +3083,11 @@ object LlmOps {
     "dd_embed_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings)
+         |  FROM (
+         |    SELECT vec_id, label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS lrk
+         |    FROM embeddings)
+         |  WHERE lrk <= $EmbedLabelCap)
          |SELECT a.vec_id AS ia, b.vec_id AS ib, a.label AS label,
          |  (${dot("a.embedding", "b.embedding", 1)}) / sqrt(a.nrm * b.nrm) AS cos
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
