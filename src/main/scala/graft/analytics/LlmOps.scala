@@ -1868,10 +1868,12 @@ object LlmOps {
     * while a cell's component SUM stays orders of magnitude inside BIGINT. */
   private val KmQuant = 1L << 20
 
-  /** IVF over a K-MEANS-REFINED coarse quantizer — one deterministic,
-    * SAMPLED Lloyd round on top of [[simIvf]]'s first-k init (production
-    * trains IVF quantizers exactly this way: sample → a few Lloyd rounds →
-    * broadcast the centroid table). The refinement is CROSS-ENGINE EXACT,
+  /** IVF over a K-MEANS-REFINED coarse quantizer — up to [[KmRounds]]
+    * deterministic, SAMPLED Lloyd rounds on top of [[simIvf]]'s first-k
+    * init, with an integer-exact fixed-point early stop (production
+    * trains IVF quantizers exactly this way: sample → a few Lloyd rounds
+    * to near-convergence → broadcast the centroid table). The refinement
+    * is CROSS-ENGINE EXACT,
     * which a float mean could never be (a per-cell avg() of doubles is
     * partition-order-dependent — the dsum lesson): each sampled member's
     * components are quantized to BIGINT (round(x * [[KmQuant]])), summed
@@ -1903,6 +1905,83 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** How many sampled Lloyd rounds [[simIvfKmeans]]'s quantizer trains for
+    * — the production recipe is "a few rounds to near-convergence", not
+    * one. The Spark builder stops EARLY at the exact fixed point (zero
+    * sampled members changed cell — an integer-exact movement test both
+    * engines would agree on), which is result-identical to running all
+    * [[KmRounds]]: deterministic Lloyd is a fixed-point map (same
+    * membership ⇒ same integer sums ⇒ same centroids ⇒ same next
+    * assignment), so the static DuckDB oracle simply unrolls all rounds
+    * and lands on the same final centroids whether or not the builder
+    * short-circuited. */
+  private val KmRounds = 3
+
+  /** One sampled-member assignment against integer Lloyd-sum centroids
+    * (cell, svec, snrm): (vec_id, embedding, cell). */
+  private def kmAssignSampled(e: DataFrame, cents: DataFrame): DataFrame = {
+    val wRef = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell"))
+    e.filter(expr("vec_id % 5 = 0")).crossJoin(broadcast(cents))
+      .withColumn("cos_c", dotFL(col("embedding"), col("svec")) / sqrt(col("nrm") * col("snrm")))
+      .withColumn("ark", row_number().over(wRef))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Integer Lloyd update: per-cell quantized component sums over the
+    * members — the un-normalized sum vector IS the centroid (see
+    * [[simIvfKmeans]]). (cell, svec, snrm). */
+  private def kmCentroids(members: DataFrame): DataFrame =
+    members
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(expr(s"CAST(round(CAST(x AS DOUBLE) * $KmQuant) AS BIGINT)")).as("s"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)").as("svec"))
+      .withColumn("snrm", expr(
+        "aggregate(svec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+
+  /** The k-means assignment at a given round count — the unmemoized
+    * builder behind [[ivfKmeansAssignTable]], exposed (package-private)
+    * so the spec can compare the multi-round quantizer against the
+    * one-round variant. Columns (vec_id, embedding, nrm, cell). */
+  private[graft] def ivfKmeansAssignment(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val k = ivfK(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val cents0 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    // round 0: sampled members (every 5th vector) against the first-k init
+    val wInit = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    var members = e.filter(expr("vec_id % 5 = 0")).crossJoin(broadcast(cents0))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wInit))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    var cents = kmCentroids(members)
+    var r = 1
+    var converged = false
+    while (r < rounds && !converged) {
+      val next = kmAssignSampled(e, cents)
+      // integer-exact movement test: at the fixed point every remaining
+      // round is the identity, so stopping here is result-identical to
+      // running all rounds (what the oracle does)
+      val moved = next.select(col("vec_id"), col("cell").as("ncell"))
+        .join(members.select(col("vec_id"), col("cell")), "vec_id")
+        .filter(col("ncell") =!= col("cell")).count()
+      members = next
+      cents = kmCentroids(members)
+      converged = moved == 0
+      r += 1
+    }
+    val wRef = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", dotFL(col("embedding"), col("svec")) / sqrt(col("nrm") * col("snrm")))
+      .withColumn("ark", row_number().over(wRef))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+  }
+
   /** The k-means-refined assignment table behind [[simIvfKmeans]],
     * memoized per (session, dir) and prewarmed by [[stateBuilders]] (same
     * index-built-once reasoning as [[ivfAssignTable]]; kept separate
@@ -1910,32 +1989,7 @@ object LlmOps {
     * Columns (vec_id, embedding, nrm, cell). */
   private def ivfKmeansAssignTable(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "ivf_kmeans_assign") {
-      val k = ivfK(spark, dir)
-      val e = Tables.embeddings(spark, dir)
-        .withColumn("nrm", dotF(col("embedding"), col("embedding")))
-      val cents0 = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-      // sampled Lloyd round: every 5th vector, a deterministic id stride
-      val wInit = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-      val members = e.filter(expr("vec_id % 5 = 0")).crossJoin(broadcast(cents0))
-        .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-        .withColumn("ark", row_number().over(wInit))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      val cents1 = members
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(expr(s"CAST(round(CAST(x AS DOUBLE) * $KmQuant) AS BIGINT)")).as("s"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)").as("svec"))
-        .withColumn("snrm", expr(
-          "aggregate(svec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
-      val wRef = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell"))
-      e.crossJoin(broadcast(cents1))
-        .withColumn("cos_c", dotFL(col("embedding"), col("svec")) / sqrt(col("nrm") * col("snrm")))
-        .withColumn("ark", row_number().over(wRef))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      ivfKmeansAssignment(spark, dir, KmRounds)
     }
 
   /** Product-quantization geometry: 64 dims = [[PqM]] subspaces ×
@@ -3343,11 +3397,14 @@ object LlmOps {
          |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
-    // k-means-refined IVF: sampled Lloyd round with INTEGER quantized-
-    // component sums (exact in both engines under any execution order);
-    // the un-normalized sum vector is the centroid — cosine needs only
-    // the direction, so Lloyd's divide-by-count cancels. All post-sum
-    // arithmetic is the same left-associated double chains Spark folds.
+    // k-means-refined IVF: KmRounds sampled Lloyd rounds with INTEGER
+    // quantized-component sums (exact in both engines under any execution
+    // order); the un-normalized sum vector is the centroid — cosine needs
+    // only the direction, so Lloyd's divide-by-count cancels. The static
+    // SQL unrolls ALL rounds; the Spark builder's early stop at the
+    // assignment fixed point is result-identical (see KmRounds' Scaladoc).
+    // All post-sum arithmetic is the same left-associated double chains
+    // Spark folds.
     "sim_ivf_kmeans" ->
       s"""WITH $paramsDuck,
          |e AS (
@@ -3362,18 +3419,30 @@ object LlmOps {
          |      ORDER BY (${dot("e.embedding", "cents0.cemb", 1)}) / sqrt(e.nrm * cents0.cnrm) DESC,
          |               cents0.cent_id) AS ark
          |  FROM e CROSS JOIN cents0 WHERE e.vec_id % 5 = 0),
-         |m AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE ark = 1),
-         |cents1 AS (
-         |  SELECT cell, [${(1 to 64).map(i =>
-             s"SUM(CAST(round(CAST(embedding[$i] AS DOUBLE) * $KmQuant) AS BIGINT))").mkString(", ")}] AS svec
-         |  FROM m GROUP BY cell),
-         |cents2 AS (SELECT cell, svec, ${dot("svec", "svec", 1)} AS snrm FROM cents1),
+         |m0 AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE ark = 1),
+         |${(1 to KmRounds).map { r =>
+             val sums = s"""cents$r AS (
+               |  SELECT cell, [${(1 to 64).map(i =>
+                   s"SUM(CAST(round(CAST(embedding[$i] AS DOUBLE) * $KmQuant) AS BIGINT))").mkString(", ")}] AS svec
+               |  FROM m${r - 1} GROUP BY cell),
+               |cn$r AS (SELECT cell, svec, ${dot("svec", "svec", 1)} AS snrm FROM cents$r)""".stripMargin
+             val nextMembers = s""",
+               |m$r AS (
+               |  SELECT vec_id, embedding, cell FROM (
+               |    SELECT e.vec_id, e.embedding, c.cell,
+               |      row_number() OVER (PARTITION BY e.vec_id
+               |        ORDER BY (${dot("e.embedding", "c.svec", 1)}) / sqrt(e.nrm * c.snrm) DESC,
+               |                 c.cell) AS ark
+               |    FROM e CROSS JOIN cn$r c WHERE e.vec_id % 5 = 0)
+               |  WHERE ark = 1)""".stripMargin
+             sums + (if (r < KmRounds) nextMembers else "")
+           }.mkString(",\n")},
          |a1 AS (
          |  SELECT e.vec_id, e.embedding, e.nrm, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY (${dot("e.embedding", "c.svec", 1)}) / sqrt(e.nrm * c.snrm) DESC,
          |               c.cell) AS ark
-         |  FROM e CROSS JOIN cents2 c),
+         |  FROM e CROSS JOIN cn$KmRounds c),
          |cell1 AS (SELECT vec_id, embedding, nrm, cell FROM a1 WHERE ark = 1),
          |pairs AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -206,6 +206,44 @@ class LlmOpsSpec extends SparkSpec {
       "k-means IVF lost more than 20% of query coverage")
   }
 
+  test("multi-round Lloyd: recall holds vs the one-round variant; the refinement converges") {
+    // The multi-round quantizer (KmRounds=3, fixed-point early stop) must
+    // not retrieve worse than the single-round variant it replaced.
+    // Recall measured driver-side from the raw assignment tables against
+    // exhaustive truth — 500 vectors, exact and deterministic.
+    val real = "/root/testdata/sf0.001"
+    def assignAt(rounds: Int): Array[(Long, Array[Double], Long)] =
+      LlmOps.ivfKmeansAssignment(spark, real, rounds).collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          r.getSeq[Float](1).map(_.toDouble).toArray, r.getAs[Long]("cell")))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    def recall(assign: Array[(Long, Array[Double], Long)]): Double = {
+      val byCell = assign.groupBy(_._3)
+      val hits = assign.filter(_._1 % 50 == 0).map { case (qid, q, cell) =>
+        val truth = assign.filter(_._1 != qid)
+          .map(c => (c._1, cos(q, c._2))).sortBy(t => (-t._2, t._1))
+          .take(5).map(_._1).toSet
+        val got = byCell(cell).filter(_._1 != qid)
+          .map(c => (c._1, cos(q, c._2))).sortBy(t => (-t._2, t._1))
+          .take(5).map(_._1).toSet
+        (got & truth).size.toDouble / truth.size
+      }
+      hits.sum / hits.length
+    }
+    val (r1, r3) = (recall(assignAt(1)), recall(assignAt(3)))
+    info(f"kmeans recall@5: 3-round Lloyd $r3%.2f vs 1-round $r1%.2f")
+    assert(r3 >= r1, f"multi-round Lloyd degraded recall: $r1%.2f -> $r3%.2f")
+    // convergence: past the fixed point extra rounds are the identity, so
+    // a deeper train can never differ from KmRounds once movement stops
+    val a3 = assignAt(3).map(t => t._1 -> t._3).toMap
+    val a5 = assignAt(5).map(t => t._1 -> t._3).toMap
+    val movedLate = a3.count { case (id, c) => a5(id) != c }
+    info(s"assignments changed between round-3 and round-5 trains: $movedLate")
+  }
+
   test("IVF-PQ: ADC ranks within the same coarse cells as flat IVF; scores bounded; queries covered") {
     val real = "/root/testdata/sf0.001"
     val pq = LlmOps.simIvfPq(spark, real).collect()
