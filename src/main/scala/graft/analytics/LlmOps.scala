@@ -927,13 +927,40 @@ object LlmOps {
     * its floor). The 16-bit table carries the [[evenFpSpark]] flag as a
     * column, so the sampled pairs twin is a FILTER over the shared table
     * instead of a second tokenize pass. */
+  /** A memoized index-table slot: `fp` is the source-data fingerprint the
+    * build observed; the lazy `df` materializes (cache + count) under the
+    * CELL's own monitor, so concurrent consumers of DIFFERENT memo keys
+    * never serialize behind one build (the map's per-bin lock only guards
+    * cell creation, which is cheap). */
+  private final class MemoCell(val fp: Long, build: () => DataFrame) {
+    lazy val df: DataFrame = build()
+  }
   private val sigMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), MemoCell]
+
+  /** Source-data fingerprint for a testdata dir: the newest mtime across
+    * the two tables the memoized index state derives from. A harness that
+    * REGENERATES a dir mid-session (the driver does) changes the mtime, so
+    * the next memoSig call misses, unpersists the stale table and rebuilds
+    * — without this, build-once state would silently serve the old data.
+    * (`releaseCaches()` remains the bulk lifecycle: release everything
+    * when the session is done with a dir.) */
+  private def dirFingerprint(dir: String): Long =
+    Seq("documents.parquet", "embeddings.parquet")
+      .map(t => new java.io.File(s"$dir/$t").lastModified).max
+
   private def memoSig(spark: SparkSession, dir: String, kind: String)
-      (build: => DataFrame): DataFrame = synchronized {
-    sigMemo.getOrElseUpdate((spark, dir, kind), {
-      val df = build.cache(); df.count(); track(df)
-    })
+      (build: => DataFrame): DataFrame = {
+    val fp = dirFingerprint(dir)
+    val cell = sigMemo.compute((spark, dir, kind), (_, old) =>
+      if (old != null && old.fp == fp) old
+      else {
+        // stale entry (dir regenerated): drop its cached table now rather
+        // than leaking it until releaseCaches
+        if (old != null) { try old.df.unpersist(false) catch { case _: Throwable => () } }
+        new MemoCell(fp, () => { val df = build.cache(); df.count(); track(df) })
+      })
+    cell.df
   }
 
   private def simhashSig(spark: SparkSession, dir: String): DataFrame =

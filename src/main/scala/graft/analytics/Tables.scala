@@ -95,6 +95,17 @@ object Tables {
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case TimestampType | TimestampNTZType =>
+        // For the NTZ layout the cast re-interprets the naive value in the
+        // SESSION timezone, so the epochs are only bit-identical to
+        // DuckDB's epoch_ns under UTC. Every harness main pins UTC; a
+        // caller that didn't would get silently shifted epochs — fail
+        // loudly instead. (The non-NTZ branch is an instant already and
+        // doesn't depend on the session zone, but a non-UTC session would
+        // still diverge from the UTC-anchored oracles elsewhere.)
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts normalization requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+            "naive-timestamp epochs would shift by the zone offset")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr(
             "unix_micros(cast(ts as timestamp)) * 1000L"))

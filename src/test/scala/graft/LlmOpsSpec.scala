@@ -414,6 +414,29 @@ class LlmOpsSpec extends SparkSpec {
       f"re-train degraded insert recall: $rBefore%.2f -> $rAfter%.2f")
   }
 
+  test("memoized index state misses when the source dir is regenerated (mtime fingerprint)") {
+    // the build-once contract holds per DATASET, not per path: a harness
+    // that regenerates a testdata dir mid-session must not be served the
+    // stale index tables (BASELINE_SELF notes the driver does regenerate)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-memo").toFile
+    for (t <- Seq("documents.parquet", "embeddings.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t"),
+        java.nio.file.Paths.get(tmp.getAbsolutePath, t))
+    val dir = tmp.getAbsolutePath
+    LlmOps.simIvf(spark, dir).collect()
+    val ids0 = spark.sparkContext.getPersistentRDDs.keySet
+    // unchanged data: the memo must hit (no new cached state)
+    LlmOps.simIvf(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == ids0)
+    // "regenerate" the dir: same bytes, newer mtime -> fingerprint miss,
+    // stale table dropped, index rebuilt
+    tmp.listFiles.foreach(f => assert(f.setLastModified(f.lastModified + 10000)))
+    LlmOps.simIvf(spark, dir).collect()
+    val ids1 = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids1 != ids0, "regenerated dir was served stale memoized index state")
+  }
+
   test("index tables are session-memoized: re-running the family adds no new cached state") {
     val real = "/root/testdata/sf0.001"
     // first pass builds + caches the coarse assignment, bucket and code
