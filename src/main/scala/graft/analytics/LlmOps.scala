@@ -2186,11 +2186,13 @@ object LlmOps {
       .withColumn("cc", dotF(col("cent"), col("cent")))
   }
 
-  /** The serve index's PQ code table — (vec_id, codes[PqM]) over CORPUS
-    * members only, encoded against [[servePqCodebook]] — memoized +
-    * prewarmed like [[pqCodesTable]] (encode-once is the PQ contract;
-    * ~PqM bytes/vector is what a deployed serve index persists next to
-    * the cell assignment). */
+  /** The serve index's PQ code table — (vec_id, cell, nrm, codes[PqM])
+    * over CORPUS members only, encoded against [[servePqCodebook]] —
+    * memoized + prewarmed like [[pqCodesTable]]. The cell id and stored
+    * norm ride WITH the codes (one build-time join against
+    * [[ivfServeAssignTable]]): a deployed PQ index persists exactly this
+    * row, and the ADC scan then reads ONE memoized table instead of
+    * re-joining codes to the assignment on every query. */
   private def servePqCodesTable(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "ivf_serve_pq_codes") {
       Tables.embeddings(spark, dir).filter(expr("vec_id % 4 <> 3"))
@@ -2201,6 +2203,7 @@ object LlmOps {
         .agg(min(struct(col("d"), col("code"))).as("best"))
         .groupBy(col("vec_id"))
         .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
+        .join(ivfServeAssignTable(spark, dir).select(col("vec_id"), col("cell"), col("nrm")), "vec_id")
     }
 
   /** SERVE path against the COMPRESSED index — production's actual serving
@@ -2237,25 +2240,28 @@ object LlmOps {
       .withColumn("part", dotF(col("qsub"), col("cent")))
       .groupBy(col("qid"))
       .agg(expr("transform(array_sort(collect_list(struct(s, code, part))), p -> p.part)").as("qtab"))
-    val cands = ivfServeAssignTable(spark, dir)
-      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell").as("ccell"))
-      .join(servePqCodesTable(spark, dir).withColumnRenamed("vec_id", "cid"), "cid")
+    val cands = servePqCodesTable(spark, dir)
+      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell").as("ccell"), col("codes"))
     val adc = (0 until PqM)
       .map(s => s"qtab[CAST($s * $PqCodes + codes[$s] AS INT)]").mkString(" + ")
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("cos_adc").desc, col("cid"))
-    val short = q2.join(qtabs, "qid")
+    // the serve batch is BOUNDED by contract (incoming queries, not a
+    // corpus sample), so it broadcasts into the cell scan — the code index
+    // is never shuffled, the scan stays a map-side pass over it
+    val short = broadcast(q2.join(qtabs, "qid"))
       .join(cands, col("cell") === col("ccell"))
       .withColumn("cos_adc", expr(adc) / sqrt(col("qn") * col("cn")))
       .withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= PqRerankDepth)
       .select(col("qid"), col("cid"))
-    // exact re-rank: only the shortlist fetches full-precision vectors
+    // exact re-rank: only the shortlist fetches full-precision vectors —
+    // |Q| x depth ids broadcast against the vector table (no corpus shuffle)
     val qv = e.filter(expr("vec_id % 200 = 3"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val cv = ivfServeAssignTable(spark, dir)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val wEx = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
-    short.join(qv, "qid").join(cv, "cid")
+    broadcast(short.join(qv, "qid")).join(cv, "cid")
       .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
       .withColumn("rk", row_number().over(wEx))
       .filter(col("rk") <= 5)
