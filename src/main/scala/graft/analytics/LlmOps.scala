@@ -242,6 +242,20 @@ object LlmOps {
     math.max(16, math.sqrt((n / 2).toDouble).toLong.toInt)
   }
 
+  /** Per-level k for the TWO-LEVEL quantizer ([[simIvf2]]): the largest
+    * integer c with c³ <= N, floored at 8 — computed by integer search,
+    * not a float cbrt (whose ulp could differ across engines and flip the
+    * floor). With k = N^(1/3) per level the index has ~N^(2/3) leaf cells
+    * of ~N^(1/3) members: assignment costs N·2k ~ N^(4/3) and within-leaf
+    * pair work ~N^(4/3) — below the flat quantizer's N^1.5, which is the
+    * whole point of going hierarchical past ~10M vectors. */
+  private[analytics] def ivf2K(spark: SparkSession, dir: String): Int = {
+    val n = Tables.rowCount(spark, dir, "embeddings")
+    var c = 1L
+    while ((c + 1) * (c + 1) * (c + 1) <= n) c += 1
+    math.max(8, c.toInt)
+  }
+
   /** The oracle-side twin of [[annPlanes]]/[[ivfK]]: a `params` CTE the
     * sized oracle queries prepend — k and pl computed from count(*) with
     * the exact formulas above. `range(0,17)` + min() is the integer-exact
@@ -251,7 +265,9 @@ object LlmOps {
       |params AS (SELECT
       |  greatest(16, CAST(floor(sqrt(n // 2)) AS BIGINT)) AS k,
       |  greatest(4, least(16, coalesce((SELECT min(p) FROM range(0,17) t(p), nrows
-      |    WHERE 64 * (CAST(1 AS BIGINT) << p) >= n), 16))) AS pl
+      |    WHERE 64 * (CAST(1 AS BIGINT) << p) >= n), 16))) AS pl,
+      |  greatest(8, coalesce((SELECT max(c) FROM range(1,2100) t(c), nrows
+      |    WHERE c * c * c <= n), 1)) AS kc
       |  FROM nrows)""".stripMargin
 
   /** LSH bucket id, sized (DuckDB text): all [[MaxPlanes]] sign bits are in
@@ -416,7 +432,8 @@ object LlmOps {
     "ann_bucket" -> (() => { annBucketTable(spark, dir).count(); () }),
     "pq_codes" -> (() => { pqCodesTable(spark, dir).count(); () }),
     "ivf_serve_assign" -> (() => { ivfServeAssignTable(spark, dir).count(); () }),
-    "ivf_serve_pq_codes" -> (() => { servePqCodesTable(spark, dir).count(); () }))
+    "ivf_serve_pq_codes" -> (() => { servePqCodesTable(spark, dir).count(); () }),
+    "ivf2_assign" -> (() => { ivf2AssignTable(spark, dir).count(); () }))
 
   /** Note `sizes` counts the FULL shingle set (the Jaccard denominator),
     * while the join runs on the stop-shingle-capped set. */
@@ -1889,6 +1906,65 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** TWO-LEVEL (hierarchical) IVF — the production shape past ~10M
+    * vectors, where a flat quantizer's own N·k assignment re-quadratizes
+    * (see [[ivfK]]'s Scaladoc): level 1 assigns every vector to one of
+    * [[ivf2K]] coarse cells (first-k centroids, broadcast); level 2
+    * re-quantizes WITHIN each cell against the cell's k lowest-id members
+    * as sub-centroids. ~N^(2/3) leaf cells of ~N^(1/3) members each make
+    * both assignment and within-leaf pair work O(N^(4/3)) — strictly below
+    * the flat optimum's O(N^1.5). A query scans only its leaf (nprobe=1
+    * per level; the recall knob is the same cell-expansion as
+    * [[simIvfNprobe2]], composable per level). The sub-centroid table is
+    * ~N^(2/3) rows; it broadcasts comfortably at any N a single flat
+    * quantizer could also serve, and at extreme N the level-2 join is
+    * already keyed on `cell`, so production shards it cell-partitioned
+    * co-located with the members instead of broadcasting. */
+  def simIvf2(spark: SparkSession, dir: String): DataFrame = {
+    val a = ivf2AssignTable(spark, dir)
+    val q = a.filter(expr("vec_id % 50 = 0"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+        col("cell"), col("subcell"))
+    val c = a.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"),
+      col("cell").as("ccell"), col("subcell").as("csub"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    q.join(c, col("cell") === col("ccell") && col("subcell") === col("csub") && col("qid") =!= col("cid"))
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The two-level assignment table behind [[simIvf2]] — (vec_id,
+    * embedding, nrm, cell, subcell) — memoized + prewarmed like its flat
+    * siblings (built once, queried many times). */
+  private def ivf2AssignTable(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "ivf2_assign") {
+      val k = ivf2K(spark, dir)
+      val e = Tables.embeddings(spark, dir)
+        .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val w1 = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+      val l1 = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+        .withColumn("ark", row_number().over(w1))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      val wSub = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+      val subcents = l1.withColumn("srk", row_number().over(wSub))
+        .filter(col("srk") <= k)
+        .select(col("cell").as("scell"), col("vec_id").as("sub_id"),
+          col("embedding").as("semb"), col("nrm").as("ssnrm"))
+      val w2 = Window.partitionBy(col("vec_id")).orderBy(col("cos_s").desc, col("sub_id"))
+      l1.join(broadcast(subcents), col("cell") === col("scell"))
+        .withColumn("cos_s", dotF(col("embedding"), col("semb")) / sqrt(col("nrm") * col("ssnrm")))
+        .withColumn("ark", row_number().over(w2))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"), col("sub_id").as("subcell"))
+    }
+
   /** Component quantization scale for the k-means Lloyd sums: 2^20 keeps a
     * unit-norm float component's information (float ulp at |x|<=1 is 2^-24;
     * the quantization error 2^-21 is far below any cosine tie that matters)
@@ -2411,6 +2487,7 @@ object LlmOps {
     "sim_ivf_serve" -> simIvfServe _,
     "sim_ivf_serve_pq" -> simIvfServePq _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
+    "sim_ivf2" -> simIvf2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
     "sim_ivf_pq" -> simIvfPq _,
     "sim_ivf_pq_rerank" -> simIvfPqRerank _,
@@ -3423,6 +3500,53 @@ object LlmOps {
          |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
          |  FROM q2 q JOIN cell c
          |    ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT qid, rk, cid, cos_exact AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // TWO-LEVEL IVF: nested deterministic quantizers — level-1 first-kc
+    // centroids, level-2 the kc lowest-id members of each cell; queries
+    // scan only their leaf. kc = largest c with c^3 <= N (integer search
+    // in params, matching the Scala side exactly)
+    "sim_ivf2" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id < (SELECT kc FROM params)),
+         |l1 AS (
+         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents)
+         |  WHERE ark = 1),
+         |subc AS (
+         |  SELECT cell AS scell, vec_id AS sub_id, embedding AS semb, nrm AS ssnrm FROM (
+         |    SELECT vec_id, embedding, nrm, cell,
+         |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS srk
+         |    FROM l1)
+         |  WHERE srk <= (SELECT kc FROM params)),
+         |l2 AS (
+         |  SELECT vec_id, embedding, nrm, cell, sub_id AS subcell FROM (
+         |    SELECT l1.vec_id, l1.embedding, l1.nrm, l1.cell, s.sub_id,
+         |      row_number() OVER (PARTITION BY l1.vec_id
+         |        ORDER BY (${dot("l1.embedding", "s.semb", 1)}) / sqrt(l1.nrm * s.ssnrm) DESC,
+         |                 s.sub_id) AS ark
+         |    FROM l1 JOIN subc s ON l1.cell = s.scell)
+         |  WHERE ark = 1),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
+         |  FROM l2 q JOIN l2 c
+         |    ON q.cell = c.cell AND q.subcell = c.subcell
+         |    AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos_exact,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk

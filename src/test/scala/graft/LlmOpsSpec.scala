@@ -206,6 +206,29 @@ class LlmOpsSpec extends SparkSpec {
       "k-means IVF lost more than 20% of query coverage")
   }
 
+  test("two-level IVF: exact cosines where pairs overlap brute force; dense ranks per query") {
+    val real = "/root/testdata/sf0.001"
+    val brute = LlmOps.simTopkCosine(spark, real).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> r.getAs[Double]("cos")).toMap
+    val rows = LlmOps.simIvf2(spark, real).collect()
+    assert(rows.nonEmpty)
+    // the leaf scan ranks with FULL-precision cosines: any emitted pair
+    // that is also a true top-5 pair must carry the identical double
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos"),
+        s"two-level IVF cosine diverged from brute force at $key"))
+    }
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { qr =>
+      assert(qr.map(_.getAs[Int]("rk")).sorted.sameElements(1 to qr.length))
+      assert(qr.length <= 5)
+    }
+    val recall = rows.count(r =>
+      brute.contains((r.getAs[Long]("qid"), r.getAs[Long]("cid")))).toDouble /
+      math.max(brute.size, 1)
+    info(f"two-level IVF recall@5 vs brute force: $recall%.2f (~N^(1/3)-member leaves)")
+  }
+
   test("multi-round Lloyd: recall holds vs the one-round variant; the refinement converges") {
     // The multi-round quantizer (KmRounds=3, fixed-point early stop) must
     // not retrieve worse than the single-round variant it replaced.
