@@ -2345,6 +2345,41 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** The serve index's INSERT path — the WRITE side of incremental
+    * serving, complementing [[simIvfServePq]]'s read side: each arriving
+    * (held-out) vector is quantized against the frozen corpus centroids
+    * and encoded against the frozen corpus PQ codebook, emitting exactly
+    * the row that gets APPENDED to the code index — (vec_id, cell, stored
+    * norm, PqM code bytes). No index state is rebuilt (k centroid dots +
+    * 128 codebook dots per insert, independent of N); inserts accumulate
+    * until occupancy drift triggers the periodic re-train
+    * (LlmOpsSpec's lifecycle test measures that transition). Codes are
+    * emitted as one column per subspace — the append row is flat, like
+    * the index layout itself. */
+  def simIvfServeInsert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val held = e.filter(expr("vec_id % 4 = 3"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = held.crossJoin(broadcast(serveCentroids(spark, dir)))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("nrm"), col("cent_id").as("cell"))
+    val codes = held
+      .select(col("vec_id"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "sub")))
+      .join(broadcast(servePqCodebook(spark, dir)), "s")
+      .withColumn("d", col("cc") - lit(2.0) * dotF(col("sub"), col("cent")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
+    assigned.join(codes, "vec_id")
+      .select(Seq(col("vec_id"), col("cell"), col("nrm")) ++
+        (0 until PqM).map(s => expr(s"CAST(codes[$s] AS BIGINT)").as(s"c$s")): _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Unigram RARITY / LM-quality score — the CCNet-style signal (Wenzek
     * et al. 2020 score docs by LM perplexity; the unigram degenerate case
     * needs no model): each doc's tokens are weighted by their CORPUS
@@ -2486,6 +2521,7 @@ object LlmOps {
     "sim_ivf" -> simIvf _,
     "sim_ivf_serve" -> simIvfServe _,
     "sim_ivf_serve_pq" -> simIvfServePq _,
+    "sim_ivf_serve_insert" -> simIvfServeInsert _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
     "sim_ivf2" -> simIvf2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
@@ -3474,6 +3510,49 @@ object LlmOps {
          |  FROM rer)
          |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // serve-index INSERT path: held-out vectors quantized against the
+    // frozen corpus centroids + encoded against the frozen corpus PQ
+    // codebook — the row appended to the code index
+    "sim_ivf_serve_insert" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id % 4 <> 3
+         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |assigned AS (
+         |  SELECT vec_id, nrm, cent_id AS cell FROM (
+         |    SELECT e.vec_id, e.nrm, cents.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 4 = 3)
+         |  WHERE ark = 1),
+         |scb AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code, embedding
+         |  FROM (SELECT vec_id, embedding FROM e WHERE vec_id % 4 <> 3
+         |        ORDER BY vec_id LIMIT $PqCodes)),
+         |enc AS (
+         |${(0 until PqM).map { s =>
+             val b = s * PqSub + 1
+             s"""  SELECT v.vec_id, $s AS s, b.code,
+                |    (${pqDot("b.embedding", "b.embedding", b)}) - 2 * (${pqDot("v.embedding", "b.embedding", b)}) AS d
+                |  FROM e v CROSS JOIN scb b WHERE v.vec_id % 4 = 3""".stripMargin
+           }.mkString("\n  UNION ALL\n")}),
+         |enc_rk AS (
+         |  SELECT vec_id, s, code,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code) AS erk
+         |  FROM enc),
+         |codes AS (
+         |  SELECT vec_id, list(code ORDER BY s) AS codes
+         |  FROM enc_rk WHERE erk = 1 GROUP BY vec_id)
+         |SELECT a.vec_id, a.cell, a.nrm,
+         |  ${(0 until PqM).map(s => s"CAST(k2.codes[${s + 1}] AS BIGINT) AS c$s").mkString(", ")}
+         |FROM assigned a JOIN codes k2 ON k2.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     // same quantizer CTEs; queries probe their rank-1 AND rank-2 cells
     "sim_ivf_nprobe2" ->

@@ -460,6 +460,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(ids1 != ids0, "regenerated dir was served stale memoized index state")
   }
 
+  test("serve-index insert path: one append row per held-out vector, valid cell and code range") {
+    val real = "/root/testdata/sf0.001"
+    val rows = LlmOps.simIvfServeInsert(spark, real).collect()
+    val heldOut = spark.read.parquet(s"$real/embeddings.parquet")
+      .filter("vec_id % 4 = 3").count()
+    assert(rows.length == heldOut, "insert path must emit exactly one row per arriving vector")
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 4 == 3)
+      // cells are corpus centroid ids — corpus members by construction
+      assert(r.getAs[Long]("cell") % 4 != 3)
+      (0 until 8).foreach { s =>
+        val c = r.getAs[Long](s"c$s")
+        assert(c >= 0 && c < 16, s"code c$s=$c outside the codebook")
+      }
+    }
+  }
+
   test("index tables are session-memoized: re-running the family adds no new cached state") {
     val real = "/root/testdata/sf0.001"
     // first pass builds + caches the coarse assignment, bucket and code
