@@ -136,6 +136,23 @@ object Oracles {
         |GROUP BY o.o_orderpriority
         |ORDER BY o.o_orderpriority""".stripMargin,
 
+    // the NAIVE range join — DuckDB plans it natively; the Spark side's
+    // week-bucket expansion must hash-match it exactly (nothing lost,
+    // nothing duplicated by the bucketing)
+    "q36_interval_join" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS probe_d
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |li AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_d, l_quantity FROM lineitem)
+        |SELECT strftime(p.probe_d, '%Y-%m-%d') AS probe_date,
+        |  count(*) AS n_in_transit,
+        |  round(sum(li.l_quantity), 2) AS qty_in_transit
+        |FROM probes p JOIN li
+        |  ON p.probe_d >= li.ship_d AND p.probe_d <= li.ship_d + INTERVAL 14 DAY
+        |GROUP BY p.probe_d
+        |ORDER BY probe_date""".stripMargin,
+
     // q34 = q28's join without the salt (AQE splits the skew at runtime
     // instead); the unsalted SQL is the oracle for BOTH formulations
     "q34_skew_aqe" ->

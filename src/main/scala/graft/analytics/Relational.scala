@@ -728,6 +728,46 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** POINT-IN-INTERVAL (range) join via INTERVAL BUCKETING — the join
+    * shape Spark has no native physical strategy for: a naive
+    * `p.d BETWEEN i.start AND i.end` join plans a BroadcastNestedLoopJoin
+    * (every probe against every interval — quadratic, and the first plan
+    * a user writes). Each lineitem is "in transit" for [ship_d,
+    * ship_d + 14 days]; a deterministic orders sample provides probe
+    * dates; the result counts shipments in flight per probe date.
+    *
+    * The scale path EQUI-joins instead: every interval explodes to the
+    * ISO-week buckets it covers — a BOUNDED fanout of
+    * ceil(len/bucket) + 1 = 3 rows per interval — probes join their own
+    * week bucket, and the exact containment predicate refines the bucket
+    * hit. A probe date lies in exactly one week, so no pair is produced
+    * twice and none is lost (trunc(probe) always lies between
+    * trunc(start) and trunc(end)). Work is linear in |intervals| +
+    * |bucket matches|, distributes on the bucket key like any hash join,
+    * and survives any interval/probe volume a nested loop would not.
+    * Bucket width is a tuning knob: ~interval length keeps the fanout
+    * ≤ ceil(len/width) + 1 while bounding per-bucket probe work. The
+    * oracle runs the NAIVE range join (DuckDB plans range joins
+    * natively), so the hash-match proves the bucketing loses and
+    * duplicates nothing. */
+  def q36IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_quantity"), col("l_shipdate").cast("date").as("ship_d"))
+      .withColumn("end_d", date_add(col("ship_d"), 14))
+    val expanded = li.withColumn("wk", explode(expr(
+      "sequence(CAST(date_trunc('WEEK', ship_d) AS DATE), CAST(date_trunc('WEEK', end_d) AS DATE), interval 7 days)")))
+    val probes = Tables.orders(spark, dir).filter(expr("o_orderkey % 97 = 0"))
+      .select(col("o_orderdate").cast("date").as("probe_d")).distinct()
+      .withColumn("pwk", expr("CAST(date_trunc('WEEK', probe_d) AS DATE)"))
+    expanded.join(broadcast(probes),
+        col("wk") === col("pwk") &&
+        col("probe_d") >= col("ship_d") && col("probe_d") <= col("end_d"))
+      .groupBy(date_format(col("probe_d"), "yyyy-MM-dd").as("probe_date"))
+      .agg(count(lit(1)).as("n_in_transit"),
+        round(sum(col("l_quantity")), 2).as("qty_in_transit"))
+      .orderBy(col("probe_date"))
+  }
+
   /** DATA-SIZED bucket count for the fact layout: next power of two above
     * maxRows/512Ki, floor 8 (the original constant — sf0.1 and below are
     * unchanged), cap 1024. The fixed 8 made the bucketed WRITE the
@@ -793,6 +833,7 @@ object Relational {
     "q33_bloom_prune" -> q33BloomPrune _,
     "q34_skew_aqe" -> q34SkewAqe _,
     "q35_bucketed_join" -> q35BucketedJoin _,
+    "q36_interval_join" -> q36IntervalJoin _,
     "q31_approx_quantile" -> q31ApproxQuantile _,
     "q32_zorder" -> q32Zorder _,
     "q30_grouping_sets" -> q30GroupingSets _,

@@ -22,4 +22,16 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"lambda filter pushed to scan in: ${offenders.mkString(", ")}")
   }
+
+  test("the interval join plans as an equi-join on the bucket key, not a nested loop") {
+    // the whole point of the week-bucket expansion: the naive range join
+    // falls back to BroadcastNestedLoopJoin, which does not survive scale
+    val plan = graft.analytics.Relational
+      .q36IntervalJoin(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "interval join degenerated to a nested-loop join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "expected a hash/merge equi-join on the bucket key")
+  }
 }
