@@ -736,32 +736,32 @@ object Relational {
     * ship_d + 14 days]; a deterministic orders sample provides probe
     * dates; the result counts shipments in flight per probe date.
     *
-    * The scale path EQUI-joins instead: every interval explodes to the
-    * ISO-week buckets it covers — a BOUNDED fanout of
-    * ceil(len/bucket) + 1 = 3 rows per interval — probes join their own
-    * week bucket, and the exact containment predicate refines the bucket
-    * hit. A probe date lies in exactly one week, so no pair is produced
-    * twice and none is lost (trunc(probe) always lies between
-    * trunc(start) and trunc(end)). Work is linear in |intervals| +
-    * |bucket matches|, distributes on the bucket key like any hash join,
-    * and survives any interval/probe volume a nested loop would not.
-    * Bucket width is a tuning knob: ~interval length keeps the fanout
-    * ≤ ceil(len/width) + 1 while bounding per-bucket probe work. The
-    * oracle runs the NAIVE range join (DuckDB plans range joins
-    * natively), so the hash-match proves the bucketing loses and
-    * duplicates nothing. */
+    * The scale path EQUI-joins instead, expanding the SMALL side: a probe
+    * date is inside [ship_d, ship_d + 14] iff ship_d lies in the probe's
+    * 14-day LOOKBACK, which covers at most ceil(14/7) + 1 = 3 ISO-week
+    * buckets — so each probe explodes to those ≤3 weeks while the fact
+    * keeps exactly ONE bucket per row (its own ship week; no fanout of
+    * the big side — an early version exploded the intervals instead and
+    * paid 3× the fact volume for the same answer). The exact containment
+    * predicate refines the bucket hit; each (interval, probe) pair meets
+    * in exactly one bucket, so nothing is lost or duplicated. Work is
+    * linear in |facts| + |matches|, the probe expansion broadcasts, and
+    * any interval/probe volume a nested loop would choke on distributes
+    * like an ordinary hash join. Bucket width ~ interval length bounds
+    * the probe fanout; the oracle runs the NAIVE range join (DuckDB
+    * plans range joins natively), so the hash-match proves the bucketing
+    * exact. */
   def q36IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_quantity"), col("l_shipdate").cast("date").as("ship_d"))
-      .withColumn("end_d", date_add(col("ship_d"), 14))
-    val expanded = li.withColumn("wk", explode(expr(
-      "sequence(CAST(date_trunc('WEEK', ship_d) AS DATE), CAST(date_trunc('WEEK', end_d) AS DATE), interval 7 days)")))
+      .withColumn("wk", expr("CAST(date_trunc('WEEK', ship_d) AS DATE)"))
     val probes = Tables.orders(spark, dir).filter(expr("o_orderkey % 97 = 0"))
       .select(col("o_orderdate").cast("date").as("probe_d")).distinct()
-      .withColumn("pwk", expr("CAST(date_trunc('WEEK', probe_d) AS DATE)"))
-    expanded.join(broadcast(probes),
+      .withColumn("pwk", explode(expr(
+        "sequence(CAST(date_trunc('WEEK', probe_d - interval 14 days) AS DATE), CAST(date_trunc('WEEK', probe_d) AS DATE), interval 7 days)")))
+    li.join(broadcast(probes),
         col("wk") === col("pwk") &&
-        col("probe_d") >= col("ship_d") && col("probe_d") <= col("end_d"))
+        col("probe_d") >= col("ship_d") && col("probe_d") <= date_add(col("ship_d"), 14))
       .groupBy(date_format(col("probe_d"), "yyyy-MM-dd").as("probe_date"))
       .agg(count(lit(1)).as("n_in_transit"),
         round(sum(col("l_quantity")), 2).as("qty_in_transit"))
