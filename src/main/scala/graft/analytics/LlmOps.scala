@@ -317,6 +317,34 @@ object LlmOps {
           + (lit(1.0) - col("n_punct") / nullif(length(col("text")), lit(0))) * 0.5).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Percentile QUALITY CURATION, stratified per language — the step that
+    * turns [[txtQuality]]'s score into a kept corpus: within each
+    * language, keep the top half of documents by (quality, doc_id) rank.
+    * The cut is RANK-selected, not threshold-selected (rk <= ceil(n/2)
+    * over the dense per-group ranking, q25's exact-selection idea), so
+    * both engines agree exactly — a float threshold comparison could
+    * disagree at a boundary ulp; a rank never can. Stratification
+    * matters at corpus scale: a global cut would let one verbose
+    * language crowd out another — per-group windows keep the mixture.
+    * Plan: one text scan, one window shuffle on lang (tiny key), linear
+    * elsewhere. */
+  def txtQualityCut(spark: SparkSession, dir: String): DataFrame = {
+    val wq = Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    val wn = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_punct", length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+      .withColumn("quality",
+        least(lit(1.0), col("n_words") / lit(100.0)) * 0.5
+          + (lit(1.0) - col("n_punct") / nullif(length(col("text")), lit(0))) * 0.5)
+      .withColumn("rk", row_number().over(wq))
+      .withColumn("n_lang", count(lit(1)).over(wn))
+      .filter(col("rk") <= expr("CAST(ceil(n_lang * 0.5) AS BIGINT)"))
+      .select(col("lang"), col("doc_id"), col("quality"), col("rk"), col("n_lang"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** N-gram-marker language ID: count marker-token hits per language,
     * argmax with a fixed priority order. (The synthetic corpus shares one
     * vocabulary across langs — the heuristic is exercised for determinism,
@@ -2473,6 +2501,7 @@ object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> txtTokens _,
     "txt_quality" -> txtQuality _,
+    "txt_quality_cut" -> txtQualityCut _,
     "txt_langid" -> txtLangid _,
     "txt_fingerprint" -> txtFingerprint _,
     "txt_top_terms" -> txtTopTerms _,
@@ -2624,6 +2653,28 @@ object LlmOps {
          |  least(1.0, n_words / 100.0) * 0.5
          |        + (1.0 - n_punct / nullif(length(text), 0)) * 0.5 AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // rank-selected per-language quality cut: keep rk <= ceil(n/2) over
+    // the (quality DESC, doc_id) window — no float threshold comparison
+    "txt_quality_cut" ->
+      s"""WITH $baseDuck, q AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct
+         |  FROM base),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    least(1.0, n_words / 100.0) * 0.5
+         |      + (1.0 - n_punct / nullif(length(text), 0)) * 0.5 AS quality
+         |  FROM q),
+         |ranked AS (
+         |  SELECT lang, doc_id, quality,
+         |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM scored)
+         |SELECT lang, doc_id, quality, rk, n_lang
+         |FROM ranked WHERE rk <= CAST(ceil(n_lang * 0.5) AS BIGINT)
+         |ORDER BY lang, rk""".stripMargin,
 
     "txt_langid" -> {
       val scores = langMarkers.map { case (lang, ws) =>

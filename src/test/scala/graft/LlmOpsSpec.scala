@@ -460,6 +460,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(ids1 != ids0, "regenerated dir was served stale memoized index state")
   }
 
+  test("quality cut keeps exactly the top half per language, rank-contiguous") {
+    val real = "/root/testdata/sf0.001"
+    val kept = LlmOps.txtQualityCut(spark, real).collect()
+    assert(kept.nonEmpty)
+    val langTotals = spark.read.parquet(s"$real/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    kept.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val expected = math.ceil(langTotals(lang) * 0.5).toLong
+      assert(rows.length == expected,
+        s"$lang kept ${rows.length}, expected top-half $expected of ${langTotals(lang)}")
+      // ranks are the contiguous prefix 1..ceil(n/2): the cut is by rank,
+      // never by a float threshold
+      assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rows.length))
+      // kept quality is monotone non-increasing in rank
+      val byRank = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("quality"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("serve-index insert path: one append row per held-out vector, valid cell and code range") {
     val real = "/root/testdata/sf0.001"
     val rows = LlmOps.simIvfServeInsert(spark, real).collect()
