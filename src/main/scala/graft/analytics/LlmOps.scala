@@ -65,8 +65,6 @@ object LlmOps {
     withQuietRddLogger {
       tracked.foreach(f => try f() catch { case _: Throwable => () })
       tracked.clear()
-      jpMemo.clear()
-      pwMemo.clear()
       sigMemo.clear()
     }
   }
@@ -252,7 +250,9 @@ object LlmOps {
   private[analytics] def ivf2K(spark: SparkSession, dir: String): Int = {
     val n = Tables.rowCount(spark, dir, "embeddings")
     var c = 1L
-    while ((c + 1) * (c + 1) * (c + 1) <= n) c += 1
+    // cap 2099 = the oracle's range(1,2100) search bound (~9.2e9 vectors);
+    // the two searches must share a bound or they would diverge past it
+    while (c < 2099 && (c + 1) * (c + 1) * (c + 1) <= n) c += 1
     math.max(8, c.toInt)
   }
 
@@ -302,19 +302,28 @@ object LlmOps {
         length(col("text")).cast("long").as("n_chars_calc"))
       .orderBy(col("doc_id"))
 
-  /** Quality scoring: length, stopword ratio, punctuation ratio, average
-    * word length → composite score. */
-  def txtQuality(spark: SparkSession, dir: String): DataFrame =
+  /** The ONE quality-scoring projection, shared by the reporting query
+    * and the curation cut (a drifted copy would silently score and curate
+    * with different formulas): every document with n_words/n_stop/n_punct
+    * counters and the composite `quality` column. */
+  private def qualityScored(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", expr(toksSpark))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("n_stop", expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))").cast("long"))
       .withColumn("n_punct", length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+      .withColumn("quality",
+        least(lit(1.0), col("n_words") / lit(100.0)) * 0.5
+          + (lit(1.0) - col("n_punct") / nullif(length(col("text")), lit(0))) * 0.5)
+
+  /** Quality scoring: length, stopword ratio, punctuation ratio, average
+    * word length → composite score. */
+  def txtQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir)
       .select(col("doc_id"), col("n_words"), col("n_stop"),
         (col("n_stop") / nullif(col("n_words"), lit(0))).as("stop_ratio"),
         (col("n_punct") / nullif(length(col("text")), lit(0))).as("punct_ratio"),
-        (least(lit(1.0), col("n_words") / lit(100.0)) * 0.5
-          + (lit(1.0) - col("n_punct") / nullif(length(col("text")), lit(0))) * 0.5).as("quality"))
+        col("quality"))
       .orderBy(col("doc_id"))
 
   /** Percentile QUALITY CURATION, stratified per language — the step that
@@ -331,13 +340,7 @@ object LlmOps {
   def txtQualityCut(spark: SparkSession, dir: String): DataFrame = {
     val wq = Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
     val wn = Window.partitionBy(col("lang"))
-    Tables.documents(spark, dir)
-      .withColumn("toks", expr(toksSpark))
-      .withColumn("n_words", size(col("toks")).cast("long"))
-      .withColumn("n_punct", length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
-      .withColumn("quality",
-        least(lit(1.0), col("n_words") / lit(100.0)) * 0.5
-          + (lit(1.0) - col("n_punct") / nullif(length(col("text")), lit(0))) * 0.5)
+    qualityScored(spark, dir)
       .withColumn("rk", row_number().over(wq))
       .withColumn("n_lang", count(lit(1)).over(wn))
       .filter(col("rk") <= expr("CAST(ceil(n_lang * 0.5) AS BIGINT)"))
@@ -430,15 +433,12 @@ object LlmOps {
 
   /** All blocked shingle-Jaccard pairs (no threshold/limit) — shared by the
     * reporting query above, the dedup action, and the clustering query.
-    * Memoized per (session, dir): the three consumers get the SAME frame
-    * instance, so the persisted shingle tables are registered once (no
-    * repeated `persist()` → no "already cached" churn) and are released
-    * together by [[releaseCaches]]. */
-  private val jpMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-
-  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = synchronized {
-    jpMemo.getOrElseUpdate((spark, dir), buildJaccardPairs(spark, dir))
-  }
+    * Memoized through [[memoRaw]] (fingerprinted like every other index
+    * table, so a regenerated dir rebuilds instead of serving stale pairs):
+    * the three consumers get the SAME frame instance, so the checkpointed
+    * pair table is registered once and released by [[releaseCaches]]. */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    memoRaw(spark, dir, "jaccard_pairs")(buildJaccardPairs(spark, dir))
 
   /** One-time family STATE builds, exposed so Bench can time them as an
     * explicit pre-stage: without this the cost lands on whichever family
@@ -973,40 +973,78 @@ object LlmOps {
     * column, so the sampled pairs twin is a FILTER over the shared table
     * instead of a second tokenize pass. */
   /** A memoized index-table slot: `fp` is the source-data fingerprint the
-    * build observed; the lazy `df` materializes (cache + count) under the
-    * CELL's own monitor, so concurrent consumers of DIFFERENT memo keys
-    * never serialize behind one build (the map's per-bin lock only guards
-    * cell creation, which is cheap). */
+    * build observed; the lazy `df` materializes under the CELL's own
+    * monitor, so concurrent consumers of DIFFERENT memo keys never
+    * serialize behind one build (the map's per-bin lock only guards cell
+    * creation, which is cheap). `peek` exposes the frame ONLY once built —
+    * the stale-release path must never force an unbuilt cell (a failed
+    * build's cell would otherwise rebuild, possibly recursively through
+    * this very map, inside the release path). */
   private final class MemoCell(val fp: Long, build: () => DataFrame) {
-    lazy val df: DataFrame = build()
+    @volatile private var built: DataFrame = _
+    def peek: Option[DataFrame] = Option(built)
+    lazy val df: DataFrame = { val d = build(); built = d; d }
   }
   private val sigMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), MemoCell]
 
-  /** Source-data fingerprint for a testdata dir: the newest mtime across
-    * the two tables the memoized index state derives from. A harness that
-    * REGENERATES a dir mid-session (the driver does) changes the mtime, so
-    * the next memoSig call misses, unpersists the stale table and rebuilds
-    * — without this, build-once state would silently serve the old data.
-    * (`releaseCaches()` remains the bulk lifecycle: release everything
-    * when the session is done with a dir.) */
-  private def dirFingerprint(dir: String): Long =
-    Seq("documents.parquet", "embeddings.parquet")
-      .map(t => new java.io.File(s"$dir/$t").lastModified).max
-
-  private def memoSig(spark: SparkSession, dir: String, kind: String)
-      (build: => DataFrame): DataFrame = {
-    val fp = dirFingerprint(dir)
-    val cell = sigMemo.compute((spark, dir, kind), (_, old) =>
-      if (old != null && old.fp == fp) old
-      else {
-        // stale entry (dir regenerated): drop its cached table now rather
-        // than leaking it until releaseCaches
-        if (old != null) { try old.df.unpersist(false) catch { case _: Throwable => () } }
-        new MemoCell(fp, () => { val df = build.cache(); df.count(); track(df) })
-      })
-    cell.df
+  /** Source-data fingerprint for a testdata dir: the newest modification
+    * time across the two tables the memoized index state derives from,
+    * resolved through the Hadoop filesystem of the path (so hdfs://s3://
+    * URIs and directory-layout parquet fingerprint correctly — a plain
+    * java.io.File mtime is 0 for a URI and misses in-place part-file
+    * rewrites under a directory). A harness that REGENERATES a dir
+    * mid-session (the driver does) changes the fingerprint, so the next
+    * memo call misses and rebuilds — without this, build-once state would
+    * silently serve the old data. (`releaseCaches()` remains the bulk
+    * lifecycle: release everything when the session is done with a dir.) */
+  private def dirFingerprint(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("documents.parquet", "embeddings.parquet").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      try {
+        val fs = p.getFileSystem(conf)
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory)
+          fs.listStatus(p).map(_.getModificationTime)
+            .foldLeft(st.getModificationTime)(math.max)
+        else st.getModificationTime
+      } catch { case _: Throwable => 0L }
+    }.max
   }
+
+  /** The memo spine shared by [[memoSig]] and [[memoRaw]]: fingerprint
+    * check, stale eviction, per-key lazy build. The stale release runs
+    * OUTSIDE any map lock — it is a Spark call, and a fresh build may
+    * recursively enter this memo (the serve-PQ code table builds on the
+    * serve assignment); only cheap cell construction happens inside
+    * computeIfAbsent. */
+  private def memoCell(spark: SparkSession, dir: String, kind: String)
+      (thunk: () => DataFrame): DataFrame = {
+    val key = (spark, dir, kind)
+    val fp = dirFingerprint(spark, dir)
+    val existing = sigMemo.get(key)
+    if (existing != null && existing.fp != fp && sigMemo.remove(key, existing))
+      // stale entry (dir regenerated): best-effort drop of whatever it
+      // MATERIALIZED (never force an unbuilt cell); self-tracked builds
+      // keep their storage until releaseCaches, which is acceptable —
+      // correctness needs only the memo MISS
+      existing.peek.foreach(d => try d.unpersist(false) catch { case _: Throwable => () })
+    sigMemo.computeIfAbsent(key, _ => new MemoCell(fp, thunk)).df
+  }
+
+  /** Memoize + cache + eagerly materialize + track an index table. */
+  private def memoSig(spark: SparkSession, dir: String, kind: String)
+      (build: => DataFrame): DataFrame =
+    memoCell(spark, dir, kind)(() => { val df = build.cache(); df.count(); track(df) })
+
+  /** Memoize a build that handles its OWN materialization/tracking
+    * (jaccard pairs checkpoint their RDD, passage windows cache+count
+    * inside the build) — same fingerprint + per-key-lock semantics as
+    * [[memoSig]] without double-caching the result. */
+  private def memoRaw(spark: SparkSession, dir: String, kind: String)
+      (build: => DataFrame): DataFrame =
+    memoCell(spark, dir, kind)(() => build)
 
   private def simhashSig(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "sig16") {
@@ -1645,23 +1683,15 @@ object LlmOps {
     * eagerly so parallel stages of one consuming job can't race past the
     * unpopulated cache and double-build (the minhash-signature lesson).
     * Released with everything else by [[releaseCaches]]. */
-  private val pwMemo =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String, Int), DataFrame]
-
   private def passageWindows(spark: SparkSession, dir: String, n: Int): DataFrame =
-    synchronized {
-      pwMemo.getOrElseUpdate((spark, dir, n), {
-        val df = Tables.documents(spark, dir)
-          .repartition(spark.sparkContext.defaultParallelism)
-          .select(col("doc_id"), explode_outer(
-            org.apache.spark.sql.graft.ColumnBridge.column(
-              org.apache.spark.sql.graft.PassageHash(
-                org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), n))).as("w"))
-          .filter(col("w").isNotNull)
-          .cache()
-        df.count()
-        track(df)
-      })
+    memoSig(spark, dir, s"passages_n$n") {
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode_outer(
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            org.apache.spark.sql.graft.PassageHash(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), n))).as("w"))
+        .filter(col("w").isNotNull)
     }
 
   /** Benchmark DECONTAMINATION — the test-set-overlap check every serious
@@ -2082,18 +2112,24 @@ object LlmOps {
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val cents0 = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    // round 0: sampled members (every 5th vector) against the first-k init
+    // round 0: sampled members (every 5th vector) against the first-k init.
+    // Each round's sampled assignment is CACHED (and tracked for
+    // releaseCaches): the movement test is an action, and without the
+    // cache every round's count — and the final full assignment — would
+    // re-execute the whole chain of prior N x k cross-join/argmin rounds
+    // from scratch (O(rounds²) full passes inside a TIMED state build).
     val wInit = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-    var members = e.filter(expr("vec_id % 5 = 0")).crossJoin(broadcast(cents0))
+    var members = track(e.filter(expr("vec_id % 5 = 0")).crossJoin(broadcast(cents0))
       .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
       .withColumn("ark", row_number().over(wInit))
       .filter(col("ark") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .cache())
     var cents = kmCentroids(members)
     var r = 1
     var converged = false
     while (r < rounds && !converged) {
-      val next = kmAssignSampled(e, cents)
+      val next = track(kmAssignSampled(e, cents).cache())
       // integer-exact movement test: at the fixed point every remaining
       // round is the identity, so stopping here is result-identical to
       // running all rounds (what the oracle does)
@@ -2181,22 +2217,30 @@ object LlmOps {
       .select(col("vec_id").as("code"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "cent")))
       .withColumn("cc", dotF(col("cent"), col("cent")))
 
+  /** The ONE PQ encode kernel, shared by every code-table build and the
+    * insert path (a drifted copy would silently encode the serve and
+    * bench indexes differently): per (vector, subspace) the
+    * argmin-(d, code) against a broadcast codebook — d = cc - 2·sub·cent,
+    * the rank-equivalent of L2 — via a map-side-combinable min(struct)
+    * (no window over the N×codes distance rows), collected to the
+    * (vec_id, codes[PqM]) row a PQ index persists. */
+  private def pqEncode(vectors: DataFrame, codebook: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "sub")))
+      .join(broadcast(codebook), "s")
+      .withColumn("d", col("cc") - lit(2.0) * dotF(col("sub"), col("cent")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
+
   /** The PQ code index — (vec_id, codes[PqM]) — memoized per (session,
     * dir) and prewarmed by [[stateBuilders]]: this table IS what a
     * deployed PQ index persists (~PqM bytes per vector), encode-once by
-    * contract. Encode: per (vec, s) the argmin-(d, code) code —
-    * min(struct) aggregates with partial combine instead of windowing the
-    * N*128 distance rows. */
+    * contract. */
   private def pqCodesTable(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "pq_codes") {
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "sub")))
-        .join(broadcast(pqCodebook(spark, dir)), "s")
-        .withColumn("d", col("cc") - lit(2.0) * dotF(col("sub"), col("cent")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("d"), col("code"))).as("best"))
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
+      pqEncode(Tables.embeddings(spark, dir), pqCodebook(spark, dir))
     }
 
   /** The IVF-PQ/ADC candidate scan shared by [[simIvfPq]] and
@@ -2299,14 +2343,8 @@ object LlmOps {
     * re-joining codes to the assignment on every query. */
   private def servePqCodesTable(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "ivf_serve_pq_codes") {
-      Tables.embeddings(spark, dir).filter(expr("vec_id % 4 <> 3"))
-        .select(col("vec_id"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "sub")))
-        .join(broadcast(servePqCodebook(spark, dir)), "s")
-        .withColumn("d", col("cc") - lit(2.0) * dotF(col("sub"), col("cent")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("d"), col("code"))).as("best"))
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
+      pqEncode(Tables.embeddings(spark, dir).filter(expr("vec_id % 4 <> 3")),
+          servePqCodebook(spark, dir))
         .join(ivfServeAssignTable(spark, dir).select(col("vec_id"), col("cell"), col("nrm")), "vec_id")
     }
 
@@ -2394,14 +2432,7 @@ object LlmOps {
       .withColumn("ark", row_number().over(wAssign))
       .filter(col("ark") === 1)
       .select(col("vec_id"), col("nrm"), col("cent_id").as("cell"))
-    val codes = held
-      .select(col("vec_id"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "sub")))
-      .join(broadcast(servePqCodebook(spark, dir)), "s")
-      .withColumn("d", col("cc") - lit(2.0) * dotF(col("sub"), col("cent")))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d"), col("code"))).as("best"))
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(named_struct('s', s, 'code', best.code))), p -> p.code)").as("codes"))
+    val codes = pqEncode(held, servePqCodebook(spark, dir))
     assigned.join(codes, "vec_id")
       .select(Seq(col("vec_id"), col("cell"), col("nrm")) ++
         (0 until PqM).map(s => expr(s"CAST(codes[$s] AS BIGINT)").as(s"c$s")): _*)

@@ -102,9 +102,14 @@ object Tables {
         // loudly instead. (The non-NTZ branch is an instant already and
         // doesn't depend on the session zone, but a non-UTC session would
         // still diverge from the UTC-anchored oracles elsewhere.)
+        // accept any zero-offset zone spelling ("UTC", "Etc/UTC", "GMT",
+        // "+00:00" all normalize to ZoneOffset.UTC) — only a genuinely
+        // shifted zone is an error
         val tz = s.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
-          s"events.ts normalization requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+        val utc = try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+          catch { case _: Throwable => false }
+        require(utc,
+          s"events.ts normalization requires a UTC session timezone (got '$tz'): " +
             "naive-timestamp epochs would shift by the zone offset")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr(

@@ -50,7 +50,12 @@ object EventStream {
             val sec = e.ts.getTime / 1000
             cur match {
               case Some(s) if sec - s.lastSec > 1800 =>
-                closed ::= SessionOut(userId, s.nEvents, math.rint(s.sumValue * 100) / 100)
+                // HALF_UP, matching Spark's round(col, 2) in the batch
+                // sessionization q10 this transform is parity-pinned
+                // against (math.rint is HALF_EVEN — the two modes diverge
+                // on exact .xx5 sums)
+                closed ::= SessionOut(userId, s.nEvents,
+                  BigDecimal(s.sumValue).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
                 cur = Some(SessionState(1, e.value, sec))
               case Some(s) =>
                 cur = Some(SessionState(s.nEvents + 1, s.sumValue + e.value, sec))
