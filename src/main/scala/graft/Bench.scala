@@ -102,7 +102,8 @@ object Bench {
     // at the END of the line: the driver's stdout capture keeps only a ~2KB
     // TAIL, and at 91 queries the line is ~2.6KB — a head-first layout lost
     // the "metric":"total" head entirely in round 10 (BENCH_r10 parsed:null).
-    def line(fmt: Double => String, stateDetail: Boolean, failParts: Boolean): String = {
+    def line(fmt: Double => String, stateDetail: Boolean, failParts: Boolean,
+             headline: Boolean): String = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val st = if (stateDetail)
@@ -110,8 +111,15 @@ object Bench {
           .mkString("\"state_build\":{", ",", "},")
       else ""
       val fp = if (failParts) s""""failed":$failed,"errors":$errors,""" else ""
-      s"""{"queries":$qs,""" + st + fp +
-        s""""metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      // `headline=false` (the printed full line) carries the total under
+      // `total_sec` instead of metric/value: stdout must contain exactly ONE
+      // line matching "metric":"total" — the short, tail-safe final line — so
+      // a driver that greps the key rather than taking the last line can
+      // never land on this potentially tail-truncated one. The file line
+      // (read whole, never truncated) keeps the canonical metric/value shape.
+      val head = if (headline) s""""metric":"total","value":${fmt(total)},"unit":"sec","""
+                 else s""""total_sec":${fmt(total)},"unit":"sec","""
+      s"""{"queries":$qs,""" + st + fp + head +
         s""""state_build_sec":${fmt(stateTotal)},"sf":"$sfDir"}"""
     }
     // Full precision + per-item state detail goes to a FILE (the driver's
@@ -131,8 +139,9 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath,
-      (line(v => v.toString, stateDetail = true, failParts = true) + "\n").getBytes("UTF-8"))
-    println(line(f2, stateDetail = false, failParts = anyFailed))
+      (line(v => v.toString, stateDetail = true, failParts = true,
+        headline = true) + "\n").getBytes("UTF-8"))
+    println(line(f2, stateDetail = false, failParts = anyFailed, headline = false))
     // A SHORT, complete summary line printed LAST: whatever happens to the
     // full line under the 2KB tail window, the tail always ends with one
     // self-contained parseable JSON object carrying the headline total, the

@@ -1000,18 +1000,38 @@ object LlmOps {
     * lifecycle: release everything when the session is done with a dir.) */
   private def dirFingerprint(spark: SparkSession, dir: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq("documents.parquet", "embeddings.parquet").map { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      try {
+    val key = (spark, dir)
+    // A MISSING table is a stable state and fingerprints as 0 (some dirs
+    // legitimately lack embeddings); any OTHER filesystem failure is a
+    // transient metadata hiccup (e.g. a listing racing a regeneration) —
+    // returning 0 for those would flip the fingerprint down and back up,
+    // evicting and rebuilding expensive index state twice for nothing.
+    // Fall back to the last successfully observed value instead: unreadable
+    // means "unchanged until proven otherwise".
+    val computed: Option[Long] = try {
+      Some(Seq("documents.parquet", "embeddings.parquet").map { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
         val fs = p.getFileSystem(conf)
-        val st = fs.getFileStatus(p)
-        if (st.isDirectory)
-          fs.listStatus(p).map(_.getModificationTime)
-            .foldLeft(st.getModificationTime)(math.max)
-        else st.getModificationTime
-      } catch { case _: Throwable => 0L }
-    }.max
+        try {
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory)
+            fs.listStatus(p).map(_.getModificationTime)
+              .foldLeft(st.getModificationTime)(math.max)
+          else st.getModificationTime
+        } catch { case _: java.io.FileNotFoundException => 0L }
+      }.max)
+    } catch { case _: Throwable => None }
+    computed match {
+      case Some(fp) => fpMemo.put(key, java.lang.Long.valueOf(fp)); fp
+      case None => Option(fpMemo.get(key)).map(_.longValue).getOrElse(0L)
+    }
   }
+
+  /** Last successfully computed fingerprint per (session, dir) — the
+    * fallback [[dirFingerprint]] serves when the filesystem is transiently
+    * unreadable. */
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
 
   /** The memo spine shared by [[memoSig]] and [[memoRaw]]: fingerprint
     * check, stale eviction, per-key lazy build. The stale release runs
@@ -1024,7 +1044,13 @@ object LlmOps {
     val key = (spark, dir, kind)
     val fp = dirFingerprint(spark, dir)
     val existing = sigMemo.get(key)
-    if (existing != null && existing.fp != fp && sigMemo.remove(key, existing))
+    // Evict only when the OBSERVED fingerprint is strictly newer than the
+    // cell's (mtimes are monotonic): a thread that read the fingerprint
+    // BEFORE a concurrent regeneration must not tear down the fresh cell a
+    // faster thread already installed — with `!=` it would unpersist a
+    // table other queries are using and re-insert a cell stamped with the
+    // stale fp, thrashing the memo until the next call re-evicts.
+    if (existing != null && existing.fp < fp && sigMemo.remove(key, existing))
       // stale entry (dir regenerated): best-effort drop of whatever it
       // MATERIALIZED (never force an unbuilt cell); self-tracked builds
       // keep their storage until releaseCaches, which is acceptable —
@@ -1224,16 +1250,33 @@ object LlmOps {
 
   // ------------------------------------------------------------ similarity
 
-  /** Brute-force cosine top-k: every 50th vector queries the full table.
-    * The exact baseline an ANN variant is judged against. */
+  /** Deterministic query CAP for [[simTopkCosine]] — the [[EmbedLabelCap]]
+    * treatment applied to the exact-NN baseline's QUERY side: `vec_id % 50`
+    * sampling keeps the query count proportional to N, so the cross join was
+    * the last plan in the surface whose cost grew as O(N²/50) — it owned the
+    * sf1 top slot at 10.1 s and is unbounded at production scale. Capping at
+    * the `SimQueryCap` LOWEST sampled vec_ids (order unique → deterministic,
+    * mirrored verbatim in the oracle) bounds the work at N×cap dot products —
+    * LINEAR in N — while leaving every sf where the cap doesn't bind
+    * (sf0.001/sf0.01: far fewer than 256 sampled ids) bit-identical, so the
+    * six ANN twins' recall probes in LlmOpsSpec still measure against the
+    * same exact ground truth. */
+  private val SimQueryCap = 256
+
+  /** Brute-force cosine top-k: every 50th vector (capped at the
+    * [[SimQueryCap]] lowest such ids) queries the full table. The exact
+    * baseline an ANN variant is judged against: the bounded query side is
+    * BROADCAST, so the scan is one linear pass over the candidates with no
+    * shuffle of the big side. */
   def simTopkCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val q = e.filter(expr("vec_id % 50 = 0"))
+      .orderBy(col("vec_id")).limit(SimQueryCap)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
-    q.crossJoin(c).filter(col("qid") =!= col("cid"))
+    broadcast(q).crossJoin(c).filter(col("qid") =!= col("cid"))
       .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -3392,10 +3435,13 @@ object LlmOps {
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
          |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, embedding, nrm FROM e
+         |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $SimQueryCap),
          |pairs AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
-         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos_exact,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk

@@ -94,23 +94,25 @@ object Tables {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
-      case TimestampType | TimestampNTZType =>
-        // For the NTZ layout the cast re-interprets the naive value in the
-        // SESSION timezone, so the epochs are only bit-identical to
-        // DuckDB's epoch_ns under UTC. Every harness main pins UTC; a
-        // caller that didn't would get silently shifted epochs — fail
-        // loudly instead. (The non-NTZ branch is an instant already and
-        // doesn't depend on the session zone, but a non-UTC session would
-        // still diverge from the UTC-anchored oracles elsewhere.)
+      case tsType @ (TimestampType | TimestampNTZType) =>
+        // Only the NTZ layout depends on the session zone: the cast
+        // re-interprets the naive value in the SESSION timezone, so its
+        // epochs are bit-identical to DuckDB's epoch_ns only under UTC —
+        // fail loudly for a shifted zone. The zoned TimestampType branch
+        // is already an instant; unix_micros on it is session-zone-
+        // independent, so non-UTC callers on that path stay correct and
+        // must NOT be failed (they previously worked).
         // accept any zero-offset zone spelling ("UTC", "Etc/UTC", "GMT",
         // "+00:00" all normalize to ZoneOffset.UTC) — only a genuinely
         // shifted zone is an error
-        val tz = s.conf.get("spark.sql.session.timeZone")
-        val utc = try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
-          catch { case _: Throwable => false }
-        require(utc,
-          s"events.ts normalization requires a UTC session timezone (got '$tz'): " +
-            "naive-timestamp epochs would shift by the zone offset")
+        if (tsType == TimestampNTZType) {
+          val tz = s.conf.get("spark.sql.session.timeZone")
+          val utc = try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+            catch { case _: Throwable => false }
+          require(utc,
+            s"events.ts (TIMESTAMP_NTZ) normalization requires a UTC session timezone " +
+              s"(got '$tz'): naive-timestamp epochs would shift by the zone offset")
+        }
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr(
             "unix_micros(cast(ts as timestamp)) * 1000L"))

@@ -258,7 +258,11 @@ class LlmOpsSpec extends SparkSpec {
     }
     val (r1, r3) = (recall(assignAt(1)), recall(assignAt(3)))
     info(f"kmeans recall@5: 3-round Lloyd $r3%.2f vs 1-round $r1%.2f")
-    assert(r3 >= r1, f"multi-round Lloyd degraded recall: $r1%.2f -> $r3%.2f")
+    // Lloyd improves the QUANTIZATION objective, not retrieval recall — a
+    // strict r3 >= r1 is deterministic today but not guaranteed, and a
+    // testdata or KmQuant change could flip it into a hard failure for a
+    // non-bug. Allow a small tolerance; a genuine regression still trips.
+    assert(r3 >= r1 - 0.05, f"multi-round Lloyd degraded recall: $r1%.2f -> $r3%.2f")
     // convergence: past the fixed point extra rounds are the identity, so
     // a deeper train can never differ from KmRounds once movement stops
     val a3 = assignAt(3).map(t => t._1 -> t._3).toMap
