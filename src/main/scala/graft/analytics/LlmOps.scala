@@ -459,6 +459,7 @@ object LlmOps {
     "ivf_kmeans_assign" -> (() => { ivfKmeansAssignTable(spark, dir).count(); () }),
     "ann_bucket" -> (() => { annBucketTable(spark, dir).count(); () }),
     "pq_codes" -> (() => { pqCodesTable(spark, dir).count(); () }),
+    "pq_codes256" -> (() => { pqCodesTable256(spark, dir).count(); () }),
     "ivf_serve_assign" -> (() => { ivfServeAssignTable(spark, dir).count(); () }),
     "ivf_serve_pq_codes" -> (() => { servePqCodesTable(spark, dir).count(); () }),
     "ivf2_assign" -> (() => { ivf2AssignTable(spark, dir).count(); () }))
@@ -587,6 +588,37 @@ object LlmOps {
     * unique fixpoint regardless of round count — which is what makes it
     * comparable to the oracle's recursive-CTE transitive closure. */
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    val debug = sys.env.contains("GRAFT_CLUSTER_DEBUG")
+    val dbgT = System.nanoTime()
+    val jp = jaccardPairs(spark, dir)
+    if (debug)
+      println(f"CLUSTER jaccardPairs-build ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
+    val edges = jp.filter(col("jaccard") >= 0.8)
+      .select(col("ia").as("a"), col("ib").as("b"))
+    val (labels, _) = connectedComponents(spark, edges)
+    val sizes = labels().toDF("sd", "slbl")
+      .groupBy(col("slbl")).agg(count(lit(1)).as("cluster_size"))
+    val result = labels().join(sizes, col("lbl") === col("slbl"))
+      .select(col("d").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+    if (debug) {
+      val tf = System.nanoTime()
+      result.count()
+      println(f"CLUSTER final-assembly ${(System.nanoTime() - tf) / 1e9}%.2fs")
+    }
+    result
+  }
+
+  /** The connected-components engine behind [[ddCluster]], over an
+    * arbitrary undirected (a, b) edge set. Returns a THUNK minting fresh
+    * (d, lbl) label frames (each call re-wraps the checkpointed state with
+    * fresh attribute ids, so one result can appear in a plan several times
+    * without analyzer attribute collisions) plus the ROUND COUNT — exposed
+    * so the depth-stress spec can pin the pointer-doubling invariant:
+    * rounds must stay O(log diameter), the property that makes this safe
+    * on 100 TB graphs whose components may be long chains. */
+  private[graft] def connectedComponents(
+      spark: SparkSession, edges0: DataFrame): (() => DataFrame, Int) = {
     // Local checkpointing truncates lineage at the materialized edge set:
     // without it every loop action re-analyzes/optimizes the whole deep
     // shingle-join plan — measured 20x slower even with the data cached,
@@ -608,16 +640,12 @@ object LlmOps {
     // matter how many rounds run.
     val debug = sys.env.contains("GRAFT_CLUSTER_DEBUG")
     val dbgT = System.nanoTime()
-    val jp = jaccardPairs(spark, dir)
-    if (debug)
-      println(f"CLUSTER jaccardPairs-build ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
 
     // Mark for local checkpoint (lazily — the round-1 job materializes
     // edges, initial labels, and the round-1 state together).
     def ckptRdd(df: DataFrame): RDD[Row] = { val r = df.rdd; r.localCheckpoint(); r }
 
-    val edges = jp.filter(col("jaccard") >= 0.8)
-      .select(col("ia").as("a"), col("ib").as("b"))
+    val edges = edges0.select(col("a"), col("b"))
     val edgeSchema = edges.schema
     val edgesRdd = ckptRdd(edges)
     trackRdd(edgesRdd)
@@ -676,17 +704,7 @@ object LlmOps {
       if (debug) println(f"CLUSTER round $rounds done ${(System.nanoTime() - rt) / 1e9}%.2fs changed=$changed")
     }
     trackRdd(labelsRdd) // final state feeds the caller's lazy result plan
-    val sizes = labelsDf("sd", "slbl")
-      .groupBy(col("slbl")).agg(count(lit(1)).as("cluster_size"))
-    val result = labelsDf("d", "lbl").join(sizes, col("lbl") === col("slbl"))
-      .select(col("d").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
-    if (debug) {
-      val tf = System.nanoTime()
-      result.count()
-      println(f"CLUSTER final-assembly ${(System.nanoTime() - tf) / 1e9}%.2fs")
-    }
-    result
+    (() => labelsDf("d", "lbl"), rounds)
   }
 
   /** TF-IDF profile (log-free variant): score = tf * n_docs / df as one
@@ -2214,6 +2232,17 @@ object LlmOps {
   private val PqSub = 8
   private val PqCodes = 16
 
+  /** PRODUCTION code width: 8-bit codes, 256 entries per subspace — the
+    * width every deployed PQ index uses (Jégou et al. 2011 run k*=256
+    * throughout; one code byte per subspace). The 16-code path stays as
+    * the compact yardstick whose oracle argmin scan is tiny; this one is
+    * the shape you'd ship: same 8×8 geometry, 16× finer per-subspace
+    * quantization, still PqM bytes per vector. Training stays first-k
+    * sampled selection (no Lloyd) so the DuckDB oracle can replay the
+    * EXACT argmin per (vector, subspace) — N×256 distance rows per
+    * subspace at sf0.01, well inside oracle budget. */
+  private val PqCodesProd = 256
+
   /** `transform(sequence(0, 7), s -> slice(v, s*8+1, 8))` — a 64-dim float
     * array as its [[PqM]] ordered subvectors (Spark SQL text; `slice` is
     * 1-based). */
@@ -2253,10 +2282,30 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** 128-row PQ codebook: (s, code, cent[8], cc = cent·cent). Cheap to
-    * derive (PqCodes vectors), rebuilt inline by both consumers. */
-  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).filter(col("vec_id") < PqCodes)
+  /** [[simIvfPq]] at PRODUCTION code width ([[PqCodesProd]] = 256, i.e.
+    * 8-bit codes): identical coarse cells and ADC scan, 16× finer
+    * per-subspace quantization at the same PqM bytes per vector — the
+    * width a deployed index ships. Per-pair cost is unchanged (still PqM
+    * table lookups); only the per-query ADC table grows (PqM·256
+    * partials). LlmOpsSpec pins its recall at-or-above the 16-code
+    * yardstick's. */
+  def simIvfPq256(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_adc").desc, col("cid"))
+    ivfPqAdcPairsWith(spark, dir, pqCodebook(spark, dir, PqCodesProd),
+        pqCodesTable256(spark, dir), PqCodesProd)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_adc"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** PQ codebook: (s, code, cent[8], cc = cent·cent) — the first `nCodes`
+    * vectors' subvectors (PqM·nCodes rows). Cheap to derive, rebuilt
+    * inline by both consumers; broadcast-sized at either width (128 rows
+    * at the 16-code yardstick, 2048 at [[PqCodesProd]]). */
+  private def pqCodebook(spark: SparkSession, dir: String,
+                         nCodes: Int = PqCodes): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < nCodes)
       .select(col("vec_id").as("code"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "cent")))
       .withColumn("cc", dotF(col("cent"), col("cent")))
 
@@ -2286,13 +2335,27 @@ object LlmOps {
       pqEncode(Tables.embeddings(spark, dir), pqCodebook(spark, dir))
     }
 
+  /** The production-width twin of [[pqCodesTable]]: same encode kernel,
+    * [[PqCodesProd]]-entry codebook — still PqM bytes per vector
+    * persisted, memoized + prewarmed like the 16-code table. */
+  private def pqCodesTable256(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "pq_codes256") {
+      pqEncode(Tables.embeddings(spark, dir), pqCodebook(spark, dir, PqCodesProd))
+    }
+
   /** The IVF-PQ/ADC candidate scan shared by [[simIvfPq]] and
     * [[simIvfPqRerank]]: every (query, same-cell candidate) pair with its
     * ADC-approximated cosine. Columns (qid, cid, cos_adc). */
-  private def ivfPqAdcPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfPqAdcPairs(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAdcPairsWith(spark, dir, pqCodebook(spark, dir),
+      pqCodesTable(spark, dir), PqCodes)
+
+  /** [[ivfPqAdcPairs]] generalized over the code width: the ADC lookup
+    * stride is the codebook size, everything else is width-independent.
+    * Shared by the 16-code yardstick and the [[PqCodesProd]] path. */
+  private def ivfPqAdcPairsWith(spark: SparkSession, dir: String,
+      cb: DataFrame, codes: DataFrame, nCodes: Int): DataFrame = {
     val (q0, c0) = ivfAssigned(spark, dir)
-    val cb = pqCodebook(spark, dir)
-    val codes = pqCodesTable(spark, dir)
     // query ADC tables: 128 partials q_s · cent(s,c), ordered (s, code)
     val qtabs = q0.filter(col("ark") === 1)
       .select(col("qid"), col("qn"), col("cell"), posexplode(expr(pqSplit("qe"))).as(Seq("s", "qsub")))
@@ -2303,7 +2366,7 @@ object LlmOps {
     val cands = c0.select(col("cid"), col("cn"), col("ccell"))
       .join(codes.withColumnRenamed("vec_id", "cid"), "cid")
     val adc = (0 until PqM)
-      .map(s => s"qtab[CAST($s * $PqCodes + codes[$s] AS INT)]").mkString(" + ")
+      .map(s => s"qtab[CAST($s * $nCodes + codes[$s] AS INT)]").mkString(" + ")
     qtabs.join(cands, col("cell") === col("ccell") && col("qid") =!= col("cid"))
       .withColumn("cos_adc", expr(adc) / sqrt(col("qn") * col("cn")))
       .select(col("qid"), col("cid"), col("cos_adc"))
@@ -2629,6 +2692,7 @@ object LlmOps {
     "sim_ivf2" -> simIvf2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
     "sim_ivf_pq" -> simIvfPq _,
+    "sim_ivf_pq256" -> simIvfPq256 _,
     "sim_ivf_pq_rerank" -> simIvfPqRerank _,
     "mm_meta" -> mmMeta _)
 
@@ -2645,7 +2709,12 @@ object LlmOps {
     * into the query's (s, code)-ordered ADC table, summed left-to-right and
     * normalized by the stored exact norms — every chain fixed-order double
     * arithmetic, same as the Spark side. */
-  private val ivfPqPairsDuck: String =
+  private val ivfPqPairsDuck: String = ivfPqPairsDuckN(PqCodes)
+
+  /** The CTE body generalized over the code width — the codebook CTE keeps
+    * first-`nCodes` selection and the ADC lookup stride becomes `nCodes`,
+    * exactly mirroring [[ivfPqAdcPairsWith]]. */
+  private def ivfPqPairsDuckN(nCodes: Int): String =
     s"""e AS (
        |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
        |  FROM embeddings),
@@ -2660,7 +2729,7 @@ object LlmOps {
        |  FROM e CROSS JOIN cents),
        |cell AS (
        |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1),
-       |cb16 AS (SELECT vec_id, embedding FROM e WHERE vec_id < $PqCodes),
+       |cb16 AS (SELECT vec_id, embedding FROM e WHERE vec_id < $nCodes),
        |enc AS (
        |${(0 until PqM).map { s =>
            val b = s * PqSub + 1
@@ -2687,7 +2756,7 @@ object LlmOps {
        |  FROM qpart GROUP BY qid),
        |pairs AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-       |    (${(0 until PqM).map(s => s"(t.qtab[($s * $PqCodes + k2.codes[${s + 1}]) + 1])").mkString(" + ")})
+       |    (${(0 until PqM).map(s => s"(t.qtab[($s * $nCodes + k2.codes[${s + 1}]) + 1])").mkString(" + ")})
        |      / sqrt(q.nrm * c.nrm) AS cos_adc
        |  FROM cell q JOIN cell c
        |    ON q.cell = c.cell AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
@@ -3824,6 +3893,17 @@ object LlmOps {
     "sim_ivf_pq" ->
       s"""WITH $paramsDuck,
          |$ivfPqPairsDuck,
+         |ranked AS (
+         |  SELECT qid, cid, cos_adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT qid, rk, cid, cos_adc
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // production 8-bit code width: same CTE body at a 256-entry codebook
+    "sim_ivf_pq256" ->
+      s"""WITH $paramsDuck,
+         |${ivfPqPairsDuckN(PqCodesProd)},
          |ranked AS (
          |  SELECT qid, cid, cos_adc,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS rk

@@ -93,6 +93,132 @@ class EventStreamSpec extends SparkSpec {
       s"sessionizer diverged from q10 on ${diff.size} sessions, e.g. ${diff.take(3).mkString(", ")}")
   }
 
+  // ---- stream-DRIVEN batch parity over the real testdata ----
+  // The three tests below go further than the unified-model (batch-mode)
+  // parity tests above: they execute the transforms as REAL streams —
+  // MemoryStream fed in chronological micro-batches, so the stateful paths
+  // (cross-batch session state, stream-stream join buffers, watermark
+  // advancement) actually run — and assert the accumulated sink equals the
+  // oracle-checked batch twin on the same input. This makes the streaming
+  // mechanics themselves indirectly oracle-checked: the batch twins hash-
+  // match DuckDB, and the streams must reproduce the batch twins.
+
+  /** The sf0.001 events as Event rows in global (ts, event_id) order,
+    * chunked for micro-batch feeding. Global ts order makes each stream's
+    * event time monotone, so nothing is ever late against its own
+    * watermark — parity isolates the stateful mechanics, not late-drop
+    * policy (spec-covered separately). */
+  private def chronoChunks(nChunks: Int): Seq[Seq[Event]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val all = graft.analytics.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val size = math.max(1, (all.length + nChunks - 1) / nChunks)
+    all.grouped(size).toSeq
+  }
+
+  test("stream-driven interval join over chronological micro-batches equals the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val chunks = chronoChunks(6)
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.attributeClicks(views.toDF(), clicks.toDF()), "attrib_parity", OutputMode.Append())
+    try {
+      // feed both sides in lockstep so their watermarks advance together
+      chunks.foreach { ch =>
+        views.addData(ch.filter(_.event_type == "view"))
+        clicks.addData(ch.filter(_.event_type == "click"))
+        q.processAllAvailable()
+      }
+      // sentinels push both watermarks past every buffered row (distinct
+      // users so they cannot match each other)
+      val flushTs = Timestamp.valueOf("2025-06-01 00:00:00")
+      views.addData(Event(900001, flushTs, 999, "view", 0.0))
+      clicks.addData(Event(900002, flushTs, 998, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib_parity").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+          r.getAs[Long]("click_id"), r.getAs[Double]("value"))).toSet
+      // independent batch formulation of the same attribution join (plain
+      // inner join, no watermarks) over the identical input rows
+      val all = chunks.flatten
+      val vb = all.filter(_.event_type == "view")
+        .map(e => (e.event_id, e.user_id, e.ts)).toDF("view_id", "user_id", "view_ts")
+      val cb = all.filter(_.event_type == "click")
+        .map(e => (e.event_id, e.user_id, e.ts, e.value)).toDF("click_id", "c_user_id", "click_ts", "value")
+      val want = vb.join(cb,
+          $"user_id" === $"c_user_id" && $"click_ts" >= $"view_ts" &&
+            $"click_ts" <= $"view_ts" + org.apache.spark.sql.functions.expr("INTERVAL 10 MINUTES"))
+        .select($"user_id", $"view_id", $"click_id", $"value").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+          r.getAs[Long]("click_id"), r.getAs[Double]("value"))).toSet
+      assert(want.nonEmpty, "parity vacuous: the batch join found no in-window pairs")
+      assert(got == want,
+        s"stream-driven interval join diverged from batch: missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
+  test("stream-driven sessionizer over chronological micro-batches equals oracle-checked q10 sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val chunks = chronoChunks(8)
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.sessionize(input.toDS()).toDF(), "sess_parity", OutputMode.Append())
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val got = spark.table("sess_parity").as[EventStream.SessionOut].collect()
+        .map(r => (r.user_id, r.n_events, r.sum_value)).toSeq
+      // q10 is the DuckDB-hash-checked twin; sessions emit on CLOSE, so
+      // each user's final session stays open in state — expected = q10
+      // minus each user's last session (same contract as the batch-mode
+      // parity test above, now exercised ACROSS micro-batch boundaries)
+      val batch = graft.analytics.Relational.q10Sessionize(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      val lastIdx = batch.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+      val want = batch.collect { case (u, idx, n, s) if idx != lastIdx(u) => (u, n, s) }.toSeq
+      def ms(xs: Seq[(Long, Long, Double)]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+      val (g, w) = (ms(got), ms(want))
+      assert(want.nonEmpty, "parity vacuous: q10 closed no sessions at this sf")
+      val diff = (g.keySet ++ w.keySet).filter(k => g.get(k) != w.get(k))
+      assert(diff.isEmpty,
+        s"stream-driven sessionizer diverged from q10 on ${diff.size} sessions, e.g. ${diff.take(3).mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("stream-driven windowed counts equal the oracle-checked batch tumbling query once closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, date_format}
+    val chunks = chronoChunks(6)
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.windowedCounts(input.toDF()), "win_parity", OutputMode.Append())
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      // the sentinel's watermark closes every real window; its own window
+      // stays open and must NOT appear in the sink
+      input.addData(Event(900003, Timestamp.valueOf("2025-06-01 00:00:00"), 999, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("win_parity")
+        .withColumn("w_start", date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss"))
+        .collect()
+        .map(r => (r.getAs[String]("w_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      assert(!got.exists(_._2 == "flush"), "the open sentinel window leaked into the append sink")
+      val want = graft.analytics.Relational.q21Tumbling(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getAs[String]("w_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      assert(got == want,
+        s"stream-driven windows diverged from q21: missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks to in-window views and drops the rest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -295,6 +295,31 @@ class LlmOpsSpec extends SparkSpec {
     info(f"IVF-PQ recall@5 vs brute force: $recall%.2f (16-code codebooks on random embeddings)")
   }
 
+  test("IVF-PQ production width (256 codes): same query set and cells; recall at-or-above the 16-code path") {
+    val real = "/root/testdata/sf0.001"
+    val pq16 = LlmOps.simIvfPq(spark, real).collect()
+    val pq256 = LlmOps.simIvfPq256(spark, real).collect()
+    assert(pq256.nonEmpty)
+    // identical coarse quantizer → identical query coverage and dense rk
+    assert(pq256.map(_.getAs[Long]("qid")).toSet == pq16.map(_.getAs[Long]("qid")).toSet,
+      "code width must not change which queries are answered (same coarse cells)")
+    pq256.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rows.length))
+    }
+    pq256.foreach(r => assert(math.abs(r.getAs[Double]("cos_adc")) < 2.0))
+    val brute = LlmOps.simTopkCosine(spark, real).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.count(r => brute((r.getAs[Long]("qid"), r.getAs[Long]("cid")))).toDouble /
+        math.max(brute.size, 1)
+    val (r16, r256) = (recall(pq16), recall(pq256))
+    info(f"IVF-PQ recall@5: 256-code $r256%.2f vs 16-code $r16%.2f")
+    // 16x finer per-subspace quantization over the SAME candidate pool:
+    // the production width must not rank worse than the compact yardstick
+    assert(r256 >= r16,
+      f"256-code recall $r256%.2f fell below the 16-code path's $r16%.2f")
+  }
+
   test("IVF-PQ re-rank: exact cosines agree with brute force; recall >= plain ADC ordering") {
     val real = "/root/testdata/sf0.001"
     val bruteMap = LlmOps.simTopkCosine(spark, real).collect()
@@ -462,6 +487,92 @@ class LlmOpsSpec extends SparkSpec {
     LlmOps.simIvf(spark, dir).collect()
     val ids1 = spark.sparkContext.getPersistentRDDs.keySet
     assert(ids1 != ids0, "regenerated dir was served stale memoized index state")
+  }
+
+  test("connected components: a planted 128-node chain converges in O(log diameter) rounds") {
+    // the worst CC topology is a long CHAIN (diameter = n-1): plain
+    // neighbor-min label propagation needs diameter-many rounds, the
+    // pointer-doubling formulation O(log diameter). dd_cluster's real
+    // edge sets are tiny near-dup clusters that converge in 2-3 rounds
+    // either way, so only a planted chain can catch a refactor that
+    // silently drops the doubling step — at 100 TB, where a component CAN
+    // be a million-doc chain, that regression is the difference between 20
+    // rounds and a million.
+    import spark.implicits._
+    val n = 128
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = LlmOps.connectedComponents(spark, edges)
+    val lbl = labels().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.size == n)
+    assert(lbl.values.forall(_ == 0L), "chain must collapse to the minimum label")
+    info(s"chain-$n (diameter ${n - 1}) converged in $rounds rounds")
+    // log2(127) ~= 7; allow the convergence-detection round plus slack.
+    // A doubling regression lands at ~127 rounds — unmissable.
+    assert(rounds <= 12,
+      s"pointer doubling regressed: $rounds rounds for diameter ${n - 1} (log2 ~ 7)")
+  }
+
+  test("memo: concurrent consumers across two dirs never duplicate or thrash index state") {
+    // The r11/r12 memo hardening (per-key locks; evict only on a strictly
+    // NEWER fingerprint) pinned: N threads hammering two dirs' memoized
+    // index tables — including through a concurrent regeneration — must
+    // settle to exactly one cached table per (dir, kind), with correct
+    // results throughout.
+    import java.util.concurrent.Executors
+    val dirs = (0 until 2).map { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-memo-conc$i").toFile
+      for (t <- Seq("documents.parquet", "embeddings.parquet"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t"),
+          java.nio.file.Paths.get(tmp.getAbsolutePath, t))
+      tmp
+    }
+    val pool = Executors.newFixedThreadPool(8)
+    def hammer(): Unit = {
+      val tasks = (0 until 16).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val d = dirs(i % 2).getAbsolutePath
+            if (i % 4 < 2) LlmOps.simIvf(spark, d).collect()
+            else LlmOps.simAnnLsh(spark, d).collect()
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    }
+    try {
+      hammer()
+      val ref = LlmOps.simIvf(spark, dirs(0).getAbsolutePath).collect()
+        .map(_.toSeq).toSeq
+      val settled0 = spark.sparkContext.getPersistentRDDs.keySet
+      // settled: a full re-pass through both dirs adds NO cached state
+      dirs.foreach { d =>
+        LlmOps.simIvf(spark, d.getAbsolutePath).collect()
+        LlmOps.simAnnLsh(spark, d.getAbsolutePath).collect()
+      }
+      assert(spark.sparkContext.getPersistentRDDs.keySet == settled0,
+        "memo hit-path created new cached state under repeat consumers")
+      // concurrent REGENERATION of dir 0 (same bytes, newer mtime) while 8
+      // threads consume both dirs: the race between stale-fp and fresh-fp
+      // observers must not thrash — after one settling pass the state set
+      // is stable again and results are unchanged (same bytes)
+      dirs(0).listFiles.foreach(f => assert(f.setLastModified(f.lastModified + 10000)))
+      hammer()
+      dirs.foreach { d =>
+        LlmOps.simIvf(spark, d.getAbsolutePath).collect()
+        LlmOps.simAnnLsh(spark, d.getAbsolutePath).collect()
+      }
+      val settled1 = spark.sparkContext.getPersistentRDDs.keySet
+      dirs.foreach { d =>
+        LlmOps.simIvf(spark, d.getAbsolutePath).collect()
+        LlmOps.simAnnLsh(spark, d.getAbsolutePath).collect()
+      }
+      assert(spark.sparkContext.getPersistentRDDs.keySet == settled1,
+        "memo kept thrashing after the regeneration settled")
+      val after = LlmOps.simIvf(spark, dirs(0).getAbsolutePath).collect()
+        .map(_.toSeq).toSeq
+      assert(after == ref, "post-regeneration results diverged (same bytes)")
+    } finally pool.shutdown()
   }
 
   test("quality cut keeps exactly the top half per language, rank-contiguous") {
