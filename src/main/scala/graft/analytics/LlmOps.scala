@@ -424,6 +424,45 @@ object LlmOps {
       .orderBy(col("jaccard").desc, col("ia"), col("ib"))
       .limit(200)
 
+  /** DIRECTED CONTAINMENT near-dup detection — the asymmetric companion
+    * to [[ddNgramJaccard]]: C(A→B) = |A∩B| / |A|, the fraction of A's
+    * shingles present in B (Broder's containment, vs resemblance).
+    * Symmetric Jaccard structurally misses subset duplication — a doc
+    * quoted whole inside a much longer one scores |A|/|B| ≈ 0 — and the
+    * jaccard family's (lang, length-bucket) blocking cannot even
+    * CANDIDATE a cross-length pair, so this query builds its own pairs:
+    * lang-blocked only, letting short meet long. What bounds the
+    * self-join without the length block is the [[StopShingleCap]] alone
+    * (fanout ≤ Σ df² with df ≤ cap — the identical argument, minus one
+    * blocking key), so the candidate set stays linear-ish in corpus
+    * size, never doc². Same kernel-hashed 8-byte join keys; pairs are
+    * DIRECTED (a ≠ b, both orders) because containment is. */
+  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
+    // no persist: the shingle projection is the codegen'd kernel (~cheap),
+    // and the identical `capped` subtree on both join sides lets AQE reuse
+    // one exchange — measured no win from caching at sf0.1
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), explode_outer(shingleHash(col("text"))).as("s"))
+      .filter(col("s").isNotNull)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy(col("s"), col("lang"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
+      .select(col("s"), col("lang"))
+    val capped = sh.join(rare, Seq("s", "lang"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("s"))
+    val a = capped.toDF("ia", "la", "s")
+    val b = capped.toDF("ib", "lb", "s2")
+    a.join(b, col("s") === col("s2") && col("la") === col("lb") && col("ia") =!= col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("ia", "na"), "ia")
+      .withColumn("containment", col("common") / col("na"))
+      .filter(col("containment") >= 0.5)
+      .select(col("ia"), col("ib"), col("containment"))
+      .orderBy(col("containment").desc, col("ia"), col("ib"))
+      .limit(200)
+  }
+
   /** Stop-shingle cap: a shingle present in more than this many docs of a
     * block is dropped from the candidate join. The worst-key bound that
     * keeps the self-join fanout O(cap²) per shingle at any corpus size;
@@ -1856,6 +1895,33 @@ object LlmOps {
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("shard"))
 
+  /** Deterministic TRAIN/VAL/TEST split (90/5/5) by CONTENT-STABLE hash —
+    * the assignment stage every training pipeline runs before packing.
+    * The split key is an md5 draw on doc_id (salted, so it is independent
+    * of [[txtShards]]' and [[txtMixture]]'s draws), NOT row position or a
+    * seeded RNG: position-based splits silently reassign every doc when
+    * the corpus grows or repartitions, leaking yesterday's val set into
+    * today's train set, while a hash draw keeps every existing doc's
+    * assignment fixed under appends, re-ordering, AND re-sharding — the
+    * property that makes the split reproducible across pipeline runs.
+    * Emitted as the per-(lang, split) census with each split's share of
+    * its language (one map-side-combinable agg + a k-row window — no
+    * second scan), which is the report that verifies a hash split
+    * self-stratifies: no per-language quota machinery, yet every
+    * language's val share lands near 5%. Fractions are one double
+    * division of exact BIGINTs, so the hash cannot wobble. */
+  def txtSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = hex4("md5(CAST(doc_id AS STRING) || ':split')")
+    Tables.documents(spark, dir)
+      .withColumn("split", expr(
+        s"CASE WHEN $h < 58982 THEN 'train' WHEN $h < 62259 THEN 'val' ELSE 'test' END"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .withColumn("lang_frac",
+        col("n_docs") / sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Deterministic source-mixture sampling — the mixture-weighting stage:
     * each provenance source gets a keep-rate, and a doc survives iff its
     * md5-derived uniform draw falls under its source's rate. Seedless and
@@ -2545,6 +2611,35 @@ object LlmOps {
       .orderBy(col("vec_id"))
   }
 
+  /** DELETE path of incremental serving — the third side of the serve
+    * index's lifecycle ([[simIvfServe]] reads, [[simIvfServeInsert]]
+    * writes, this RETIRES). Deployed IVF indexes delete by TOMBSTONE, not
+    * rewrite: the deleted id set is tiny next to the index, queries
+    * anti-join it at serve time, and a cell is physically rewritten
+    * (compacted) only when its live fraction drops below a threshold —
+    * rewriting per delete would re-encode the whole cell for every
+    * retired row. This query computes exactly that maintenance decision:
+    * a deterministic tombstone batch (corpus vec_id % 5 = 0) grouped
+    * against the frozen assignment into per-cell (before, deleted, live,
+    * live_frac) plus the compact flag at 0.8. Cost is ONE map-side-
+    * combinable pass over the memoized assignment's (vec_id, cell)
+    * columns — the full-precision vectors are never read, and the output
+    * is k rows however large the index, so the decision scan is free at
+    * any scale. LlmOpsSpec pins the census invariants (cells partition
+    * the corpus, deleted+live=before, flag consistent with the ratio)
+    * and the serve-read contract: the tombstone anti-join applied to
+    * [[simIvfServe]]'s answers never leaves a deleted id in a result. */
+  def simIvfServeDelete(spark: SparkSession, dir: String): DataFrame =
+    ivfServeAssignTable(spark, dir)
+      .select(col("vec_id"), col("cell"), expr("CAST(vec_id % 5 = 0 AS INT)").as("del"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(col("del")).as("n_deleted"),
+        (count(lit(1)) - sum(col("del"))).as("n_live"))
+      .withColumn("live_frac", col("n_live") / col("n_before"))
+      .withColumn("compact", col("live_frac") < 0.8)
+      .orderBy(col("cell"))
+
   /** Unigram RARITY / LM-quality score — the CCNet-style signal (Wenzek
     * et al. 2020 score docs by LM perplexity; the unigram degenerate case
     * needs no model): each doc's tokens are weighted by their CORPUS
@@ -2644,6 +2739,7 @@ object LlmOps {
     "txt_top_terms" -> txtTopTerms _,
     "dd_exact" -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_containment" -> ddContainment _,
     "dd_dedup_keep" -> ddDedupKeep _,
     "dd_cluster" -> ddCluster _,
     "txt_tfidf" -> txtTfidf _,
@@ -2665,6 +2761,7 @@ object LlmOps {
     "dd_contamination8" -> ddContamination8 _,
     "txt_clean_corpus" -> txtCleanCorpus _,
     "txt_shards" -> txtShards _,
+    "txt_split" -> txtSplit _,
     "txt_mixture" -> txtMixture _,
     "mm_join" -> mmJoin _,
     "mm_frame_sample" -> mmFrameSample _,
@@ -2688,6 +2785,7 @@ object LlmOps {
     "sim_ivf_serve" -> simIvfServe _,
     "sim_ivf_serve_pq" -> simIvfServePq _,
     "sim_ivf_serve_insert" -> simIvfServeInsert _,
+    "sim_ivf_serve_delete" -> simIvfServeDelete _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
     "sim_ivf2" -> simIvf2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
@@ -2866,6 +2964,31 @@ object LlmOps {
          |FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
          |WHERE common / (sa.n + sb.n - common) >= 0.2
          |ORDER BY jaccard DESC, ia, ib LIMIT 200""".stripMargin,
+
+    // lang-blocked only (no length bucket — containment pairs cross
+    // lengths by nature), directed, containment = common / |A|
+    "dd_containment" ->
+      s"""WITH $baseDuck, sh0 AS (
+         |  SELECT doc_id, lang, unnest($shinglesDuck) AS s0
+         |  FROM base),
+         |sh AS (
+         |  SELECT doc_id, lang, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (
+         |  SELECT s, lang FROM sh GROUP BY s, lang
+         |  HAVING count(*) <= $StopShingleCap),
+         |capped AS (
+         |  SELECT sh.* FROM sh SEMI JOIN rare
+         |    ON sh.s = rare.s AND sh.lang = rare.lang),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+         |  FROM capped a JOIN capped b
+         |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT ia, ib, common / sa.n AS containment
+         |FROM pairs JOIN sizes sa ON ia = sa.doc_id
+         |WHERE common / sa.n >= 0.5
+         |ORDER BY containment DESC, ia, ib LIMIT 200""".stripMargin,
 
     "dd_dedup_keep" ->
       s"""WITH $baseDuck, sh0 AS (
@@ -3318,6 +3441,22 @@ object LlmOps {
          |  max(n_chars) AS max_chars
          |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
 
+    // 90/5/5 by salted md5 draw; lang_frac = split's share of its language
+    "txt_split" ->
+      s"""WITH s AS (
+         |  SELECT lang, n_chars,
+         |    CASE WHEN ${hex4("md5(CAST(doc_id AS VARCHAR) || ':split')")} < 58982 THEN 'train'
+         |         WHEN ${hex4("md5(CAST(doc_id AS VARCHAR) || ':split')")} < 62259 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang, split, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         |  FROM s GROUP BY lang, split)
+         |SELECT lang, split, n_docs, n_chars_total,
+         |  n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_frac
+         |FROM g ORDER BY lang, split""".stripMargin,
+
     "txt_mixture" ->
       s"""WITH m AS (
          |  SELECT doc_id, source, lang,
@@ -3750,6 +3889,32 @@ object LlmOps {
          |  ${(0 until PqM).map(s => s"CAST(k2.codes[${s + 1}] AS BIGINT) AS c$s").mkString(", ")}
          |FROM assigned a JOIN codes k2 ON k2.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    // serve-index DELETE: per-cell tombstone census over the frozen
+    // corpus assignment (tombstones = vec_id % 5 = 0) + compact-at-0.8
+    "sim_ivf_serve_delete" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id % 4 <> 3
+         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |corpus AS (
+         |  SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT e.vec_id, cents.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 4 <> 3)
+         |  WHERE ark = 1)
+         |SELECT cell, count(*) AS n_before,
+         |  count(*) FILTER (vec_id % 5 = 0) AS n_deleted,
+         |  count(*) FILTER (vec_id % 5 <> 0) AS n_live,
+         |  count(*) FILTER (vec_id % 5 <> 0) / count(*) AS live_frac,
+         |  count(*) FILTER (vec_id % 5 <> 0) / count(*) < 0.8 AS compact
+         |FROM corpus GROUP BY cell ORDER BY cell""".stripMargin,
 
     // same quantizer CTEs; queries probe their rank-1 AND rank-2 cells
     "sim_ivf_nprobe2" ->

@@ -104,6 +104,27 @@ object Oracles {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
 
+    "q37_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, tsn,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_id,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN tsn END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_tsn
+        |  FROM e)
+        |SELECT event_id AS view_id, user_id,
+        |  strftime(make_timestamp(tsn // 1000), '%Y-%m-%d %H:%M:%S') AS view_time,
+        |  next_purchase_id,
+        |  (next_purchase_tsn - tsn) // 1000000000 AS secs_to_purchase
+        |FROM w
+        |WHERE event_type = 'view' AND next_purchase_id IS NOT NULL
+        |  AND next_purchase_tsn - tsn <= CAST(259200 AS BIGINT) * 1000000000
+        |ORDER BY view_id""".stripMargin,
+
     "q30_grouping_sets" ->
       """SELECT
         |  CASE WHEN grouping(o_orderpriority) = 1 THEN '(by status)' ELSE o_orderpriority END AS priority,

@@ -421,6 +421,35 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** FORWARD as-of join — [[q23AsofAttr]]'s mirror, answering the other
+    * attribution question: for each view, the user's NEXT purchase and the
+    * time to convert, kept only when conversion lands inside a 3-day
+    * horizon. Same scalable shape as q23 — ONE window pass with a
+    * (1, unbounded-following) frame and first(..., ignoreNulls), a single
+    * shuffle on user_id, linear in the stream — where the naive
+    * formulation is a per-view "min ts > my ts" range self-join (O(n²)
+    * and un-broadcastable once either side is big). The horizon is a
+    * post-window filter, NOT part of the join: the window already returns
+    * the nearest candidate, so the bound prunes rows without changing
+    * which purchase would attribute. Ties broken by event_id; `ts` is
+    * epoch-nanos long (see q09 note). */
+  def q37AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .withColumn("next_purchase_id",
+        first(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("next_purchase_ts",
+        first(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "view" && col("next_purchase_id").isNotNull &&
+        col("next_purchase_ts") - col("ts") <= expr("CAST(259200 AS BIGINT) * 1000000000"))
+      .select(col("event_id").as("view_id"), col("user_id"),
+        expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd HH:mm:ss')").as("view_time"),
+        col("next_purchase_id"),
+        expr("(next_purchase_ts - ts) div 1000000000").as("secs_to_purchase"))
+      .orderBy(col("view_id"))
+  }
+
   /** PIVOT: long→wide reshape with an explicit value list (no extra pass to
     * discover values, and the plan is a plain conditional aggregation —
     * exactly what the oracle spells with FILTER clauses). */
@@ -856,6 +885,7 @@ object Relational {
     "q28_salted_join" -> q28SaltedJoin _,
     "q27_json" -> q27Json _,
     "q23_asof_attr" -> q23AsofAttr _,
+    "q37_asof_forward" -> q37AsofForward _,
     "q24_pivot" -> q24Pivot _,
     "q25_percentile" -> q25Percentile _,
     "q26_exists_sql" -> q26ExistsSql _,

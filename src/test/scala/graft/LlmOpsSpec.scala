@@ -921,4 +921,66 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(0L)._2 > rows(3L)._2,
       s"duplicated doc must outscore unique-token doc: ${rows(0L)._2} vs ${rows(3L)._2}")
   }
+
+  test("containment: a short doc quoted inside a long one is caught; the jaccard family is structurally blind to it") {
+    import spark.implicits._
+    val longDoc = (1 to 50).map(i => s"w$i").mkString(" ")
+    val quote = (21 to 30).map(i => s"w$i").mkString(" ") // 10 tokens lifted verbatim
+    val lone = (1 to 10).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      Doc(0, longDoc, "en", "s0", longDoc.length),
+      Doc(1, quote, "en", "s1", quote.length),
+      Doc(2, lone, "en", "s2", lone.length))
+    val d = java.nio.file.Files.createTempDirectory("containment").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.ddContainment(spark, d).collect()
+    // all 8 of the quote's shingles live in the long doc: c(1→0) = 1.0, and
+    // ONLY that direction (c(0→1) = 8/48 < 0.5); the lone doc pairs with nothing
+    assert(rows.length == 1, s"want exactly the directed quote pair, got ${rows.toSeq}")
+    assert(rows(0).getAs[Long]("ia") == 1 && rows(0).getAs[Long]("ib") == 0)
+    assert(rows(0).getAs[Double]("containment") == 1.0)
+    // the symmetric detector cannot even candidate the pair: its
+    // (lang, length-bucket) blocking separates a 40-char quote from a
+    // ~240-char host, and its jaccard 8/48 is under threshold anyway
+    val jp = LlmOps.ddNgramJaccard(spark, d).collect()
+    assert(!jp.exists(r => Set(r.getAs[Long]("ia"), r.getAs[Long]("ib")) == Set(0L, 1L)))
+  }
+
+  test("hash split: 90/5/5 census partitions the corpus, per-language fractions sum to one, rerun is identical") {
+    val real = "/root/testdata/sf0.001"
+    val rows = LlmOps.txtSplit(spark, real).collect()
+    val total = spark.read.parquet(s"$real/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total, "splits must partition the corpus")
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val frac = rs.map(_.getAs[Double]("lang_frac")).sum
+      assert(math.abs(frac - 1.0) < 1e-9, s"$lang fractions sum to $frac")
+    }
+    // overall train share near the 90% target (binomial spread at 50 docs)
+    val train = rows.filter(_.getAs[String]("split") == "train").map(_.getAs[Long]("n_docs")).sum
+    assert(train.toDouble / total > 0.75, s"train share ${train.toDouble / total} far from 0.9")
+    // seedless determinism: the draw is a pure function of doc_id
+    assert(LlmOps.txtSplit(spark, real).collect().toSeq == rows.toSeq)
+  }
+
+  test("serve-index delete path: census partitions the corpus; compact flag follows the live ratio; tombstone anti-join cleans answers") {
+    val real = "/root/testdata/sf0.001"
+    val rows = LlmOps.simIvfServeDelete(spark, real).collect()
+    val corpus = spark.read.parquet(s"$real/embeddings.parquet").filter("vec_id % 4 <> 3")
+    assert(rows.map(_.getAs[Long]("n_before")).sum == corpus.count())
+    assert(rows.map(_.getAs[Long]("n_deleted")).sum == corpus.filter("vec_id % 5 = 0").count())
+    rows.foreach { r =>
+      val (before, del, live) = (r.getAs[Long]("n_before"), r.getAs[Long]("n_deleted"), r.getAs[Long]("n_live"))
+      assert(del + live == before)
+      val lf = r.getAs[Double]("live_frac")
+      assert(lf == live.toDouble / before)
+      assert(r.getAs[Boolean]("compact") == (lf < 0.8))
+    }
+    // serve-read contract: post-delete serving is the tombstone anti-join
+    // over the frozen index's answers — apply it and nothing deleted remains
+    val served = LlmOps.simIvfServe(spark, real).collect()
+    val cleaned = served.filterNot(_.getAs[Long]("cid") % 5 == 0)
+    assert(cleaned.forall(_.getAs[Long]("cid") % 5 != 0))
+    assert(cleaned.nonEmpty, "cleaned serve answers must survive the tombstones")
+  }
 }
