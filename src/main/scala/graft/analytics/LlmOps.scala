@@ -438,13 +438,18 @@ object LlmOps {
     * size, never doc². Same kernel-hashed 8-byte join keys; pairs are
     * DIRECTED (a ≠ b, both orders) because containment is. */
   def ddContainment(spark: SparkSession, dir: String): DataFrame = {
-    // no persist: the shingle projection is the codegen'd kernel (~cheap),
-    // and the identical `capped` subtree on both join sides lets AQE reuse
-    // one exchange — measured no win from caching at sf0.1
+    // persist the shingle rows: they feed sizes, the rarity filter, and
+    // BOTH sides of the candidate join (4 consumers) — unpersisted, the
+    // kernel chain re-planned and re-ran per consumer (measured 31 s cold
+    // at sf0.1 vs ~4 s with the cache, the same lesson buildJaccardPairs
+    // learned). The pair result is eagerly checkpointed so the cache can
+    // be released before returning — executor storage stays bounded by
+    // the (threshold-filtered, tiny) pair table.
     val sh = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), explode_outer(shingleHash(col("text"))).as("s"))
       .filter(col("s").isNotNull)
+      .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rare = sh.groupBy(col("s"), col("lang"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
@@ -453,12 +458,22 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("s"))
     val a = capped.toDF("ia", "la", "s")
     val b = capped.toDF("ib", "lb", "s2")
-    a.join(b, col("s") === col("s2") && col("la") === col("lb") && col("ia") =!= col("ib"))
+    val plan = a.join(b,
+        col("s") === col("s2") && col("la") === col("lb") && col("ia") =!= col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
       .join(sizes.toDF("ia", "na"), "ia")
       .withColumn("containment", col("common") / col("na"))
       .filter(col("containment") >= 0.5)
       .select(col("ia"), col("ib"), col("containment"))
+    // RDD-level checkpoint for the same reason as buildJaccardPairs: the
+    // DataFrame variant derives new child RDDs per access, so no handle
+    // to the persisted RDD would survive for release
+    val rdd = plan.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    trackRdd(rdd)
+    sh.unpersist(blocking = false)
+    spark.createDataFrame(rdd, plan.schema)
       .orderBy(col("containment").desc, col("ia"), col("ib"))
       .limit(200)
   }
