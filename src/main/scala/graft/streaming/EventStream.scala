@@ -108,6 +108,57 @@ object EventStream {
       .select(col("user_id"), col("view_id"), col("click_id"), col("view_ts"), col("click_ts"), col("value"))
   }
 
+  case class PendingView(view_id: Long, us: Long)
+  case class AsofOut(view_id: Long, user_id: Long, next_purchase_id: Long, secs_to_purchase: Long)
+
+  /** Streaming FORWARD as-of attribution — the streaming twin of the
+    * batch q37 (`Relational.q37AsofForward`): each view attributes to the
+    * user's NEXT purchase, emitted only when conversion lands inside the
+    * 3-day horizon. The stateful shape is a per-user PENDING-VIEW buffer:
+    * views enqueue; a purchase flushes the whole buffer (it is the first
+    * later purchase for everything buffered — earlier purchases already
+    * emptied it), emitting the in-horizon views and silently expiring the
+    * rest; and any event lets views older than the horizon fall out of
+    * state. That last rule is what bounds state: a user's buffer never
+    * holds more than their views from the trailing 3 days, however long
+    * the stream runs — the flatMapGroupsWithState analogue of the
+    * watermark-evicted join buffer in [[attributeClicks]]. Arithmetic is
+    * epoch-micros (Timestamp nanos included), matching the batch query's
+    * nanosecond `div` exactly; EventStreamSpec drives chronological
+    * micro-batches and pins the sink equal to the oracle-checked q37. */
+  def attributeForward(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    val horizonUs = 259200L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[PendingView], AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[List[PendingView]]) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+          val sorted = batch.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var pending = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[AsofOut]
+          sorted.foreach { e =>
+            val now = us(e.ts)
+            e.event_type match {
+              case "view" =>
+                pending = (pending :+ PendingView(e.event_id, now))
+                  .filter(v => now - v.us <= horizonUs)
+              case "purchase" =>
+                pending.foreach { v =>
+                  if (now - v.us <= horizonUs)
+                    out += AsofOut(v.view_id, uid, e.event_id, (now - v.us) / 1000000L)
+                }
+                pending = Nil
+              case _ =>
+                pending = pending.filter(v => now - v.us <= horizonUs)
+            }
+          }
+          if (pending.isEmpty) state.remove() else state.update(pending)
+          out.result().iterator
+      }
+  }
+
   /** Streaming INGESTION dedup — the streaming twin of the batch
     * incremental dedup (`LlmOps.ddIncremental` / the bucketed driver-path
     * variant): each micro-batch of incoming documents is content-

@@ -191,6 +191,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-driven forward as-of over chronological micro-batches equals the oracle-checked q37") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val chunks = chronoChunks(6)
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.attributeForward(input.toDS()).toDF(), "asof_fwd_parity", OutputMode.Append())
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val got = spark.table("asof_fwd_parity").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("next_purchase_id"), r.getAs[Long]("secs_to_purchase"))).toSet
+      // q37 is the DuckDB-hash-checked twin; a view attributes the moment
+      // its purchase arrives, so — unlike the sessionizer — the stream
+      // emits the COMPLETE batch answer once all events are fed (pending
+      // unconverted views are exactly the rows q37 also drops)
+      val want = graft.analytics.Relational.q37AsofForward(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("next_purchase_id"), r.getAs[Long]("secs_to_purchase"))).toSet
+      assert(want.nonEmpty, "parity vacuous: q37 found no conversions at this sf")
+      assert(got == want,
+        s"stream-driven forward as-of diverged from q37: missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-driven windowed counts equal the oracle-checked batch tumbling query once closed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
