@@ -34,4 +34,24 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
       "expected a hash/merge equi-join on the bucket key")
   }
+
+  test("both as-of joins plan as one window pass: a single user_id exchange, no self-join") {
+    // the scalable as-of shape (q23 backward, q37 forward): ONE shuffle on
+    // user_id feeding a window — the naive per-row point-in-time lookup
+    // would appear here as a join (range self-join, O(n²) at scale)
+    Seq(
+      graft.analytics.Relational.q23AsofAttr(spark, "/root/testdata/sf0.001"),
+      graft.analytics.Relational.q37AsofForward(spark, "/root/testdata/sf0.001")
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"as-of must not plan a join:\n${plan.take(400)}")
+      val dataExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+      assert(dataExchanges >= 1 && plan.contains("Window"),
+        "expected the user_id-partitioned window pass")
+      // exactly one round of partitioning work for the window itself: the
+      // final orderBy adds a range exchange, but no second hash shuffle
+      assert("hashpartitioning\\(".r.findAllIn(plan).length == 1,
+        s"more than one hash exchange in the as-of plan:\n${plan.take(400)}")
+    }
+  }
 }
