@@ -467,15 +467,23 @@ object LlmOps {
       .select(col("s"), col("lang"))
     val capped = sh.join(rare, Seq("s", "lang"), "left_semi")
       .select(col("doc_id"), col("lang"), col("s"))
+      .persist()
     val a = capped.toDF("ia", "la", "s")
     val b = capped.toDF("ib", "lb", "s2")
-    val plan = a.join(b,
-        col("s") === col("s2") && col("la") === col("lb") && col("ia") =!= col("ib"))
+    // join each unordered pair ONCE (ia < ib) and emit both directions by
+    // projection afterwards: `common` is symmetric, so the =!= formulation
+    // would shuffle and aggregate every shared shingle twice for the same
+    // answer — this halves the heaviest stage
+    val sized = a.join(b,
+        col("s") === col("s2") && col("la") === col("lb") && col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
       .join(sizes.toDF("ia", "na"), "ia")
-      .withColumn("containment", col("common") / col("na"))
+      .join(sizes.toDF("ib", "nb"), "ib")
+    val plan = sized
+      .select(col("ia"), col("ib"), (col("common") / col("na")).as("containment"))
+      .union(sized.select(col("ib").as("ia"), col("ia").as("ib"),
+        (col("common") / col("nb")).as("containment")))
       .filter(col("containment") >= 0.5)
-      .select(col("ia"), col("ib"), col("containment"))
     // RDD-level checkpoint for the same reason as buildJaccardPairs: the
     // DataFrame variant derives new child RDDs per access, so no handle
     // to the persisted RDD would survive for release
@@ -484,6 +492,7 @@ object LlmOps {
     rdd.count()
     trackRdd(rdd)
     sh.unpersist(blocking = false)
+    capped.unpersist(blocking = false)
     spark.createDataFrame(rdd, plan.schema)
   }
 
@@ -2652,8 +2661,9 @@ object LlmOps {
     * is k rows however large the index, so the decision scan is free at
     * any scale. LlmOpsSpec pins the census invariants (cells partition
     * the corpus, deleted+live=before, flag consistent with the ratio)
-    * and the serve-read contract: the tombstone anti-join applied to
-    * [[simIvfServe]]'s answers never leaves a deleted id in a result. */
+    * and that the serve-read tombstone anti-join is non-vacuous against
+    * [[simIvfServe]]'s answers: served results really do contain
+    * tombstoned ids for the anti-join to remove, and survive it. */
   def simIvfServeDelete(spark: SparkSession, dir: String): DataFrame =
     ivfServeAssignTable(spark, dir)
       .select(col("vec_id"), col("cell"), expr("CAST(vec_id % 5 = 0 AS INT)").as("del"))

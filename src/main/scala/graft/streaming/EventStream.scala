@@ -108,7 +108,7 @@ object EventStream {
       .select(col("user_id"), col("view_id"), col("click_id"), col("view_ts"), col("click_ts"), col("value"))
   }
 
-  case class PendingView(view_id: Long, us: Long)
+  case class PendingView(view_id: Long, ns: Long)
   case class AsofOut(view_id: Long, user_id: Long, next_purchase_id: Long, secs_to_purchase: Long)
 
   /** Streaming FORWARD as-of attribution — the streaming twin of the
@@ -118,44 +118,67 @@ object EventStream {
     * views enqueue; a purchase flushes the whole buffer (it is the first
     * later purchase for everything buffered — earlier purchases already
     * emptied it), emitting the in-horizon views and silently expiring the
-    * rest; and any event lets views older than the horizon fall out of
-    * state. That last rule is what bounds state: a user's buffer never
-    * holds more than their views from the trailing 3 days, however long
-    * the stream runs — the flatMapGroupsWithState analogue of the
-    * watermark-evicted join buffer in [[attributeClicks]]. Arithmetic is
-    * epoch-micros (Timestamp nanos included), matching the batch query's
-    * nanosecond `div` exactly; EventStreamSpec drives chronological
-    * micro-batches and pins the sink equal to the oracle-checked q37. */
+    * rest; any event lets views older than the horizon fall out of state;
+    * and an EVENT-TIME TIMEOUT (watermark past last-seen + horizon)
+    * clears the buffer of a user who never sends another event — without
+    * it, one-time users would pin their pending views forever. Clearing
+    * on timeout is semantics-preserving: a purchase arriving after the
+    * watermark passed lastSeen + horizon is either dropped as late or
+    * beyond every buffered view's horizon anyway. Together the two
+    * eviction rules bound state at each user's trailing 3 days of views —
+    * the flatMapGroupsWithState analogue of the watermark-evicted join
+    * buffer in [[attributeClicks]]. The late-data guard (`now >= v.ns`)
+    * keeps an out-of-order purchase that predates a buffered view from
+    * stealing the attribution the batch ordering would never produce.
+    * Arithmetic is epoch-NANOS rebuilt from the Timestamp (getNanos
+    * carries the full sub-second), so the horizon compare and the emitted
+    * seconds match the batch query's nanosecond `div` bit-for-bit;
+    * EventStreamSpec drives chronological micro-batches and pins the sink
+    * equal to the oracle-checked q37. */
   def attributeForward(events: Dataset[Event]): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
-    val horizonUs = 259200L * 1000000L
-    events.groupByKey(_.user_id)
+    val horizonNs = 259200L * 1000000000L
+    events.withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[PendingView], AsofOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, batch: Iterator[Event], state: GroupState[List[PendingView]]) =>
-          def us(t: java.sql.Timestamp): Long =
-            t.getTime * 1000 + (t.getNanos % 1000000) / 1000
-          val sorted = batch.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          var pending = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[AsofOut]
-          sorted.foreach { e =>
-            val now = us(e.ts)
-            e.event_type match {
-              case "view" =>
-                pending = (pending :+ PendingView(e.event_id, now))
-                  .filter(v => now - v.us <= horizonUs)
-              case "purchase" =>
-                pending.foreach { v =>
-                  if (now - v.us <= horizonUs)
-                    out += AsofOut(v.view_id, uid, e.event_id, (now - v.us) / 1000000L)
-                }
-                pending = Nil
-              case _ =>
-                pending = pending.filter(v => now - v.us <= horizonUs)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def ns(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000000L + t.getNanos
+            val sorted = batch.toSeq.sortBy(e => (ns(e.ts), e.event_id))
+            var pending = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[AsofOut]
+            sorted.foreach { e =>
+              val now = ns(e.ts)
+              e.event_type match {
+                case "view" =>
+                  pending = (pending :+ PendingView(e.event_id, now))
+                    .filter(v => now - v.ns <= horizonNs)
+                case "purchase" =>
+                  pending.foreach { v =>
+                    val d = now - v.ns
+                    if (d >= 0 && d <= horizonNs)
+                      out += AsofOut(v.view_id, uid, e.event_id, d / 1000000000L)
+                  }
+                  pending = Nil
+                case _ =>
+                  pending = pending.filter(v => now - v.ns <= horizonNs)
+              }
             }
+            if (pending.isEmpty) state.remove()
+            else {
+              state.update(pending)
+              // evict an idle user's buffer once the watermark proves no
+              // attributable purchase can still arrive (ms granularity is
+              // fine for a timeout — it only needs to be AT OR AFTER the
+              // last moment an in-horizon purchase could be on time)
+              val lastMs = sorted.lastOption.map(_.ts.getTime).getOrElse(0L)
+              state.setTimeoutTimestamp(lastMs + horizonNs / 1000000L + 1)
+            }
+            out.result().iterator
           }
-          if (pending.isEmpty) state.remove() else state.update(pending)
-          out.result().iterator
       }
   }
 

@@ -976,11 +976,20 @@ class LlmOpsSpec extends SparkSpec {
       assert(lf == live.toDouble / before)
       assert(r.getAs[Boolean]("compact") == (lf < 0.8))
     }
-    // serve-read contract: post-delete serving is the tombstone anti-join
-    // over the frozen index's answers — apply it and nothing deleted remains
-    val served = LlmOps.simIvfServe(spark, real).collect()
-    val cleaned = served.filterNot(_.getAs[Long]("cid") % 5 == 0)
-    assert(cleaned.forall(_.getAs[Long]("cid") % 5 != 0))
-    assert(cleaned.nonEmpty, "cleaned serve answers must survive the tombstones")
+    // serve-read contract: the tombstone anti-join over the frozen index's
+    // answers must be NON-VACUOUS (some served answers actually tombstoned)
+    // yet survivable — driven at sf0.1, where the serve path answers 10
+    // held-out queries (sf0.001's single query can miss the 20% tombstone
+    // rate entirely, making the contract untestable there)
+    val served = LlmOps.simIvfServe(spark, "/root/testdata/sf0.1").collect()
+    val tombstoned = served.count(_.getAs[Long]("cid") % 5 == 0)
+    assert(tombstoned > 0,
+      "vacuous contract: no served answer was tombstoned, the anti-join tests nothing")
+    assert(served.length - tombstoned > 0, "serving must survive the tombstones")
+    // and the census's deleted ids are exactly the tombstone rule's — so
+    // the anti-join keyed on that rule removes precisely n_deleted rows
+    // from any cell-complete result set
+    assert(rows.map(_.getAs[Long]("n_deleted")).sum ==
+      corpus.filter("vec_id % 5 = 0").count())
   }
 }
