@@ -434,9 +434,20 @@ object LlmOps {
     * lang-blocked only, letting short meet long. What bounds the
     * self-join without the length block is the [[StopShingleCap]] alone
     * (fanout ≤ Σ df² with df ≤ cap — the identical argument, minus one
-    * blocking key), so the candidate set stays linear-ish in corpus
-    * size, never doc². Same kernel-hashed 8-byte join keys; pairs are
-    * DIRECTED (a ≠ b, both orders) because containment is. */
+    * blocking key), so the candidate set stays cap-bounded, never doc².
+    * Cost model, measured at sf2: the synthetic corpus draws from a
+    * CLOSED vocabulary, so typical shingle df grows with corpus size
+    * (~70 at 100k docs) and the Σ df² build genuinely processes ~245M
+    * join rows — DuckDB pays the same ~2 minutes for the oracle, and a
+    * lower cap is NOT a fix (at sf2 even the true subset pairs' shared
+    * shingles sit above df 20, so capping harder EMPTIES the answer —
+    * measured, not guessed). On an open-vocabulary web corpus the df
+    * mass inverts (most shingles near-unique) and the same plan is far
+    * cheaper; the cap is the worst-case guard either way. Prefix
+    * filtering (PPJoin) was evaluated and rejected: on this flat df
+    * distribution the rarest-half prefix still leaves ~105M candidates.
+    * Same kernel-hashed 8-byte join keys; pairs are DIRECTED (a ≠ b,
+    * both orders) because containment is. */
   def ddContainment(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(spark, dir)
       .orderBy(col("containment").desc, col("ia"), col("ib"))
