@@ -49,7 +49,7 @@ object LlmOps {
   private def track(df: DataFrame): DataFrame =
     synchronized { tracked += (() => { df.unpersist(); () }); df }
 
-  private def trackRdd(rdd: RDD[_]): Unit =
+  private[analytics] def trackRdd(rdd: RDD[_]): Unit =
     synchronized { tracked += (() => { rdd.unpersist(blocking = false); () }) }
 
   /** Unpersist every tracked frame/RDD and drop the jaccard-pair memo. Safe
@@ -1170,7 +1170,7 @@ object LlmOps {
     * (jaccard pairs checkpoint their RDD, passage windows cache+count
     * inside the build) — same fingerprint + per-key-lock semantics as
     * [[memoSig]] without double-caching the result. */
-  private def memoRaw(spark: SparkSession, dir: String, kind: String)
+  private[analytics] def memoRaw(spark: SparkSession, dir: String, kind: String)
       (build: => DataFrame): DataFrame =
     memoCell(spark, dir, kind)(() => build)
 

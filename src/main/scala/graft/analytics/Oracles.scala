@@ -125,6 +125,32 @@ object Oracles {
         |  AND next_purchase_tsn - tsn <= CAST(259200 AS BIGINT) * 1000000000
         |ORDER BY view_id""".stripMargin,
 
+    // fixed-point integer PageRank: micro-unit ranks, floor division
+    // everywhere, 3 unrolled iterations — integer sums make the iterative
+    // result exactly reproducible across engines (and partitionings)
+    "q38_pagerank" ->
+      """WITH up AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS cn, l.l_partkey * 2 + 1 AS pn
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e0 AS (SELECT cn AS src, pn AS dst FROM up
+        |       UNION ALL SELECT pn AS src, cn AS dst FROM up),
+        |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+        |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg ON e0.src = deg.src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |         CAST(150000 + 85 * CAST(sum(r0.pr // e.deg) AS BIGINT) // 100 AS BIGINT) AS pr
+        |       FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         CAST(150000 + 85 * CAST(sum(r1.pr // e.deg) AS BIGINT) // 100 AS BIGINT) AS pr
+        |       FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         CAST(150000 + 85 * CAST(sum(r2.pr // e.deg) AS BIGINT) // 100 AS BIGINT) AS pr
+        |       FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
+        |  node // 2 AS node_id, pr
+        |FROM r3
+        |ORDER BY pr DESC, node_type, node_id LIMIT 100""".stripMargin,
+
     "q30_grouping_sets" ->
       """SELECT
         |  CASE WHEN grouping(o_orderpriority) = 1 THEN '(by status)' ELSE o_orderpriority END AS priority,

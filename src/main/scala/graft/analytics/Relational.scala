@@ -450,6 +450,80 @@ object Relational {
       .orderBy(col("view_id"))
   }
 
+  /** FIXED-POINT integer PageRank (3 unrolled power iterations, damping
+    * 0.85) over the bipartite customer–part purchase graph — the
+    * iterative-NUMERIC fixpoint family next to dd_cluster's discrete
+    * connected components. Two design decisions carry the scale story:
+    *
+    * 1. Ranks live in integer MICRO-UNITS and every operation floors
+    *    (`div`), because float PageRank is not cross-engine (or even
+    *    cross-partitioning) reproducible — the per-node contribution sum
+    *    re-associates under Spark's partial aggregation, and IEEE
+    *    addition is not associative. Integer sums ARE; the oracle
+    *    hash-matches exactly, and at 100 TB the same property means the
+    *    result cannot drift when the cluster re-partitions. (This is the
+    *    dsum argument applied to an iterative algorithm.)
+    * 2. The iteration count is FIXED and unrolled into one declarative
+    *    plan: each round is edges ⋈ ranks (shuffle on the node key) +
+    *    one map-side-combinable sum — the shape that scales to any edge
+    *    count. No driver-side convergence loop over collected data; a
+    *    production variant raises the round count, checkpointing between
+    *    rounds like ddCluster.
+    *
+    * Node encoding packs both partitions into one BIGINT key space
+    * (customer 2k, part 2k+1) so ranks stay a single long-keyed table.
+    * Every node has out-degree >= 1 by construction (the graph is the
+    * symmetrized purchase relation), so no dangling-mass correction is
+    * needed. */
+  def q38Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000L
+    val e = pagerankEdges(spark, dir)
+    var ranks = e.select(col("src")).distinct()
+      .select(col("src").as("node"), lit(Scale).as("pr"))
+    for (_ <- 1 to 3) {
+      // BROADCAST the rank table: it is |nodes| rows (8+8 bytes each) —
+      // tiny next to the edge table — so each iteration is a map-side
+      // join over the checkpointed edges plus ONE map-side-combinable
+      // aggregation; the edge table itself is never re-shuffled. (Past
+      // broadcast scale, drop the hint and both tables shuffle on the
+      // node key — the standard distributed PageRank round.)
+      ranks = e.join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"), expr("pr div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
+        .select(col("dst").as("node"),
+          (lit(15L * Scale / 100) + expr("85 * c div 100")).as("pr"))
+    }
+    ranks
+      .select(expr("CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END").as("node_type"),
+        expr("node div 2").as("node_id"), col("pr"))
+      .orderBy(col("pr").desc, col("node_type"), col("node_id"))
+      .limit(100)
+  }
+
+  /** The symmetrized purchase graph with per-source out-degrees,
+    * (src, dst, deg) — checkpointed ONCE and memoized on the shared
+    * fingerprint spine (a production PageRank materializes its edge
+    * table; the unrolled plan reads it three times, and exchange reuse
+    * does not reliably dedupe the subtree under AQE — measured 3×
+    * recompute without this). Prewarmed as explicitly-timed state. */
+  private def pagerankEdges(spark: SparkSession, dir: String): DataFrame =
+    LlmOps.memoRaw(spark, dir, "pagerank_edges") {
+      val pairs = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .join(Tables.orders(spark, dir).select(col("o_orderkey").as("ok"), col("o_custkey").as("ck")), "ok")
+        .select((col("ck") * 2).as("cn"), (col("pk") * 2 + 1).as("pn"))
+        .distinct()
+      val edges = pairs.select(col("cn").as("src"), col("pn").as("dst"))
+        .union(pairs.select(col("pn").as("src"), col("cn").as("dst")))
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val ePlan = edges.join(outdeg, "src")
+      val eRdd = ePlan.rdd
+      eRdd.localCheckpoint()
+      eRdd.count()
+      LlmOps.trackRdd(eRdd)
+      spark.createDataFrame(eRdd, ePlan.schema)
+    }
+
   /** PIVOT: long→wide reshape with an explicit value list (no extra pass to
     * discover values, and the plan is a plain conditional aggregation —
     * exactly what the oracle spells with FILTER clauses). */
@@ -871,7 +945,8 @@ object Relational {
   /** One-time state build (bucketed fact tables), timed by Bench as an
     * explicit pre-stage — see LlmOps.stateBuilders for the rationale. */
   def stateBuilders(spark: SparkSession, dir: String): Seq[(String, () => Unit)] =
-    Seq("bucketed_facts" -> (() => { bucketedFactTables(spark, dir); () }))
+    Seq("bucketed_facts" -> (() => { bucketedFactTables(spark, dir); () }),
+      "pagerank_edges" -> (() => { pagerankEdges(spark, dir).count(); () }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_bloom_prune" -> q33BloomPrune _,
@@ -886,6 +961,7 @@ object Relational {
     "q27_json" -> q27Json _,
     "q23_asof_attr" -> q23AsofAttr _,
     "q37_asof_forward" -> q37AsofForward _,
+    "q38_pagerank" -> q38Pagerank _,
     "q24_pivot" -> q24Pivot _,
     "q25_percentile" -> q25Percentile _,
     "q26_exists_sql" -> q26ExistsSql _,
