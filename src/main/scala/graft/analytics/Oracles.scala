@@ -151,6 +151,43 @@ object Oracles {
         |FROM r3
         |ORDER BY pr DESC, node_type, node_id LIMIT 100""".stripMargin,
 
+    "q39_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id),
+        |g AS (SELECT cohort_week, wk - cohort_week AS week_offset,
+        |        count(*) AS n_users
+        |      FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_users,
+        |  CAST(n_users AS DOUBLE) / max(CASE WHEN week_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_week) AS retention
+        |FROM g ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q40_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN tsn END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM ev),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND tsn > t1 THEN tsn END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tsn > t2 THEN tsn END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tsn > t3 THEN tsn END)
+        |         OVER (PARTITION BY user_id) AS t4 FROM w3),
+        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4
+        |      FROM w4 GROUP BY user_id),
+        |t AS (SELECT count(*) AS n0, count(t1) AS n1, count(t2) AS n2,
+        |             count(t3) AS n3, count(t4) AS n4 FROM u)
+        |SELECT stage, event_type, n_users,
+        |  CASE WHEN n_prev = 0 THEN NULL
+        |       ELSE CAST(n_users AS DOUBLE) / n_prev END AS conversion
+        |FROM (
+        |  SELECT 1 AS stage, 'signup' AS event_type, n1 AS n_users, n0 AS n_prev FROM t
+        |  UNION ALL SELECT 2, 'view', n2, n1 FROM t
+        |  UNION ALL SELECT 3, 'click', n3, n2 FROM t
+        |  UNION ALL SELECT 4, 'purchase', n4, n3 FROM t)
+        |ORDER BY stage""".stripMargin,
+
     "q30_grouping_sets" ->
       """SELECT
         |  CASE WHEN grouping(o_orderpriority) = 1 THEN '(by status)' ELSE o_orderpriority END AS priority,

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -524,6 +524,77 @@ object Relational {
       spark.createDataFrame(eRdd, ePlan.schema)
     }
 
+  /** WEEKLY COHORT RETENTION — the cohort-analysis shape over the events
+    * stream: users are cohorted by the epoch WEEK of their first event,
+    * and each later active week counts toward that cohort's retention
+    * curve. All grid keys are integer floor divisions of the epoch-nanos
+    * ts (week = ts div 604800e9), so the cohort/offset grid is
+    * engine-exact, and the one retention ratio is a single IEEE division
+    * of two integers — deterministic on both engines (the q17 avg_value
+    * argument). Scale shape: the raw stream collapses FIRST to distinct
+    * (user_id, week) — a two-long projection whose partial aggregation
+    * absorbs the event volume map-side — so every later exchange is
+    * bounded by users × active-weeks, never by events; the per-user min
+    * and the grid count then each shuffle the already-collapsed table
+    * once, and the cohort-size window runs over the tiny grid. */
+  def q39Retention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    // rows are distinct (user, week), so count(*) IS distinct users
+    val grid = uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val wc = Window.partitionBy(col("cohort_week"))
+    grid
+      // offset 0 always exists: the min week is its own cohort week
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(wc))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        (col("n_users").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** ORDERED FUNNEL (signup → view → click → purchase): each stage's
+    * per-user timestamp is the first qualifying event STRICTLY AFTER the
+    * previous stage's — the state-machine semantics a per-stage
+    * formulation would write as four chained range self-joins (O(n²) per
+    * stage at scale). Spark-first shape: four chained conditional-min
+    * Window expressions over ONE user_id partitioning — Catalyst plans
+    * the exchange/sort once and stacks the Window operators on top, and
+    * the per-user collapse is a groupBy on the SAME key, satisfied by
+    * the existing distribution — so the whole funnel costs a single
+    * shuffle of the stream (pinned by PlanGuardSpec) plus the final
+    * 1-row global aggregate, unpivoted by a 4-row stack. Stage counts
+    * are integers; conversion is one int/int IEEE division (NULL when
+    * the previous stage is empty), so the output is engine-exact. */
+  def q40Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    def stageMin(tpe: String, after: Column): Column =
+      min(when(col("event_type") === tpe && col("ts") > after, col("ts"))).over(w)
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2", stageMin("view", col("t1")))
+      .withColumn("t3", stageMin("click", col("t2")))
+      .withColumn("t4", stageMin("purchase", col("t3")))
+    // t1..t4 are per-user constants; max() collapses (and keeps NULL for
+    // users who never reach the stage, which count() then skips)
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"), max(col("t4")).as("t4"))
+    perUser.agg(
+        count(lit(1)).as("n0"), count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"), count(col("t4")).as("n4"))
+      .selectExpr("stack(4, 1, 'signup', n1, n0, 2, 'view', n2, n1, " +
+        "3, 'click', n3, n2, 4, 'purchase', n4, n3) as (stage, event_type, n_users, n_prev)")
+      .select(col("stage"), col("event_type"), col("n_users"),
+        when(col("n_prev") === 0, lit(null))
+          .otherwise(col("n_users").cast("double") / col("n_prev")).as("conversion"))
+      .orderBy(col("stage"))
+  }
+
   /** PIVOT: long→wide reshape with an explicit value list (no extra pass to
     * discover values, and the plan is a plain conditional aggregation —
     * exactly what the oracle spells with FILTER clauses). */
@@ -962,6 +1033,8 @@ object Relational {
     "q23_asof_attr" -> q23AsofAttr _,
     "q37_asof_forward" -> q37AsofForward _,
     "q38_pagerank" -> q38Pagerank _,
+    "q39_retention" -> q39Retention _,
+    "q40_funnel" -> q40Funnel _,
     "q24_pivot" -> q24Pivot _,
     "q25_percentile" -> q25Percentile _,
     "q26_exists_sql" -> q26ExistsSql _,

@@ -54,4 +54,17 @@ class PlanGuardSpec extends SparkSpec {
         s"more than one hash exchange in the as-of plan:\n${plan.take(400)}")
     }
   }
+
+  test("the funnel plans as chained windows over ONE user_id exchange, no join") {
+    // q40's scale claim: four stage-min windows AND the per-user collapse
+    // all ride a single hash shuffle — the chained-self-join formulation
+    // would show up here as Join operators and extra exchanges
+    val plan = graft.analytics.Relational
+      .q40Funnel(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel must not plan a join:\n${plan.take(400)}")
+    assert(plan.contains("Window"), "expected the user_id-partitioned window chain")
+    assert("hashpartitioning\\(".r.findAllIn(plan).length == 1,
+      s"the window chain and per-user collapse must share one hash exchange:\n${plan.take(600)}")
+  }
 }

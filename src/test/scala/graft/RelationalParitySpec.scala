@@ -74,4 +74,62 @@ class RelationalParitySpec extends SparkSpec {
     val rank = got.map(t => (t._1, t._2) -> t._3).toMap
     assert(rank(("part", 11L)) > rank(("part", 12L)))
   }
+
+  test("weekly cohort retention equals an in-memory recompute and anchors offset 0 at 1.0") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Relational.q39Retention(spark, dir).collect().map(r =>
+      (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_users"), r.getAs[Double]("retention")))
+    // independent recompute over plain collections: distinct (user, week)
+    // with the SAME integer floor (ts is positive epoch-nanos, so Scala /
+    // agrees with SQL div), per-user min week, grid count, single division
+    val uw = Tables.events(spark, dir).select("user_id", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts") / 604800000000000L))
+      .distinct
+    val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val grid = uw.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case ((cw, off), vs) => (cw, off, vs.size.toLong) }.toSeq
+    val size0 = grid.filter(_._2 == 0L).map(g => g._1 -> g._3).toMap
+    val want = grid.map { case (cw, off, n) => (cw, off, n, n.toDouble / size0(cw)) }
+      .sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty, "sf0.001 must produce a retention grid")
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // invariants: a cohort is fully retained in its own week, and a later
+    // active-user set is a subset of the cohort
+    assert(got.filter(_._2 == 0L).forall(_._4 == 1.0))
+    assert(got.forall(_._4 <= 1.0))
+  }
+
+  test("ordered funnel equals a per-user state-machine scan and stage counts are monotone") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Relational.q40Funnel(spark, dir).collect().map(r =>
+      (r.getAs[Int]("stage"), r.getAs[String]("event_type"), r.getAs[Long]("n_users"),
+        Option(r.getAs[java.lang.Double]("conversion")).map(_.doubleValue())))
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Long]("ts")))
+    val stages = Seq("signup", "view", "click", "purchase")
+    // the semantics under test, written as the naive per-user scan: each
+    // stage's timestamp is the min qualifying ts strictly after the
+    // previous stage's (stage 1 unconstrained — every real ts > MinValue)
+    val reached = ev.groupBy(_._1).values.toSeq.map { rows =>
+      var prev: Option[Long] = Some(Long.MinValue)
+      stages.map { st =>
+        val cur = prev.flatMap(p =>
+          rows.collect { case (_, `st`, ts) if ts > p => ts }.minOption)
+        prev = cur
+        cur
+      }
+    }
+    val n0 = reached.size.toLong
+    val ns = (0 until 4).map(i => reached.count(_(i).isDefined).toLong)
+    val prevs = n0 +: ns.take(3)
+    val want = stages.indices.map { i =>
+      (i + 1, stages(i), ns(i),
+        if (prevs(i) == 0L) None else Some(ns(i).toDouble / prevs(i)))
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // a later stage can never out-count an earlier one
+    assert(ns.zip(prevs).forall { case (n, p) => n <= p })
+    assert(ns.head > 0, "sf0.001 must contain signups")
+  }
 }
