@@ -182,6 +182,67 @@ object EventStream {
       }
   }
 
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long], t4: Option[Long])
+  case class FunnelOut(user_id: Long, stage: Int, event_type: String, event_id: Long)
+
+  /** Streaming ORDERED FUNNEL — the streaming twin of the batch q40
+    * (`Relational.q40Funnel`): emits a row the moment a user FIRST
+    * reaches each stage of signup → view → click → purchase, where a
+    * stage only counts strictly after the previous one. State is four
+    * optional epoch-nanos per user — the minimal funnel memory any
+    * engine needs, bounded by |users| independent of stream length, and
+    * it must NOT be dropped on completion: a completed user's state is
+    * what stops a later signup from re-opening stage 1 (stages are
+    * once-per-user, exactly as the batch min-based definition has them).
+    * Chronological processing makes first-qualifying equal the batch
+    * MIN: stage k's candidate arrives after stage k-1's timestamp is
+    * already final, so the first event with ns strictly greater IS the
+    * minimum — the same argument, per stage, as [[attributeForward]]'s
+    * buffer flush (and the same chronological-drive caveat; epoch-nanos
+    * rebuilt from the Timestamp so the strict compare matches the batch
+    * `>` bit-for-bit). EventStreamSpec pins the per-stage user counts
+    * equal to the oracle-checked q40. */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val stageOf = Map("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          def ns(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000000L + t.getNanos
+          val sorted = batch.toSeq.sortBy(e => (ns(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(None, None, None, None))
+          val out = List.newBuilder[FunnelOut]
+          sorted.foreach { e =>
+            stageOf.get(e.event_type).foreach { k =>
+              val now = ns(e.ts)
+              // stage 1 is unconstrained (every real ns > MinValue)
+              val prev = k match {
+                case 1 => Some(Long.MinValue)
+                case 2 => s.t1
+                case 3 => s.t2
+                case _ => s.t3
+              }
+              val unreached = (k match {
+                case 1 => s.t1; case 2 => s.t2; case 3 => s.t3; case _ => s.t4
+              }).isEmpty
+              if (unreached && prev.exists(now > _)) {
+                s = k match {
+                  case 1 => s.copy(t1 = Some(now))
+                  case 2 => s.copy(t2 = Some(now))
+                  case 3 => s.copy(t3 = Some(now))
+                  case _ => s.copy(t4 = Some(now))
+                }
+                out += FunnelOut(uid, k, e.event_type, e.event_id)
+              }
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Streaming INGESTION dedup — the streaming twin of the batch
     * incremental dedup (`LlmOps.ddIncremental` / the bucketed driver-path
     * variant): each micro-batch of incoming documents is content-

@@ -374,4 +374,32 @@ class EventStreamSpec extends SparkSpec {
       assert(out.contains(EventStream.SessionOut(7, 2, 4.0)))
     } finally q.stop()
   }
+
+  test("stream-driven funnel over chronological micro-batches equals the oracle-checked q40") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val chunks = chronoChunks(5)
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.funnelStages(input.toDS()).toDF(), "funnel_parity", OutputMode.Append())
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val got = spark.table("funnel_parity").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage")))
+      // a stage fires the moment its first qualifying event arrives, so
+      // after the full drive the sink carries the complete batch answer
+      val gotCounts = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val want = graft.analytics.Relational.q40Funnel(spark, "/root/testdata/sf0.001").collect()
+        .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+      assert(want(1) > 0, "parity vacuous: q40 found no signups at this sf")
+      assert((1 to 4).forall(k => gotCounts.getOrElse(k, 0L) == want(k)),
+        s"stream funnel counts $gotCounts diverged from q40 $want")
+      // each stage fires at most once per user, in order: a user holding
+      // stage k also holds every earlier stage
+      assert(got.distinct.length == got.length, "a stage fired twice for one user")
+      val byUser = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      assert(byUser.forall { case (_, ks) => (1 to ks.max).forall(ks) },
+        "a user skipped a funnel stage")
+    } finally q.stop()
+  }
 }
