@@ -534,16 +534,18 @@ object Relational {
     * argument). Scale shape: the raw stream collapses FIRST to distinct
     * (user_id, week) — a two-long projection whose partial aggregation
     * absorbs the event volume map-side — so every later exchange is
-    * bounded by users × active-weeks, never by events; the per-user min
-    * and the grid count then each shuffle the already-collapsed table
-    * once, and the cohort-size window runs over the tiny grid. */
+    * bounded by users × active-weeks, never by events; the per-user
+    * cohort week is an unordered window MIN over the SAME collapsed
+    * table (one pass, ONE scan of the stream — a groupBy+self-join
+    * formulation read the parquet twice), and the cohort-size window
+    * runs over the tiny grid. */
   def q39Retention(spark: SparkSession, dir: String): DataFrame = {
     val uw = Tables.events(spark, dir)
       .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
       .distinct()
-    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
     // rows are distinct (user, week), so count(*) IS distinct users
-    val grid = uw.join(cohort, "user_id")
+    val grid = uw
+      .withColumn("cohort_week", min(col("wk")).over(Window.partitionBy(col("user_id"))))
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
     val wc = Window.partitionBy(col("cohort_week"))
