@@ -348,6 +348,49 @@ object LlmOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Feature vocabulary of the classifier head: the flattened language-
+    * marker stopword list (deduped, sorted for determinism) — multi-lingual
+    * on purpose, the head scores any of the corpus's languages. */
+  // lazy: declared ahead of langMarkers in object-init order
+  private lazy val classifierStops: Seq[String] = langMarkers.flatMap(_._2).distinct.sorted
+
+  /** MODEL-BASED quality-classifier head — the learned-filter step every
+    * production curation pipeline runs downstream of rule filters (CCNet's
+    * fastText LM filter, Wenzek et al. 2020; GPT-3's WebText logistic
+    * classifier, Brown et al. 2020 App. A): a LINEAR head over per-document
+    * count features, here with FIXED integer weights standing in for the
+    * trained coefficients (the container has no training stack, and the
+    * oracle contract needs bit-exact cross-engine scores — a frozen,
+    * versioned weight vector is also exactly how a deployed classifier
+    * ships). Features are the Gopher-family counters ([[txtGopher]]'s
+    * relatives): stopword hits (positive signal — fluent prose), very
+    * short / very long tokens and repeated tokens (negative — gibberish,
+    * boilerplate). Score = (n_toks + 4·n_stop − 2·n_short − 3·n_long −
+    * 2·n_rep) / n_toks: ALL-BIGINT numerator, ONE final int/int IEEE
+    * division (the txt_tfidf ratio trick — no transcendentals, no float
+    * sums, so the cross-engine hash cannot wobble; a logistic sigmoid
+    * would be monotone in this score and change no decision). keep =
+    * score ≥ 1.0 with an n_toks ≥ 5 support floor. Plan: one text scan,
+    * per-row lambda counters, no shuffle at all before the output sort —
+    * embarrassingly parallel at any corpus size. */
+  def txtClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val stopsIn = classifierStops.map(w => s"'$w'").mkString(", ")
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr(s"size(filter(toks, t -> t IN ($stopsIn)))").cast("long").as("n_stop"),
+        expr("size(filter(toks, t -> length(t) <= 2))").cast("long").as("n_short"),
+        expr("size(filter(toks, t -> length(t) >= 12))").cast("long").as("n_long"),
+        (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("n_rep"))
+      .withColumn("score",
+        (col("n_toks") + lit(4L) * col("n_stop") - lit(2L) * col("n_short")
+          - lit(3L) * col("n_long") - lit(2L) * col("n_rep"))
+          / nullif(col("n_toks"), lit(0L)))
+      .withColumn("keep", col("n_toks") >= 5 && col("score") >= 1.0)
+      .orderBy(col("doc_id"))
+  }
+
   /** N-gram-marker language ID: count marker-token hits per language,
     * argmax with a fixed priority order. (The synthetic corpus shares one
     * vocabulary across langs — the heuristic is exercised for determinism,
@@ -538,6 +581,7 @@ object LlmOps {
     "simhash_sig" -> (() => { simhashSig(spark, dir).count(); () }),
     "simhash_wide_sig" -> (() => { simhashWideSig(spark, dir).count(); () }),
     "minhash_sig" -> (() => { minhashSig(spark, dir).count(); () }),
+    "minhash_wide_sig" -> (() => { minhashWideSig(spark, dir).count(); () }),
     "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }),
     "ivf_assign" -> (() => { ivfAssignTable(spark, dir).count(); () }),
     "ivf_kmeans_assign" -> (() => { ivfKmeansAssignTable(spark, dir).count(); () }),
@@ -1043,6 +1087,85 @@ object LlmOps {
       .select(col("ia"), col("ib")).distinct()
     val est = (0 until 8).map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / 8.0
+    cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
+      .join(sig.as("b"), col("ib") === col("b.doc_id"))
+      .select(col("ia"), col("ib"), est.as("est_sim"))
+      .orderBy(col("est_sim").desc, col("ia"), col("ib"))
+      .limit(200)
+  }
+
+  /** Production-width MinHash geometry: [[MinhashWidePerms]] permutations
+    * banded as [[MinhashWideBands]] bands × 4 rows — the width real dedup
+    * pipelines run (Lee et al. 2022 use 128+ perms; 64/16×4 is the same
+    * regime, vs the didactic 8/4×2 of [[ddMinhashSig]], which stays as the
+    * cheap twin exactly like 16-bit simhash next to its 60-bit production
+    * twin). 4-row bands put the LSH S-curve threshold at
+    * (1/16)^(1/4) ≈ 0.5 Jaccard — the near-dup operating point — with
+    * far sharper low-similarity suppression than the 2-row didactic bands:
+    * P(candidate) = 1−(1−j⁴)¹⁶ is ~1 above j=0.7 and <3% below j=0.2. */
+  private val MinhashWidePerms = 64
+  private val MinhashWideBands = 16
+
+  /** Production-width MinHash signatures — [[MinhashWidePerms]] permutations
+    * from 16 seeded md5 digests per shingle (same one-hash-many-slices
+    * scheme as [[buildMinhashSig]]: each 8-hex slice of a well-mixed digest
+    * is an independent 32-bit hash, so 16 digests yield 64 permutations at
+    * a quarter of the naive md5 count). Same single map-side-combinable
+    * min-aggregation — linear in total shingle count at any corpus size,
+    * 8× the didactic path's hash work, identically shaped. */
+  def ddMinhashWide(spark: SparkSession, dir: String): DataFrame =
+    minhashWideSig(spark, dir).orderBy(col("doc_id"))
+
+  /** Unordered wide signature table, memoized + prewarmed like
+    * [[minhashSig]] — the sig query, the wide-pairs query (three reads),
+    * and re-runs share ONE build. */
+  private def minhashWideSig(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "minhash_wide_sig") { buildMinhashWideSig(spark, dir) }
+
+  private def buildMinhashWideSig(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), explode_outer(expr(shinglesSpark)).as("s"))
+      .filter(col("s").isNotNull)
+    // 16 seeded digests ("w<d>:" prefixes keep them independent of the
+    // didactic path's md5(s) / md5('x'||s) family)
+    val hashed = (0 until MinhashWidePerms / 4).foldLeft(sh) { (df, d) =>
+      df.withColumn(s"h$d", md5(concat(lit(s"w$d:"), col("s"))))
+    }
+    val mhs = (0 until MinhashWidePerms).map { j =>
+      min(substring(col(s"h${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"mh$j")
+    }
+    hashed.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
+  }
+
+  /** Wide MinHash-LSH candidate pairs: [[MinhashWideBands]] bands × 4 rows;
+    * est_sim = matching minhashes / 64. Same banded no-doc² shape as
+    * [[ddMinhashPairs]], PLUS the per-(band, bucket) membership cap the
+    * simhash paths carry ([[SimhashBucketCap]] — see its Scaladoc for the
+    * identical-signature monster-cluster measurement that motivates it):
+    * candidate volume is bounded by bands × buckets × cap²/2 regardless of
+    * the largest duplicate cluster, which matters MORE here than at 8
+    * perms — identical docs agree on all 64 slices, so a giant exact-dup
+    * cluster lands in one bucket per band. */
+  def ddMinhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashWideSig(spark, dir)
+    val stackArgs = (0 until MinhashWideBands).map { bd =>
+      val bh = (0 until 4).map(r => s"mh${4 * bd + r}").mkString("concat(", ", ", ")")
+      s"$bd, md5($bh)"
+    }.mkString(", ")
+    val bands = sig
+      .selectExpr("doc_id", s"stack($MinhashWideBands, $stackArgs) as (band, bh)")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= SimhashBucketCap).drop("rn")
+    val cand = bands.toDF("ia", "band", "bh")
+      .join(bands.toDF("ib", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val est = (0 until MinhashWidePerms)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / MinhashWidePerms.toDouble
     cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
       .join(sig.as("b"), col("ib") === col("b.doc_id"))
       .select(col("ia"), col("ib"), est.as("est_sim"))
@@ -1683,6 +1806,35 @@ object LlmOps {
       .orderBy(col("vocab_size"))
   }
 
+  /** BPE PAIR CENSUS — the tokenizer-training readout next to
+    * [[txtVocabCoverage]]: corpus-wide adjacent-symbol-pair frequencies
+    * over the initial character vocabulary, i.e. exactly the count table
+    * whose argmax is the FIRST merge of byte-pair-encoding training
+    * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    * with Subword Units", Algorithm 1: pairs are counted WITHIN words,
+    * weighted by word occurrence — both properties hold here: pairs never
+    * cross token boundaries, and every token instance contributes). Top
+    * pair = the first merge; re-running after applying a merge (symbols
+    * become merged units) is the training loop itself. Scale shape: two
+    * chained explodes (token stream → in-token char pairs), then ONE
+    * map-side-combinable count keyed by the 2-char pair — shuffle volume
+    * is bounded by the pair vocabulary (≤ alphabet², a constant), not the
+    * corpus; the explode stream itself never shuffles. Deterministic
+    * (n desc, pair) top-100. */
+  def txtBpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
+      .select(explode_outer(expr(
+        "case when length(t) >= 2 then transform(sequence(1, length(t) - 1), " +
+          "i -> substr(t, i, 2)) else array() end")).as("pair"))
+      .filter(col("pair").isNotNull)
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(100)
+
   /** Per-document DUPLICATION FRACTION — the doc-level readout of the
     * passage census (the "fraction of duplicated text" measurement of Lee
     * et al. 2021 §4, recast per document): for every doc with >= 8 tokens,
@@ -2039,9 +2191,18 @@ object LlmOps {
     * cells is precisely how new vectors join (the index absorbs inserts
     * until cell occupancy drifts and a periodic re-train rebalances —
     * the re-train being [[simIvfKmeans]]'s Lloyd round). */
-  def simIvfServe(spark: SparkSession, dir: String): DataFrame = {
-    val c = ivfServeAssignTable(spark, dir)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"), col("cell").as("ccell"))
+  def simIvfServe(spark: SparkSession, dir: String): DataFrame =
+    serveTop5Over(spark, dir,
+      ivfServeAssignTable(spark, dir)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cell").as("ccell")))
+
+  /** The serve READ kernel, shared by [[simIvfServe]] and the lifecycle
+    * spec's read-back checks: rank each held-out (% 200 = 3) query's top-5
+    * within its cell over an arbitrary candidate table (cid, ce, cn,
+    * ccell) — which lets the spec serve over a tombstone-anti-joined or
+    * post-compaction index and assert equality. */
+  private[graft] def serveTop5Over(spark: SparkSession, dir: String, c: DataFrame): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val cents = serveCentroids(spark, dir)
@@ -2071,8 +2232,12 @@ object LlmOps {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
 
   /** Corpus-side assignment of the serve index (vec_id, embedding, nrm,
-    * cell), memoized + prewarmed like [[ivfAssignTable]]. */
-  private def ivfServeAssignTable(spark: SparkSession, dir: String): DataFrame =
+    * label, cell), memoized + prewarmed like [[ivfAssignTable]]. Carries
+    * the `label` metadata column alongside the vector — exactly what a
+    * deployed index stores per member to serve FILTERED queries
+    * ([[simIvfFiltered]]) without a second metadata lookup. private[graft]
+    * so the lifecycle spec can drive read-back over it. */
+  private[graft] def ivfServeAssignTable(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "ivf_serve_assign") {
       val e = Tables.embeddings(spark, dir)
         .filter(expr("vec_id % 4 <> 3"))
@@ -2082,7 +2247,7 @@ object LlmOps {
         .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
         .withColumn("ark", row_number().over(wAssign))
         .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("label"), col("cent_id").as("cell"))
     }
 
   /** Shared IVF assignment: queries carry their rank-1 AND rank-2 cells
@@ -2537,6 +2702,14 @@ object LlmOps {
     * produced twice. */
   private val ServeNprobe = 2
 
+  /** Probe width of the FILTERED serve path ([[simIvfFiltered]]): a 1/L
+    * label selectivity thins every probed cell's candidate set by ~L, so
+    * filtered search widens the probe to keep the effective candidate
+    * count — the standard production rule (probe ∝ 1/selectivity, here
+    * doubled from [[ServeNprobe]] for the synthetic 10-label corpus;
+    * still O(1) cells per query). */
+  private val FilteredNprobe = 4
+
   /** SERVE-index PQ codebook: the first [[PqCodes]] CORPUS vectors'
     * subvectors (the held-out quarter must not train the codebook — the
     * index has never seen it). Corpus vec_ids are not dense, so the code
@@ -2686,6 +2859,80 @@ object LlmOps {
       .withColumn("compact", col("live_frac") < 0.8)
       .orderBy(col("cell"))
 
+  /** COMPACTION EXECUTION — the rewrite [[simIvfServeDelete]] only
+    * DECIDES: cells whose live fraction fell below 0.8 are physically
+    * rewritten (their tombstoned rows dropped); every other cell is left
+    * byte-untouched, tombstones still in place for the serve-time
+    * anti-join. Emits the post-compaction index membership — (vec_id,
+    * cell, tomb = tombstone still physically present, compacted = this
+    * row's cell was rewritten) — i.e. exactly the rows a file-backed
+    * index would hold after the maintenance pass. Cost: the same map-side
+    * census as the decision scan (k rows), broadcast back onto the
+    * assignment's (vec_id, cell) columns, one filter — vectors are never
+    * read, nothing shuffles but the k-row census, so the rewrite plan is
+    * as free as the decision at any index size. LlmOpsSpec's lifecycle
+    * test drives read → insert → delete → compact → read-back and pins
+    * that serving over the compacted index equals pre-compaction serving
+    * on live ids ([[serveTop5Over]]). */
+  def simIvfCompact(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfServeAssignTable(spark, dir)
+      .select(col("vec_id"), col("cell"), expr("vec_id % 5 = 0").as("tomb0"))
+    // same live_frac arithmetic as the decision query (long/long IEEE
+    // division), so the two can never disagree on which cells compact
+    val census = assign.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("tomb0"), 1L).otherwise(0L)).as("n_deleted"))
+      .withColumn("compacted",
+        (col("n_before") - col("n_deleted")) / col("n_before") < 0.8)
+      .select(col("cell"), col("compacted"))
+    assign.join(broadcast(census), "cell")
+      .filter(!(col("compacted") && col("tomb0")))
+      .select(col("vec_id"), col("cell"),
+        (col("tomb0") && !col("compacted")).as("tomb"), col("compacted"))
+      .orderBy(col("cell"), col("vec_id"))
+  }
+
+  /** METADATA-FILTERED ANN — the "filtered search" every production
+    * vector DB serves (a label/language/tenant predicate evaluated DURING
+    * the cell scan, not after): each held-out query retrieves its top-5
+    * among corpus vectors sharing its OWN label. The predicate rides the
+    * cell-scan join condition (cell equality AND label equality), so
+    * non-matching members are discarded inside the join — never scored,
+    * never ranked — rather than post-filtering a label-blind top-k (which
+    * at a 1/8 label selectivity would leave mostly-empty result lists and
+    * is the classic filtered-search recall failure). Queries probe
+    * [[FilteredNprobe]] cells, not [[ServeNprobe]]: filtering thins each
+    * cell's candidate set by the selectivity factor, so production
+    * engines widen the probe under filters (see FilteredNprobe's cost
+    * note) — the spec measures recall against label-filtered brute
+    * force. Same serve-path cost shape as [[simIvfServe]] (k
+    * centroid dots + a bounded cell scan); the label column is already
+    * IN the memoized index state ([[ivfServeAssignTable]]) exactly so
+    * this scan needs no metadata join. */
+  def simIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val c = ivfServeAssignTable(spark, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("cell").as("ccell"), col("label").as("clabel"))
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val q = e.filter(expr("vec_id % 200 = 3"))
+      .crossJoin(broadcast(serveCentroids(spark, dir)))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") <= FilteredNprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    q.join(c, col("cell") === col("ccell") && col("qlabel") === col("clabel"))
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("qlabel").as("label"),
+        col("cos_exact").as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Unigram RARITY / LM-quality score — the CCNet-style signal (Wenzek
     * et al. 2020 score docs by LM perplexity; the unigram degenerate case
     * needs no model): each doc's tokens are weighted by their CORPUS
@@ -2780,6 +3027,7 @@ object LlmOps {
     "txt_tokens" -> txtTokens _,
     "txt_quality" -> txtQuality _,
     "txt_quality_cut" -> txtQualityCut _,
+    "txt_classifier" -> txtClassifier _,
     "txt_langid" -> txtLangid _,
     "txt_fingerprint" -> txtFingerprint _,
     "txt_top_terms" -> txtTopTerms _,
@@ -2791,6 +3039,7 @@ object LlmOps {
     "txt_tfidf" -> txtTfidf _,
     "txt_balance" -> txtBalance _,
     "txt_vocab_coverage" -> txtVocabCoverage _,
+    "txt_bpe_pairs" -> txtBpePairs _,
     "txt_len_histogram" -> txtLenHistogram _,
     "txt_chunks" -> txtChunks _,
     "txt_pack" -> txtPack _,
@@ -2813,6 +3062,8 @@ object LlmOps {
     "mm_frame_sample" -> mmFrameSample _,
     "dd_minhash_sig" -> ddMinhashSig _,
     "dd_minhash_pairs" -> ddMinhashPairs _,
+    "dd_minhash_wide" -> ddMinhashWide _,
+    "dd_minhash_wide_pairs" -> ddMinhashWidePairs _,
     "dd_simhash" -> ddSimhash _,
     "dd_simhash_pairs" -> ddSimhashPairs _,
     "dd_simhash_wide" -> ddSimhashWide _,
@@ -2832,6 +3083,8 @@ object LlmOps {
     "sim_ivf_serve_pq" -> simIvfServePq _,
     "sim_ivf_serve_insert" -> simIvfServeInsert _,
     "sim_ivf_serve_delete" -> simIvfServeDelete _,
+    "sim_ivf_compact" -> simIvfCompact _,
+    "sim_ivf_filtered" -> simIvfFiltered _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
     "sim_ivf2" -> simIvf2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
@@ -2962,6 +3215,28 @@ object LlmOps {
          |SELECT lang, doc_id, quality, rk, n_lang
          |FROM ranked WHERE rk <= CAST(ceil(n_lang * 0.5) AS BIGINT)
          |ORDER BY lang, rk""".stripMargin,
+
+    // fixed-weight linear classifier head: all-BIGINT numerator, one final
+    // int/int division; stopword list = the flattened language markers
+    "txt_classifier" -> {
+      val stopsIn = classifierStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH $baseDuck, f AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(toks, t -> t IN ($stopsIn))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter(toks, t -> length(t) <= 2)) AS BIGINT) AS n_short,
+         |    CAST(len(list_filter(toks, t -> length(t) >= 12)) AS BIGINT) AS n_long,
+         |    CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_rep
+         |  FROM base),
+         |s AS (
+         |  SELECT doc_id, n_toks, n_stop, n_short, n_long, n_rep,
+         |    (n_toks + 4 * n_stop - 2 * n_short - 3 * n_long - 2 * n_rep)
+         |      / nullif(n_toks, 0) AS score
+         |  FROM f)
+         |SELECT doc_id, n_toks, n_stop, n_short, n_long, n_rep, score,
+         |  (n_toks >= 5 AND score >= 1.0) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "txt_langid" -> {
       val scores = langMarkers.map { case (lang, ws) =>
@@ -3310,6 +3585,19 @@ object LlmOps {
          |WHERE rk IN (4, 8, 16)
          |ORDER BY vocab_size""".stripMargin,
 
+    // first-merge-round BPE census: in-token adjacent char pairs, every
+    // token instance counted (range upper bound is exclusive in DuckDB)
+    "txt_bpe_pairs" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT unnest(toks) AS t FROM base),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, greatest(length(t) - 1, 0) + 1),
+         |    i -> substr(t, i, 2))) AS pair
+         |  FROM tok)
+         |SELECT pair, count(*) AS n
+         |FROM p GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+
     "dd_dup_fraction" ->
       s"""WITH $baseDuck, w0 AS (
          |  SELECT doc_id,
@@ -3531,6 +3819,38 @@ object LlmOps {
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "dd_minhash_sig" -> minhashSigDuck,
+
+    "dd_minhash_wide" -> minhashWideSigDuck,
+
+    // production-width LSH: 16 bands x 4 rows over the 64-slice signature,
+    // per-(band, bucket) cap mirrored from the Spark side
+    "dd_minhash_wide_pairs" ->
+      s"""WITH $baseDuck, sh AS (
+         |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
+         |h AS (
+         |  SELECT doc_id, ${(0 until 16).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id, $minhashWideSliceCols
+         |  FROM h GROUP BY doc_id),
+         |bands0 AS (
+         |  ${(0 until 16).map(bd =>
+              s"SELECT doc_id, $bd AS band, md5(mh${4 * bd} || mh${4 * bd + 1} || mh${4 * bd + 2} || mh${4 * bd + 3}) AS bh FROM sig")
+              .mkString("\n  UNION ALL ")}),
+         |bands AS (
+         |  SELECT doc_id, band, bh FROM (
+         |    SELECT doc_id, band, bh,
+         |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+         |    FROM bands0)
+         |  WHERE rn <= $SimhashBucketCap),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT ia, ib,
+         |  (${(0 until 64).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) / 64.0 AS est_sim
+         |FROM cand JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id
+         |ORDER BY est_sim DESC, ia, ib LIMIT 200""".stripMargin,
 
     "dd_minhash_pairs" ->
       s"""WITH $baseDuck, sh AS (
@@ -3962,6 +4282,73 @@ object LlmOps {
          |  count(*) FILTER (vec_id % 5 <> 0) / count(*) < 0.8 AS compact
          |FROM corpus GROUP BY cell ORDER BY cell""".stripMargin,
 
+    // compaction execution: census per cell (same live_frac arithmetic as
+    // the decision query), compact cells drop tombstones, others keep them
+    "sim_ivf_compact" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id % 4 <> 3
+         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |corpus AS (
+         |  SELECT vec_id, cent_id AS cell, (vec_id % 5 = 0) AS tomb0 FROM (
+         |    SELECT e.vec_id, cents.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 4 <> 3)
+         |  WHERE ark = 1),
+         |census AS (
+         |  SELECT cell,
+         |    (count(*) - count(*) FILTER (tomb0)) / count(*) < 0.8 AS compacted
+         |  FROM corpus GROUP BY cell)
+         |SELECT t.vec_id, t.cell,
+         |  (t.tomb0 AND NOT c.compacted) AS tomb, c.compacted
+         |FROM corpus t JOIN census c USING (cell)
+         |WHERE NOT (c.compacted AND t.tomb0)
+         |ORDER BY t.cell, t.vec_id""".stripMargin,
+
+    // filtered search: the label predicate joins INTO the cell scan;
+    // queries probe ServeNprobe cells against the label-carrying index
+    "sim_ivf_filtered" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, label, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id % 4 <> 3
+         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |corpus AS (
+         |  SELECT vec_id, embedding, nrm, label, cent_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, e.label, cents.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 4 <> 3)
+         |  WHERE ark = 1),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn, label AS qlabel, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, e.label, cents.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 200 = 3)
+         |  WHERE ark <= $FilteredNprobe),
+         |pairs AS (
+         |  SELECT q.qid, c.vec_id AS cid, q.qlabel,
+         |    (${dot("q.qe", "c.embedding", 1)}) / sqrt(q.qn * c.nrm) AS cos_exact
+         |  FROM q JOIN corpus c ON q.cell = c.cell AND q.qlabel = c.label),
+         |ranked AS (
+         |  SELECT qid, cid, qlabel, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT qid, rk, cid, qlabel AS label, cos_exact AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
     // same quantizer CTEs; queries probe their rank-1 AND rank-2 cells
     "sim_ivf_nprobe2" ->
       s"""WITH $paramsDuck,
@@ -4235,4 +4622,19 @@ object LlmOps {
        |  SELECT doc_id, md5(unnest($shinglesDuck)) AS h1, md5('x' || unnest($shinglesDuck)) AS h2 FROM base)
        |SELECT doc_id, $minhashSliceCols
        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** 64 min-slice aggregates over the 16 seeded digests h0..h15 — the
+    * DuckDB mirror of [[buildMinhashWideSig]]'s slicing. */
+  private def minhashWideSliceCols: String =
+    (0 until 64).map(j => s"min(substr(h${j / 4}, ${1 + 8 * (j % 4)}, 8)) AS mh$j")
+      .mkString(", ")
+
+  private def minhashWideSigDuck: String =
+    s"""WITH $baseDuck, sh AS (
+       |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
+       |h AS (
+       |  SELECT doc_id, ${(0 until 16).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
+       |  FROM sh)
+       |SELECT doc_id, $minhashWideSliceCols
+       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

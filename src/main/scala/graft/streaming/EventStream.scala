@@ -146,7 +146,8 @@ object EventStream {
         (uid: Long, batch: Iterator[Event], state: GroupState[List[PendingView]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            def ns(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000000L + t.getNanos
+            def ns(t: java.sql.Timestamp): Long =
+              Math.floorDiv(t.getTime, 1000) * 1000000000L + t.getNanos
             val sorted = batch.toSeq.sortBy(e => (ns(e.ts), e.event_id))
             var pending = state.getOption.getOrElse(Nil)
             val out = List.newBuilder[AsofOut]
@@ -210,7 +211,8 @@ object EventStream {
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
-          def ns(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000000L + t.getNanos
+          def ns(t: java.sql.Timestamp): Long =
+              Math.floorDiv(t.getTime, 1000) * 1000000000L + t.getNanos
           val sorted = batch.toSeq.sortBy(e => (ns(e.ts), e.event_id))
           var s = state.getOption.getOrElse(FunnelState(None, None, None, None))
           val out = List.newBuilder[FunnelOut]

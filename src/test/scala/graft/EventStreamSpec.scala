@@ -114,7 +114,13 @@ class EventStreamSpec extends SparkSpec {
     val all = graft.analytics.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+      .as[Event].collect()
+      // full epoch-nanos ordering (the same reconstruction the stateful
+      // transforms use), not getTime millis: the funnel/as-of paths compare
+      // at ns strictness, so the chronological drive must too — two events
+      // in the same millisecond must arrive in their ns order
+      .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000) * 1000000000L + e.ts.getNanos, e.event_id))
+      .toSeq
     val size = math.max(1, (all.length + nChunks - 1) / nChunks)
     all.grouped(size).toSeq
   }

@@ -50,6 +50,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, e) => a == 0 && b == 1 && e == 1.0 })
   }
 
+  test("wide minhash: 64-perm signatures agree on identical docs; 16x4 banding recall >= the 8-perm path") {
+    val sig = LlmOps.ddMinhashWide(spark, dir).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0 until 64).foreach(j => assert(sig(0).getAs[String](s"mh$j") == sig(1).getAs[String](s"mh$j")))
+    // planted dup triple: (0,1) exact, (0,2)/(1,2) one-word-off near dups
+    val planted = Set((0L, 1L), (0L, 2L), (1L, 2L))
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+      planted.count(got.contains).toDouble / planted.size
+    }
+    val narrow = recall(LlmOps.ddMinhashPairs(spark, dir).collect())
+    val wideRows = LlmOps.ddMinhashWidePairs(spark, dir).collect()
+    val wide = recall(wideRows)
+    info(f"banding recall on planted dups: wide(64 perms, 16x4) $wide%.2f vs didactic(8 perms, 4x2) $narrow%.2f")
+    assert(wide >= narrow, f"wide-band recall $wide%.2f regressed below the 8-perm path's $narrow%.2f")
+    // the exact-dup pair surfaces with full 64-slice agreement
+    assert(wideRows.exists(r => r.getAs[Long]("ia") == 0 && r.getAs[Long]("ib") == 1 &&
+      r.getAs[Double]("est_sim") == 1.0))
+    // the unrelated doc never pairs with the dup triple (4-row bands
+    // suppress low-similarity candidates far harder than 2-row bands)
+    assert(!wideRows.exists(r =>
+      Set(r.getAs[Long]("ia"), r.getAs[Long]("ib")).contains(3L) &&
+        Set(r.getAs[Long]("ia"), r.getAs[Long]("ib")).exists(_ < 3L)))
+  }
+
   test("cluster: the exact+near dup triple forms one component labelled by its min id") {
     // docs 0,1 are exact dups and 2 is one-word-off: 0-1 and 0-2 (and 1-2)
     // exceed the 0.8 Jaccard edge threshold, so {0,1,2} is one component;
@@ -85,6 +109,38 @@ class LlmOpsSpec extends SparkSpec {
     info(s"wide hamming: near-dup $near, unrelated $far (of 60 bits)")
     assert(near < far, s"near-dup $near should be closer than unrelated $far")
     assert(near <= 20, s"near-dup hamming $near too large")
+  }
+
+  test("BPE pair census: the top pair on a crafted corpus is the known first merge") {
+    import spark.implicits._
+    // per "banana": an x2, na x2, ba x1; three occurrences => an 6, na 6,
+    // ba 3; the (n desc, pair) tie-break makes 'an' the first merge
+    val text = "banana banana banana"
+    val docs = Seq(Doc(0, text, "en", "s", text.length))
+    val d = java.nio.file.Files.createTempDirectory("bpe").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtBpePairs(spark, d).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
+    assert(rows.head == ("an", 6L), s"first merge should be ('an', 6), got ${rows.head}")
+    assert(rows.toSeq == Seq(("an", 6L), ("na", 6L), ("ba", 3L)), rows.mkString(","))
+  }
+
+  test("classifier head separates planted fluent prose from planted gibberish") {
+    import spark.implicits._
+    val high = "the cat and the dog of the house went to the garden and sat down"
+    val low = "zzzzzzzzzzzzzzzz zzzzzzzzzzzzzzzz zzzzzzzzzzzzzzzz blargbla blargbla blargbla"
+    val docs = Seq(
+      Doc(0, high, "en", "hq", high.length),
+      Doc(1, low, "en", "lq", low.length))
+    val d = java.nio.file.Files.createTempDirectory("clf").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtClassifier(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val (sHigh, sLow) = (rows(0).getAs[Double]("score"), rows(1).getAs[Double]("score"))
+    info(f"classifier score: fluent $sHigh%.2f vs gibberish $sLow%.2f (threshold 1.0)")
+    assert(sHigh > sLow, f"head failed to separate: $sHigh%.2f <= $sLow%.2f")
+    assert(rows(0).getAs[Boolean]("keep"), "fluent prose must clear the keep threshold")
+    assert(!rows(1).getAs[Boolean]("keep"), "gibberish must fall below the keep threshold")
   }
 
   test("language-ID picks the marker-dominant language") {
@@ -991,5 +1047,91 @@ class LlmOpsSpec extends SparkSpec {
     // from any cell-complete result set
     assert(rows.map(_.getAs[Long]("n_deleted")).sum ==
       corpus.filter("vec_id % 5 = 0").count())
+  }
+
+  test("compaction lifecycle: read -> insert -> delete -> compact -> read-back serves identically on live ids") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // sf0.1: enough held-out queries and tombstone mass for every phase
+    // to be non-vacuous (the delete test's argument)
+    val real = "/root/testdata/sf0.1"
+    // READ: the intact index answers
+    assert(LlmOps.simIvfServe(spark, real).collect().nonEmpty)
+    // INSERT: appends against the frozen index
+    assert(LlmOps.simIvfServeInsert(spark, real).limit(1).collect().nonEmpty)
+    // DELETE: the census decides which cells compact
+    val census = LlmOps.simIvfServeDelete(spark, real).collect()
+      .map(r => r.getAs[Long]("cell") -> r).toMap
+    assert(census.values.exists(_.getAs[Boolean]("compact")),
+      "vacuous lifecycle: no cell crossed the compaction threshold")
+    // COMPACT: execution agrees with the decision, drops ONLY tombstones
+    // of compact cells, and leaves other cells byte-untouched
+    val compacted = LlmOps.simIvfCompact(spark, real).collect()
+    compacted.foreach { r =>
+      val c = census(r.getAs[Long]("cell"))
+      assert(r.getAs[Boolean]("compacted") == c.getAs[Boolean]("compact"))
+      if (r.getAs[Boolean]("compacted"))
+        assert(!r.getAs[Boolean]("tomb"), "a tombstone survived its cell's rewrite")
+    }
+    val byCell = compacted.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length.toLong).toMap
+    byCell.foreach { case (cell, n) =>
+      val c = census(cell)
+      val expect = if (c.getAs[Boolean]("compact")) c.getAs[Long]("n_live")
+        else c.getAs[Long]("n_before")
+      assert(n == expect, s"cell $cell holds $n rows post-compaction, census says $expect")
+    }
+    assert(byCell.keySet == census.keySet, "compaction lost or invented a cell")
+    // READ-BACK: serving over the compacted index minus its remaining
+    // tombstones equals serving over the tombstone-anti-joined original —
+    // the rewrite changed physical layout, never an answer on live ids
+    val assign = LlmOps.ivfServeAssignTable(spark, real)
+    def cand(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("cell").as("ccell"))
+    val pre = LlmOps.serveTop5Over(spark, real,
+      cand(assign.filter(expr("vec_id % 5 <> 0")))).collect()
+    import spark.implicits._
+    val liveIds = compacted.filter(!_.getAs[Boolean]("tomb"))
+      .map(_.getAs[Long]("vec_id")).toSeq.toDF("vec_id")
+    val post = LlmOps.serveTop5Over(spark, real,
+      cand(assign.join(liveIds, "vec_id"))).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Int]("rk"), r.getAs[Long]("cid"), r.getAs[Double]("cos"))).toSet
+    assert(pre.nonEmpty && key(pre) == key(post),
+      "post-compaction serving diverged from pre-compaction on live ids")
+  }
+
+  test("filtered ANN: answers satisfy the label predicate; recall measured vs label-filtered brute force") {
+    import spark.implicits._
+    val real = "/root/testdata/sf0.001"
+    val rows = LlmOps.simIvfFiltered(spark, real).collect()
+    assert(rows.nonEmpty)
+    val e = spark.read.parquet(s"$real/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getSeq[Float](1).toArray, r.getAs[Int]("label")))
+      .toMap
+    // predicate correctness: every answer shares the query's own label,
+    // and candidates come from the corpus partition only
+    rows.foreach { r =>
+      val (qid, cid) = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      assert(r.getAs[Int]("label") == e(qid)._2)
+      assert(e(cid)._2 == e(qid)._2, s"answer $cid violates query $qid's label predicate")
+      assert(cid % 4 != 3, s"held-out vector $cid served as an index member")
+    }
+    // recall vs POST-FILTERED brute force (the ground truth a filtered
+    // search is judged against): exact top-5 among same-label corpus
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val corpus = e.toSeq.filter(_._1 % 4 != 3)
+    val truth = e.toSeq.filter(_._1 % 200 == 3).flatMap { case (qid, (qe, ql)) =>
+      corpus.filter(_._2._2 == ql).map { case (cid, (ce, _)) =>
+        (qid, cid, dot(qe, ce) / math.sqrt(dot(qe, qe) * dot(ce, ce))) }
+        .sortBy { case (_, cid, cos) => (-cos, cid) }.take(5)
+    }.map { case (qid, cid, _) => (qid, cid) }.toSet
+    val recall = rows.count(r =>
+      truth((r.getAs[Long]("qid"), r.getAs[Long]("cid")))).toDouble / math.max(truth.size, 1)
+    info(f"filtered ANN recall@5 vs label-filtered brute force: $recall%.2f (nprobe=4)")
+    // measured 0.40 at sf0.001 (3 queries — coarse granularity); the floor
+    // sits one notch below so a legitimate tie-break shift can't flake it
+    assert(recall >= 0.35, f"filtered recall $recall%.2f below the 0.35 floor")
   }
 }

@@ -23,6 +23,40 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"lambda filter pushed to scan in: ${offenders.mkString(", ")}")
   }
 
+  test("no query plans a cartesian/nested-loop join outside the broadcast-bounded allowlist") {
+    // Locks the "no scale-killer" property: a CartesianProduct or
+    // BroadcastNestedLoopJoin anywhere EXCEPT a deliberate broadcast
+    // crossJoin of a BOUNDED side (k centroids, a 1-row total, a plane
+    // table — each documented at its code site) is a regression that
+    // would not survive a 100x scale-up.
+    val dir = "/root/testdata/sf0.001"
+    val allowed: Set[String] = Set(
+      // IVF/ANN family: crossJoin(broadcast(centroids)) — k = O(sqrt N)
+      // rows ride the broadcast; the N-side is never replicated (and the
+      // serve/compact/delete paths inherit the same lineage through the
+      // memoized assignment state)
+      "sim_ivf", "sim_ivf2", "sim_ivf_nprobe2", "sim_ivf_kmeans",
+      "sim_ivf_pq", "sim_ivf_pq256", "sim_ivf_pq_rerank",
+      "sim_ivf_serve", "sim_ivf_serve_pq", "sim_ivf_serve_insert",
+      "sim_ivf_serve_delete", "sim_ivf_compact", "sim_ivf_filtered",
+      "dd_semdedup",
+      // brute-force baseline: the query side is hard-capped at 256 rows
+      // (SimQueryCap) before broadcasting against the corpus scan
+      "sim_topk_cosine",
+      // scalar/total broadcasts: a 1-row aggregate (corpus total, CMS
+      // sketch) crossJoined onto a bounded table
+      "txt_rarity", "txt_tfidf", "txt_top_terms_cms", "txt_vocab_coverage")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val bad = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !allowed(name)) Some(name)
+      else if (!bad && allowed(name)) Some(s"$name (allowlisted but clean — prune the list)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian/nested-loop plan outside the allowlist: ${offenders.mkString(", ")}")
+  }
+
   test("the interval join plans as an equi-join on the bucket key, not a nested loop") {
     // the whole point of the week-bucket expansion: the naive range join
     // falls back to BroadcastNestedLoopJoin, which does not survive scale
