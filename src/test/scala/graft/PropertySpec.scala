@@ -78,6 +78,58 @@ class PropertySpec extends SparkSpec {
     }, min = 5)
   }
 
+  test("property: BPE pair census equals the in-memory sliding-bigram recount") {
+    import spark.implicits._
+    val word = Gen.chooseNum(0, 8).flatMap(l => Gen.listOfN(l + 1, Gen.alphaLowerChar).map(_.mkString))
+    val gen = for {
+      n <- Gen.chooseNum(1, 12)
+      toks <- Gen.listOfN(n, word)
+    } yield toks
+    check(Prop.forAll(gen) { toks =>
+      val text = toks.mkString(" ")
+      val d = java.nio.file.Files.createTempDirectory("bpe-prop").toString
+      Seq(LlmDoc(0, text, "en", "s", text.length)).toDF().write.parquet(s"$d/documents.parquet")
+      val got = graft.analytics.LlmOps.txtBpePairs(spark, d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = toks.flatMap(t => t.sliding(2).filter(_.length == 2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // pairs never cross token boundaries, every instance weighted — the
+      // Sennrich count law (vocab always fits the top-100 at these sizes)
+      got == expect
+    }, min = 5)
+  }
+
+  test("property: classifier counters and score match an in-memory recount") {
+    import spark.implicits._
+    // the head's frozen stopword vocabulary (flattened language markers)
+    val stops = Set("the", "and", "of", "to", "a", "der", "und", "die", "das",
+      "ist", "el", "la", "de", "que", "los", "le", "et", "les", "des")
+    val word = Gen.oneOf(
+      Gen.oneOf(stops.toSeq),                    // stopword hits
+      Gen.const("ab"),                           // short token
+      Gen.const("abcdefghijklmn"),               // long token
+      Gen.chooseNum(1, 6).map(i => s"tok$i"))    // ordinary, repeatable
+    val gen = for {
+      n <- Gen.chooseNum(1, 20)
+      toks <- Gen.listOfN(n, word)
+    } yield toks
+    check(Prop.forAll(gen) { toks =>
+      val text = toks.mkString(" ")
+      val d = java.nio.file.Files.createTempDirectory("clf-prop").toString
+      Seq(LlmDoc(0, text, "en", "s", text.length)).toDF().write.parquet(s"$d/documents.parquet")
+      val r = graft.analytics.LlmOps.txtClassifier(spark, d).collect().head
+      val (n, nStop) = (toks.length.toLong, toks.count(stops).toLong)
+      val nShort = toks.count(_.length <= 2).toLong
+      val nLong = toks.count(_.length >= 12).toLong
+      val nRep = n - toks.distinct.length
+      val score = (n + 4 * nStop - 2 * nShort - 3 * nLong - 2 * nRep).toDouble / n
+      r.getAs[Long]("n_toks") == n && r.getAs[Long]("n_stop") == nStop &&
+        r.getAs[Long]("n_short") == nShort && r.getAs[Long]("n_long") == nLong &&
+        r.getAs[Long]("n_rep") == nRep && r.getAs[Double]("score") == score &&
+        r.getAs[Boolean]("keep") == (n >= 5 && score >= 1.0)
+    }, min = 5)
+  }
+
   test("property: passage_hash emits exactly max(0, tokens - n + 1) windows") {
     val word = Gen.chooseNum(0, 30).map(i => s"w$i")
     val gen = for {
