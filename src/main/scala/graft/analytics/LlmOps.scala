@@ -1835,6 +1835,39 @@ object LlmOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(100)
 
+  /** BPE TRAINING STEP — the round [[txtBpePairs]] only counts: APPLY the
+    * most frequent pair's merge and emit the round-2 census, i.e. one full
+    * iteration of Sennrich et al.'s Algorithm 1 (count pairs → merge the
+    * argmax everywhere → recount). The merged pair is rewritten to the
+    * single placeholder symbol 'º' (outside the corpus alphabet, so a
+    * 2-char sliding window again reads adjacent SYMBOLS; both engines'
+    * `replace` is left-to-right non-overlapping — exactly BPE's greedy
+    * merge order within a word). The argmax rides a 1-row broadcast onto
+    * the token stream; everything else is the same alphabet²-bounded
+    * map-side census as round 1. Two document scans total (census +
+    * re-census) — production BPE trainers pay the same shape per round. */
+  def txtBpeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
+    def pairCensus(tf: DataFrame, tcol: String): DataFrame = tf
+      .select(explode_outer(expr(
+        s"case when length($tcol) >= 2 then transform(sequence(1, length($tcol) - 1), " +
+          s"i -> substr($tcol, i, 2)) else array() end")).as("pair"))
+      .filter(col("pair").isNotNull)
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val top1 = pairCensus(toks, "t")
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .select(col("pair").as("mp"))
+    val merged = toks.crossJoin(broadcast(top1))
+      .select(expr("replace(t, mp, 'º')").as("t2"))
+    pairCensus(merged, "t2")
+      .orderBy(col("n").desc, col("pair"))
+      .limit(100)
+  }
+
   /** Per-document DUPLICATION FRACTION — the doc-level readout of the
     * passage census (the "fraction of duplicated text" measurement of Lee
     * et al. 2021 §4, recast per document): for every doc with >= 8 tokens,
@@ -2735,7 +2768,8 @@ object LlmOps {
     memoSig(spark, dir, "ivf_serve_pq_codes") {
       pqEncode(Tables.embeddings(spark, dir).filter(expr("vec_id % 4 <> 3")),
           servePqCodebook(spark, dir))
-        .join(ivfServeAssignTable(spark, dir).select(col("vec_id"), col("cell"), col("nrm")), "vec_id")
+        .join(ivfServeAssignTable(spark, dir)
+          .select(col("vec_id"), col("cell"), col("nrm"), col("label")), "vec_id")
     }
 
   /** SERVE path against the COMPRESSED index — production's actual serving
@@ -2798,6 +2832,64 @@ object LlmOps {
       .withColumn("rk", row_number().over(wEx))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** FILTERED search against the COMPRESSED index — [[simIvfFiltered]]'s
+    * predicate-inside-the-scan contract composed with [[simIvfServePq]]'s
+    * two-stage ADC retrieval, i.e. the exact shape a production vector DB
+    * serves filtered queries in: the label predicate is evaluated against
+    * the metadata column OF THE CODE INDEX during the cell scan (the
+    * ~16 B/vector code row carries its label — [[servePqCodesTable]]), so
+    * non-matching members never even reach the 8-lookup ADC score, the
+    * shortlist is filtered-by-construction, and only its
+    * [[PqRerankDepth]] survivors fetch full-precision vectors for the
+    * exact re-rank. Probe width [[FilteredNprobe]] for the same
+    * selectivity reason as the flat filtered path. Per query: k centroid
+    * dots + ~selectivity·(FilteredNprobe·N/k) code lookups + ≤depth exact
+    * dots — the filter makes the ADC pass CHEAPER, not just smaller. */
+  def simIvfFilteredPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val cents = serveCentroids(spark, dir)
+    val cb = servePqCodebook(spark, dir)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val q2 = e.filter(expr("vec_id % 200 = 3"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") <= FilteredNprobe)
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
+        col("label").as("qlabel"), col("cent_id").as("cell"))
+    val qtabs = e.filter(expr("vec_id % 200 = 3"))
+      .select(col("vec_id").as("qid"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "qsub")))
+      .join(broadcast(cb), "s")
+      .withColumn("part", dotF(col("qsub"), col("cent")))
+      .groupBy(col("qid"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code, part))), p -> p.part)").as("qtab"))
+    val cands = servePqCodesTable(spark, dir)
+      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell").as("ccell"),
+        col("label").as("clabel"), col("codes"))
+    val adc = (0 until PqM)
+      .map(s => s"qtab[CAST($s * $PqCodes + codes[$s] AS INT)]").mkString(" + ")
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("cos_adc").desc, col("cid"))
+    val short = broadcast(q2.join(qtabs, "qid"))
+      .join(cands, col("cell") === col("ccell") && col("qlabel") === col("clabel"))
+      .withColumn("cos_adc", expr(adc) / sqrt(col("qn") * col("cn")))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= PqRerankDepth)
+      .select(col("qid"), col("cid"), col("qlabel"))
+    val qv = e.filter(expr("vec_id % 200 = 3"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cv = ivfServeAssignTable(spark, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
+    broadcast(short.join(qv, "qid")).join(cv, "cid")
+      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wEx))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("qlabel").as("label"),
+        col("cos_exact").as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -3040,6 +3132,7 @@ object LlmOps {
     "txt_balance" -> txtBalance _,
     "txt_vocab_coverage" -> txtVocabCoverage _,
     "txt_bpe_pairs" -> txtBpePairs _,
+    "txt_bpe_merge" -> txtBpeMerge _,
     "txt_len_histogram" -> txtLenHistogram _,
     "txt_chunks" -> txtChunks _,
     "txt_pack" -> txtPack _,
@@ -3085,6 +3178,7 @@ object LlmOps {
     "sim_ivf_serve_delete" -> simIvfServeDelete _,
     "sim_ivf_compact" -> simIvfCompact _,
     "sim_ivf_filtered" -> simIvfFiltered _,
+    "sim_ivf_filtered_pq" -> simIvfFilteredPq _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
     "sim_ivf2" -> simIvf2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
@@ -3596,6 +3690,29 @@ object LlmOps {
          |  FROM tok)
          |SELECT pair, count(*) AS n
          |FROM p GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+
+    // one full BPE training round: argmax pair of the round-1 census
+    // merged to the 'º' placeholder (replace = left-to-right greedy in
+    // both engines), then the round-2 adjacent-symbol census
+    "txt_bpe_merge" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT unnest(toks) AS t FROM base),
+         |p1 AS (
+         |  SELECT unnest(list_transform(range(1, greatest(length(t) - 1, 0) + 1),
+         |    i -> substr(t, i, 2))) AS pair
+         |  FROM tok),
+         |top1 AS (
+         |  SELECT pair AS mp FROM p1 GROUP BY pair
+         |  ORDER BY count(*) DESC, pair LIMIT 1),
+         |m AS (
+         |  SELECT replace(t, (SELECT mp FROM top1), 'º') AS t2 FROM tok),
+         |p2 AS (
+         |  SELECT unnest(list_transform(range(1, greatest(length(t2) - 1, 0) + 1),
+         |    i -> substr(t2, i, 2))) AS pair
+         |  FROM m)
+         |SELECT pair, count(*) AS n
+         |FROM p2 GROUP BY pair
          |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
 
     "dd_dup_fraction" ->
@@ -4211,6 +4328,88 @@ object LlmOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
          |  FROM rer)
          |SELECT qid, rk, cid, cos_exact AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // filtered search against the compressed index: label predicate joins
+    // the ADC cell scan (code rows carry their label); FilteredNprobe
+    // probes; top-PqRerankDepth shortlist re-ranked exactly
+    "sim_ivf_filtered_pq" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, label, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id % 4 <> 3
+         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |corpus AS (
+         |  SELECT vec_id, embedding, nrm, label, cent_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, e.label, cents.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 4 <> 3)
+         |  WHERE ark = 1),
+         |q2 AS (
+         |  SELECT qid, qn, qlabel, cell FROM (
+         |    SELECT e.vec_id AS qid, e.nrm AS qn, e.label AS qlabel, cents.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents WHERE e.vec_id % 200 = 3)
+         |  WHERE ark <= $FilteredNprobe),
+         |scb AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code, embedding
+         |  FROM (SELECT vec_id, embedding FROM e WHERE vec_id % 4 <> 3
+         |        ORDER BY vec_id LIMIT $PqCodes)),
+         |enc AS (
+         |${(0 until PqM).map { s =>
+             val b = s * PqSub + 1
+             s"""  SELECT v.vec_id, $s AS s, b.code,
+                |    (${pqDot("b.embedding", "b.embedding", b)}) - 2 * (${pqDot("v.embedding", "b.embedding", b)}) AS d
+                |  FROM e v CROSS JOIN scb b WHERE v.vec_id % 4 <> 3""".stripMargin
+           }.mkString("\n  UNION ALL\n")}),
+         |enc_rk AS (
+         |  SELECT vec_id, s, code,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code) AS erk
+         |  FROM enc),
+         |codes AS (
+         |  SELECT vec_id, list(code ORDER BY s) AS codes
+         |  FROM enc_rk WHERE erk = 1 GROUP BY vec_id),
+         |qpart AS (
+         |${(0 until PqM).map { s =>
+             val b = s * PqSub + 1
+             s"""  SELECT q.vec_id AS qid, $s AS s, b.code,
+                |    (${pqDot("q.embedding", "b.embedding", b)}) AS part
+                |  FROM e q CROSS JOIN scb b WHERE q.vec_id % 200 = 3""".stripMargin
+           }.mkString("\n  UNION ALL\n")}),
+         |qtab AS (
+         |  SELECT qid, list(part ORDER BY s, code) AS qtab
+         |  FROM qpart GROUP BY qid),
+         |pairs AS (
+         |  SELECT q.qid, c.vec_id AS cid, q.qlabel,
+         |    (${(0 until PqM).map(s => s"(t.qtab[($s * $PqCodes + k2.codes[${s + 1}]) + 1])").mkString(" + ")})
+         |      / sqrt(q.qn * c.nrm) AS cos_adc
+         |  FROM q2 q JOIN corpus c ON q.cell = c.cell AND q.qlabel = c.label
+         |  JOIN qtab t ON t.qid = q.qid
+         |  JOIN codes k2 ON k2.vec_id = c.vec_id),
+         |short AS (
+         |  SELECT qid, cid, qlabel FROM (
+         |    SELECT qid, cid, qlabel,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS ark
+         |    FROM pairs)
+         |  WHERE ark <= $PqRerankDepth),
+         |rer AS (
+         |  SELECT s.qid, s.cid, s.qlabel,
+         |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.qid
+         |  JOIN e c ON c.vec_id = s.cid),
+         |ranked AS (
+         |  SELECT qid, cid, qlabel, cos_exact,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+         |  FROM rer)
+         |SELECT qid, rk, cid, qlabel AS label, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // serve-index INSERT path: held-out vectors quantized against the

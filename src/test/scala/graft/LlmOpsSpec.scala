@@ -125,6 +125,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("an", 6L), ("na", 6L), ("ba", 3L)), rows.mkString(","))
   }
 
+  test("BPE merge round: applying the argmax merge yields the known round-2 census") {
+    import spark.implicits._
+    // round 1 top pair on "banana" x3 is 'an' (tie-break); merging it
+    // rewrites each token to "b(an)(an)a" = bººa, whose adjacent-symbol
+    // pairs are bº / ºº / ºa, three occurrences each
+    val text = "banana banana banana"
+    val docs = Seq(Doc(0, text, "en", "s", text.length))
+    val d = java.nio.file.Files.createTempDirectory("bpe2").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtBpeMerge(spark, d).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
+    assert(rows.toSeq == Seq(("bº", 3L), ("ºa", 3L), ("ºº", 3L)), rows.mkString(","))
+  }
+
+  test("filtered PQ serve: label predicate holds through the ADC scan; recall tracks the flat filtered path") {
+    val real = "/root/testdata/sf0.001"
+    val rows = LlmOps.simIvfFilteredPq(spark, real).collect()
+    assert(rows.nonEmpty)
+    val e = spark.read.parquet(s"$real/embeddings.parquet")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach { r =>
+      val (qid, cid) = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      assert(r.getAs[Int]("label") == e(qid))
+      assert(e(cid) == e(qid), s"ADC answer $cid violates query $qid's label predicate")
+      assert(cid % 4 != 3, s"held-out vector $cid served from the filtered PQ index")
+    }
+    // at the same probe width, the compressed path's exact re-rank should
+    // track the flat filtered path's answers closely: compare overlap
+    val flat = LlmOps.simIvfFiltered(spark, real).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val overlap = rows.count(r => flat((r.getAs[Long]("qid"), r.getAs[Long]("cid")))).toDouble /
+      math.max(flat.size, 1)
+    info(f"filtered PQ answers overlapping the flat filtered path: $overlap%.2f")
+    assert(overlap >= 0.6,
+      f"compressed filtered path diverged from flat filtered ($overlap%.2f overlap)")
+  }
+
   test("classifier head separates planted fluent prose from planted gibberish") {
     import spark.implicits._
     val high = "the cat and the dog of the house went to the garden and sat down"

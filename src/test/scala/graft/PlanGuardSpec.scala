@@ -39,13 +39,15 @@ class PlanGuardSpec extends SparkSpec {
       "sim_ivf_pq", "sim_ivf_pq256", "sim_ivf_pq_rerank",
       "sim_ivf_serve", "sim_ivf_serve_pq", "sim_ivf_serve_insert",
       "sim_ivf_serve_delete", "sim_ivf_compact", "sim_ivf_filtered",
-      "dd_semdedup",
+      "sim_ivf_filtered_pq", "dd_semdedup",
       // brute-force baseline: the query side is hard-capped at 256 rows
       // (SimQueryCap) before broadcasting against the corpus scan
       "sim_topk_cosine",
       // scalar/total broadcasts: a 1-row aggregate (corpus total, CMS
-      // sketch) crossJoined onto a bounded table
-      "txt_rarity", "txt_tfidf", "txt_top_terms_cms", "txt_vocab_coverage")
+      // sketch, the BPE argmax merge) crossJoined onto a bounded table
+      // or the token stream
+      "txt_rarity", "txt_tfidf", "txt_top_terms_cms", "txt_vocab_coverage",
+      "txt_bpe_merge")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
