@@ -26,6 +26,37 @@ class PartitionPruningSpec extends SparkSpec {
     assert(pruned.collect().toSeq == expected.collect().toSeq)
   }
 
+  test("persisted serve index: cell-partitioned read-back serves identically and prunes to the probed cells") {
+    // The serve index's PERSISTENCE story: a deployed IVF index is files,
+    // not session state. Writing the assignment cell-partitioned makes the
+    // serve-time cell scan a PARTITION-PRUNED read — a query probing
+    // nprobe cells touches nprobe directories of the index, not the
+    // corpus — which is exactly what bounds serve-path IO at 100 TB.
+    import graft.analytics.LlmOps
+    val real = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    LlmOps.ivfServeAssignTable(spark, real)
+      .write.partitionBy("cell").parquet(s"$base/serve_index")
+    // partition-column directory names read back as int — restore the
+    // index's long cell ids
+    val disk = spark.read.parquet(s"$base/serve_index")
+      .withColumn("cell", col("cell").cast("long"))
+    // one-cell read is pruned to that cell's directory
+    val oneCell = disk.filter(col("cell") === disk.select(min(col("cell"))).first().getLong(0))
+    val plan = oneCell.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"), plan)
+    // serving over the persisted index equals serving over session state
+    // (floats/longs round-trip parquet exactly, so cosines are bitwise equal)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Int]("rk"), r.getAs[Long]("cid"), r.getAs[Double]("cos"))).toSet
+    val mem = LlmOps.simIvfServe(spark, real).collect()
+    val fromDisk = LlmOps.serveTop5Over(spark, real, disk.select(
+      col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("cell").as("ccell"))).collect()
+    assert(mem.nonEmpty && key(mem) == key(fromDisk),
+      "persisted-index serving diverged from session-state serving")
+  }
+
   test("SQL surface: registered views + js_num answer a query end-to-end") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     graft.analytics.Tables.registerViews(spark, "/root/testdata/sf0.001")
