@@ -1094,6 +1094,56 @@ object LlmOps {
       .limit(200)
   }
 
+  /** Incremental NEAR-dup dedup — [[ddIncremental]]'s contract at MinHash
+    * strength: an arriving batch (doc_id ≥ 250, the fixed split) is probed
+    * against the EXISTING corpus (doc_id < 250) through the production-
+    * width LSH index, and a batch doc is dropped when any corpus doc
+    * estimates ≥ 0.5 Jaccard — continuous-ingestion dedup as crawl
+    * pipelines actually run it (exact fp anti-join catches only verbatim
+    * re-fetches; re-crawls differ by ads/timestamps and need the near-dup
+    * probe). Join is batch-bands → corpus-bands ONLY (never batch×batch —
+    * an arriving batch is deduped against the corpus, internal batch dups
+    * are the next batch's corpus problem), so per batch doc the work is
+    * ≤ bands × bucket-cap candidates regardless of corpus size; the
+    * corpus-side per-(band, bucket) cap is the same monster-cluster guard
+    * as [[ddMinhashWidePairs]]. Both sides read the ONE memoized
+    * signature table. Emits every SHINGLED batch doc (near-dup is defined
+    * over the ≥3-token docs the signature table holds) with its best
+    * corpus match (max est_sim, min-id tie-break) and the keep verdict. */
+  def ddIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashWideSig(spark, dir)
+    val half = 250L
+    val stackArgs = (0 until MinhashWideBands).map { bd =>
+      val bh = (0 until 4).map(r => s"mh${4 * bd + r}").mkString("concat(", ", ", ")")
+      s"$bd, md5($bh)"
+    }.mkString(", ")
+    def bands(df: DataFrame): DataFrame =
+      df.selectExpr("doc_id", s"stack($MinhashWideBands, $stackArgs) as (band, bh)")
+    val cb = bands(sig.filter(col("doc_id") < half))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= SimhashBucketCap).drop("rn")
+    val cand = bands(sig.filter(col("doc_id") >= half)).toDF("ia", "band", "bh")
+      .join(cb.toDF("ib", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2"))
+      .select(col("ia"), col("ib")).distinct()
+    val est = (0 until MinhashWidePerms)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / MinhashWidePerms.toDouble
+    val wBest = Window.partitionBy(col("ia")).orderBy(col("est_sim").desc, col("ib"))
+    val best = cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
+      .join(sig.as("b"), col("ib") === col("b.doc_id"))
+      .select(col("ia"), col("ib"), est.as("est_sim"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("ia"), col("ib").as("match_id"), col("est_sim"))
+    sig.filter(col("doc_id") >= half).select(col("doc_id"))
+      .join(best.withColumnRenamed("ia", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id"), col("est_sim"),
+        (col("est_sim").isNull || col("est_sim") < 0.5).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Production-width MinHash geometry: [[MinhashWidePerms]] permutations
     * banded as [[MinhashWideBands]] bands × 4 rows — the width real dedup
     * pipelines run (Lee et al. 2022 use 128+ perms; 64/16×4 is the same
@@ -3157,6 +3207,7 @@ object LlmOps {
     "dd_minhash_pairs" -> ddMinhashPairs _,
     "dd_minhash_wide" -> ddMinhashWide _,
     "dd_minhash_wide_pairs" -> ddMinhashWidePairs _,
+    "dd_incremental_near" -> ddIncrementalNear _,
     "dd_simhash" -> ddSimhash _,
     "dd_simhash_pairs" -> ddSimhashPairs _,
     "dd_simhash_wide" -> ddSimhashWide _,
@@ -3968,6 +4019,50 @@ object LlmOps {
          |  (${(0 until 64).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) / 64.0 AS est_sim
          |FROM cand JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id
          |ORDER BY est_sim DESC, ia, ib LIMIT 200""".stripMargin,
+
+    // incremental near-dup: batch (>= 250) LSH-probed against the corpus
+    // (< 250) through the wide signature; corpus-side bucket cap mirrored
+    "dd_incremental_near" ->
+      s"""WITH $baseDuck, sh AS (
+         |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
+         |h AS (
+         |  SELECT doc_id, ${(0 until 16).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id, $minhashWideSliceCols
+         |  FROM h GROUP BY doc_id),
+         |cb0 AS (
+         |  ${(0 until 16).map(bd =>
+              s"SELECT doc_id, $bd AS band, md5(mh${4 * bd} || mh${4 * bd + 1} || mh${4 * bd + 2} || mh${4 * bd + 3}) AS bh FROM sig WHERE doc_id < 250")
+              .mkString("\n  UNION ALL ")}),
+         |cb AS (
+         |  SELECT doc_id, band, bh FROM (
+         |    SELECT doc_id, band, bh,
+         |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+         |    FROM cb0)
+         |  WHERE rn <= $SimhashBucketCap),
+         |bb AS (
+         |  ${(0 until 16).map(bd =>
+              s"SELECT doc_id, $bd AS band, md5(mh${4 * bd} || mh${4 * bd + 1} || mh${4 * bd + 2} || mh${4 * bd + 3}) AS bh FROM sig WHERE doc_id >= 250")
+              .mkString("\n  UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS ia, c.doc_id AS ib
+         |  FROM bb b JOIN cb c ON b.band = c.band AND b.bh = c.bh),
+         |scored AS (
+         |  SELECT ia, ib,
+         |    (${(0 until 64).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) / 64.0 AS est_sim
+         |  FROM cand JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id),
+         |best AS (
+         |  SELECT ia, ib, est_sim FROM (
+         |    SELECT ia, ib, est_sim,
+         |      row_number() OVER (PARTITION BY ia ORDER BY est_sim DESC, ib) AS rn
+         |    FROM scored)
+         |  WHERE rn = 1)
+         |SELECT s.doc_id, best.ib AS match_id, best.est_sim,
+         |  (best.est_sim IS NULL OR best.est_sim < 0.5) AS kept
+         |FROM sig s LEFT JOIN best ON s.doc_id = best.ia
+         |WHERE s.doc_id >= 250
+         |ORDER BY s.doc_id""".stripMargin,
 
     "dd_minhash_pairs" ->
       s"""WITH $baseDuck, sh AS (

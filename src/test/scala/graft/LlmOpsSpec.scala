@@ -74,6 +74,30 @@ class LlmOpsSpec extends SparkSpec {
         Set(r.getAs[Long]("ia"), r.getAs[Long]("ib")).exists(_ < 3L)))
   }
 
+  test("incremental near-dup: arriving re-crawls and near-dups are dropped against the corpus, fresh docs kept") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val fresh = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      Doc(0, base, "en", "corpus", base.length),    // existing corpus
+      Doc(250, base, "en", "batch", base.length),   // verbatim re-crawl
+      Doc(251, near, "en", "batch", near.length),   // near-dup re-crawl
+      Doc(252, fresh, "en", "batch", fresh.length)) // genuinely new
+    val d = java.nio.file.Files.createTempDirectory("incnear").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.ddIncrementalNear(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(250L, 251L, 252L))
+    assert(!rows(250).getAs[Boolean]("kept") &&
+      rows(250).getAs[Long]("match_id") == 0L &&
+      rows(250).getAs[Double]("est_sim") == 1.0, "verbatim re-crawl must drop at est 1.0")
+    assert(!rows(251).getAs[Boolean]("kept") &&
+      rows(251).getAs[Long]("match_id") == 0L, "one-word-off re-crawl must drop")
+    assert(rows(252).getAs[Boolean]("kept") && rows(252).isNullAt(rows(252).fieldIndex("match_id")),
+      "a fresh doc must survive with no corpus match")
+  }
+
   test("cluster: the exact+near dup triple forms one component labelled by its min id") {
     // docs 0,1 are exact dups and 2 is one-word-off: 0-1 and 0-2 (and 1-2)
     // exceed the 0.8 Jaccard edge threshold, so {0,1,2} is one component;
