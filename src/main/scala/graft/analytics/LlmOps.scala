@@ -1107,37 +1107,30 @@ object LlmOps {
     * ≤ bands × bucket-cap candidates regardless of corpus size; the
     * corpus-side per-(band, bucket) cap is the same monster-cluster guard
     * as [[ddMinhashWidePairs]]. Both sides read the ONE memoized
-    * signature table. Emits every SHINGLED batch doc (near-dup is defined
-    * over the ≥3-token docs the signature table holds) with its best
-    * corpus match (max est_sim, min-id tie-break) and the keep verdict. */
+    * signature table. Emits EVERY arriving doc — the output is the
+    * batch's admission list, so nothing may be silently absent: a doc
+    * with a corpus match carries (match_id, est_sim) and drops at ≥ 0.5;
+    * a sub-3-token doc has no shingles, cannot near-dup, and keeps with
+    * a null match like any other unmatched doc. */
   def ddIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashWideSig(spark, dir)
     val half = 250L
-    val stackArgs = (0 until MinhashWideBands).map { bd =>
-      val bh = (0 until 4).map(r => s"mh${4 * bd + r}").mkString("concat(", ", ", ")")
-      s"$bd, md5($bh)"
-    }.mkString(", ")
-    def bands(df: DataFrame): DataFrame =
-      df.selectExpr("doc_id", s"stack($MinhashWideBands, $stackArgs) as (band, bh)")
-    val cb = bands(sig.filter(col("doc_id") < half))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= SimhashBucketCap).drop("rn")
-    val cand = bands(sig.filter(col("doc_id") >= half)).toDF("ia", "band", "bh")
+    val cb = cappedWideBands(sig.filter(col("doc_id") < half))
+    val cand = wideBands(sig.filter(col("doc_id") >= half)).toDF("ia", "band", "bh")
       .join(cb.toDF("ib", "band2", "bh2"),
         col("band") === col("band2") && col("bh") === col("bh2"))
       .select(col("ia"), col("ib")).distinct()
-    val est = (0 until MinhashWidePerms)
-      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / MinhashWidePerms.toDouble
     val wBest = Window.partitionBy(col("ia")).orderBy(col("est_sim").desc, col("ib"))
     val best = cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
       .join(sig.as("b"), col("ib") === col("b.doc_id"))
-      .select(col("ia"), col("ib"), est.as("est_sim"))
+      .select(col("ia"), col("ib"), wideEstSim.as("est_sim"))
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
       .select(col("ia"), col("ib").as("match_id"), col("est_sim"))
-    sig.filter(col("doc_id") >= half).select(col("doc_id"))
+    // verdict base = EVERY arriving doc (conservation: the output is the
+    // batch's admission list, so nothing may be silently absent) — a
+    // sub-3-token doc has no shingles, cannot near-dup, and keeps
+    Tables.documents(spark, dir).filter(col("doc_id") >= half).select(col("doc_id"))
       .join(best.withColumnRenamed("ia", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("match_id"), col("est_sim"),
         (col("est_sim").isNull || col("est_sim") < 0.5).as("kept"))
@@ -1189,6 +1182,33 @@ object LlmOps {
     hashed.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
   }
 
+  /** [[MinhashWideBands]]-band stack over a wide-signature frame →
+    * (doc_id, band, bh). One code site for the band geometry — the pairs
+    * query, the incremental probe, and the DuckDB mirrors
+    * ([[wideBandsDuckBranches]]) must agree on it exactly. */
+  private def wideBands(sig: DataFrame): DataFrame = {
+    val stackArgs = (0 until MinhashWideBands).map { bd =>
+      val bh = (0 until 4).map(r => s"mh${4 * bd + r}").mkString("concat(", ", ", ")")
+      s"$bd, md5($bh)"
+    }.mkString(", ")
+    sig.selectExpr("doc_id", s"stack($MinhashWideBands, $stackArgs) as (band, bh)")
+  }
+
+  /** [[wideBands]] with the per-(band, bucket) membership cap
+    * ([[SimhashBucketCap]] — keep the smallest doc_ids, deterministic). */
+  private def cappedWideBands(sig: DataFrame): DataFrame =
+    wideBands(sig)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= SimhashBucketCap).drop("rn")
+
+  /** est_sim for a candidate joined to the signature as `a`/`b`:
+    * matching slices / [[MinhashWidePerms]]. */
+  private def wideEstSim: Column =
+    (0 until MinhashWidePerms)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / MinhashWidePerms.toDouble
+
   /** Wide MinHash-LSH candidate pairs: [[MinhashWideBands]] bands × 4 rows;
     * est_sim = matching minhashes / 64. Same banded no-doc² shape as
     * [[ddMinhashPairs]], PLUS the per-(band, bucket) membership cap the
@@ -1200,25 +1220,14 @@ object LlmOps {
     * cluster lands in one bucket per band. */
   def ddMinhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashWideSig(spark, dir)
-    val stackArgs = (0 until MinhashWideBands).map { bd =>
-      val bh = (0 until 4).map(r => s"mh${4 * bd + r}").mkString("concat(", ", ", ")")
-      s"$bd, md5($bh)"
-    }.mkString(", ")
-    val bands = sig
-      .selectExpr("doc_id", s"stack($MinhashWideBands, $stackArgs) as (band, bh)")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= SimhashBucketCap).drop("rn")
+    val bands = cappedWideBands(sig)
     val cand = bands.toDF("ia", "band", "bh")
       .join(bands.toDF("ib", "band2", "bh2"),
         col("band") === col("band2") && col("bh") === col("bh2") && col("ia") < col("ib"))
       .select(col("ia"), col("ib")).distinct()
-    val est = (0 until MinhashWidePerms)
-      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / MinhashWidePerms.toDouble
     cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
       .join(sig.as("b"), col("ib") === col("b.doc_id"))
-      .select(col("ia"), col("ib"), est.as("est_sim"))
+      .select(col("ia"), col("ib"), wideEstSim.as("est_sim"))
       .orderBy(col("est_sim").desc, col("ia"), col("ib"))
       .limit(200)
   }
@@ -2836,19 +2845,33 @@ object LlmOps {
     * index, the property that makes 100 TB serving feasible. nprobe=2
     * closes the flat serve path's single-cell recall bound (LlmOpsSpec pins
     * held-out recall@5 >= [[simIvfServe]]'s). */
-  def simIvfServePq(spark: SparkSession, dir: String): DataFrame = {
+  def simIvfServePq(spark: SparkSession, dir: String): DataFrame =
+    servePqTop5(spark, dir, ServeNprobe, labelFiltered = false)
+
+  /** The shared two-stage ADC retrieval kernel behind [[simIvfServePq]]
+    * and [[simIvfFilteredPq]] — ONE implementation of query quantization,
+    * per-query ADC table, shortlist scan and exact re-rank, so a change
+    * to the code-index scheme or tie-breaks cannot drift between the
+    * plain and filtered serve paths (the serveTop5Over argument, applied
+    * to the compressed index). `labelFiltered` adds the label equality to
+    * the cell-scan join condition and carries the query label to the
+    * output; `nprobe` widens the probe (the filtered path's
+    * selectivity compensation). */
+  private def servePqTop5(spark: SparkSession, dir: String, nprobe: Int,
+                          labelFiltered: Boolean): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val cents = serveCentroids(spark, dir)
     val cb = servePqCodebook(spark, dir)
-    // query-time quantization: ServeNprobe nearest cells per held-out vector
+    // query-time quantization: nprobe nearest cells per held-out vector
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
     val q2 = e.filter(expr("vec_id % 200 = 3"))
       .crossJoin(broadcast(cents))
       .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
       .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") <= ServeNprobe)
-      .select(col("vec_id").as("qid"), col("nrm").as("qn"), col("cent_id").as("cell"))
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
+        col("label").as("qlabel"), col("cent_id").as("cell"))
     // per-query ADC table (built once per qid, then joined to its probe cells)
     val qtabs = e.filter(expr("vec_id % 200 = 3"))
       .select(col("vec_id").as("qid"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "qsub")))
@@ -2857,19 +2880,23 @@ object LlmOps {
       .groupBy(col("qid"))
       .agg(expr("transform(array_sort(collect_list(struct(s, code, part))), p -> p.part)").as("qtab"))
     val cands = servePqCodesTable(spark, dir)
-      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell").as("ccell"), col("codes"))
+      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell").as("ccell"),
+        col("label").as("clabel"), col("codes"))
     val adc = (0 until PqM)
       .map(s => s"qtab[CAST($s * $PqCodes + codes[$s] AS INT)]").mkString(" + ")
+    val scanCond =
+      if (labelFiltered) col("cell") === col("ccell") && col("qlabel") === col("clabel")
+      else col("cell") === col("ccell")
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("cos_adc").desc, col("cid"))
     // the serve batch is BOUNDED by contract (incoming queries, not a
     // corpus sample), so it broadcasts into the cell scan — the code index
     // is never shuffled, the scan stays a map-side pass over it
     val short = broadcast(q2.join(qtabs, "qid"))
-      .join(cands, col("cell") === col("ccell"))
+      .join(cands, scanCond)
       .withColumn("cos_adc", expr(adc) / sqrt(col("qn") * col("cn")))
       .withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= PqRerankDepth)
-      .select(col("qid"), col("cid"))
+      .select(col("qid"), col("cid"), col("qlabel"))
     // exact re-rank: only the shortlist fetches full-precision vectors —
     // |Q| x depth ids broadcast against the vector table (no corpus shuffle)
     val qv = e.filter(expr("vec_id % 200 = 3"))
@@ -2877,12 +2904,17 @@ object LlmOps {
     val cv = ivfServeAssignTable(spark, dir)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val wEx = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
-    broadcast(short.join(qv, "qid")).join(cv, "cid")
+    val ranked = broadcast(short.join(qv, "qid")).join(cv, "cid")
       .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
       .withColumn("rk", row_number().over(wEx))
       .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
-      .orderBy(col("qid"), col("rk"))
+    val out =
+      if (labelFiltered)
+        ranked.select(col("qid"), col("rk"), col("cid"),
+          col("qlabel").as("label"), col("cos_exact").as("cos"))
+      else
+        ranked.select(col("qid"), col("rk"), col("cid"), col("cos_exact").as("cos"))
+    out.orderBy(col("qid"), col("rk"))
   }
 
   /** FILTERED search against the COMPRESSED index — [[simIvfFiltered]]'s
@@ -2898,50 +2930,8 @@ object LlmOps {
     * selectivity reason as the flat filtered path. Per query: k centroid
     * dots + ~selectivity·(FilteredNprobe·N/k) code lookups + ≤depth exact
     * dots — the filter makes the ADC pass CHEAPER, not just smaller. */
-  def simIvfFilteredPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
-    val cents = serveCentroids(spark, dir)
-    val cb = servePqCodebook(spark, dir)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-    val q2 = e.filter(expr("vec_id % 200 = 3"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-      .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") <= FilteredNprobe)
-      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
-        col("label").as("qlabel"), col("cent_id").as("cell"))
-    val qtabs = e.filter(expr("vec_id % 200 = 3"))
-      .select(col("vec_id").as("qid"), posexplode(expr(pqSplit("embedding"))).as(Seq("s", "qsub")))
-      .join(broadcast(cb), "s")
-      .withColumn("part", dotF(col("qsub"), col("cent")))
-      .groupBy(col("qid"))
-      .agg(expr("transform(array_sort(collect_list(struct(s, code, part))), p -> p.part)").as("qtab"))
-    val cands = servePqCodesTable(spark, dir)
-      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell").as("ccell"),
-        col("label").as("clabel"), col("codes"))
-    val adc = (0 until PqM)
-      .map(s => s"qtab[CAST($s * $PqCodes + codes[$s] AS INT)]").mkString(" + ")
-    val wAdc = Window.partitionBy(col("qid")).orderBy(col("cos_adc").desc, col("cid"))
-    val short = broadcast(q2.join(qtabs, "qid"))
-      .join(cands, col("cell") === col("ccell") && col("qlabel") === col("clabel"))
-      .withColumn("cos_adc", expr(adc) / sqrt(col("qn") * col("cn")))
-      .withColumn("srk", row_number().over(wAdc))
-      .filter(col("srk") <= PqRerankDepth)
-      .select(col("qid"), col("cid"), col("qlabel"))
-    val qv = e.filter(expr("vec_id % 200 = 3"))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val cv = ivfServeAssignTable(spark, dir)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val wEx = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("cid"))
-    broadcast(short.join(qv, "qid")).join(cv, "cid")
-      .withColumn("cos_exact", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
-      .withColumn("rk", row_number().over(wEx))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("cid"), col("qlabel").as("label"),
-        col("cos_exact").as("cos"))
-      .orderBy(col("qid"), col("rk"))
-  }
+  def simIvfFilteredPq(spark: SparkSession, dir: String): DataFrame =
+    servePqTop5(spark, dir, FilteredNprobe, labelFiltered = true)
 
   /** The serve index's INSERT path — the WRITE side of incremental
     * serving, complementing [[simIvfServePq]]'s read side: each arriving
@@ -4002,9 +3992,7 @@ object LlmOps {
          |  SELECT doc_id, $minhashWideSliceCols
          |  FROM h GROUP BY doc_id),
          |bands0 AS (
-         |  ${(0 until 16).map(bd =>
-              s"SELECT doc_id, $bd AS band, md5(mh${4 * bd} || mh${4 * bd + 1} || mh${4 * bd + 2} || mh${4 * bd + 3}) AS bh FROM sig")
-              .mkString("\n  UNION ALL ")}),
+         |  ${wideBandsDuckBranches("")}),
          |bands AS (
          |  SELECT doc_id, band, bh FROM (
          |    SELECT doc_id, band, bh,
@@ -4032,9 +4020,7 @@ object LlmOps {
          |  SELECT doc_id, $minhashWideSliceCols
          |  FROM h GROUP BY doc_id),
          |cb0 AS (
-         |  ${(0 until 16).map(bd =>
-              s"SELECT doc_id, $bd AS band, md5(mh${4 * bd} || mh${4 * bd + 1} || mh${4 * bd + 2} || mh${4 * bd + 3}) AS bh FROM sig WHERE doc_id < 250")
-              .mkString("\n  UNION ALL ")}),
+         |  ${wideBandsDuckBranches(" WHERE doc_id < 250")}),
          |cb AS (
          |  SELECT doc_id, band, bh FROM (
          |    SELECT doc_id, band, bh,
@@ -4042,9 +4028,7 @@ object LlmOps {
          |    FROM cb0)
          |  WHERE rn <= $SimhashBucketCap),
          |bb AS (
-         |  ${(0 until 16).map(bd =>
-              s"SELECT doc_id, $bd AS band, md5(mh${4 * bd} || mh${4 * bd + 1} || mh${4 * bd + 2} || mh${4 * bd + 3}) AS bh FROM sig WHERE doc_id >= 250")
-              .mkString("\n  UNION ALL ")}),
+         |  ${wideBandsDuckBranches(" WHERE doc_id >= 250")}),
          |cand AS (
          |  SELECT DISTINCT b.doc_id AS ia, c.doc_id AS ib
          |  FROM bb b JOIN cb c ON b.band = c.band AND b.bh = c.bh),
@@ -4058,11 +4042,11 @@ object LlmOps {
          |      row_number() OVER (PARTITION BY ia ORDER BY est_sim DESC, ib) AS rn
          |    FROM scored)
          |  WHERE rn = 1)
-         |SELECT s.doc_id, best.ib AS match_id, best.est_sim,
+         |SELECT d.doc_id, best.ib AS match_id, best.est_sim,
          |  (best.est_sim IS NULL OR best.est_sim < 0.5) AS kept
-         |FROM sig s LEFT JOIN best ON s.doc_id = best.ia
-         |WHERE s.doc_id >= 250
-         |ORDER BY s.doc_id""".stripMargin,
+         |FROM documents d LEFT JOIN best ON d.doc_id = best.ia
+         |WHERE d.doc_id >= 250
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dd_minhash_pairs" ->
       s"""WITH $baseDuck, sh AS (
@@ -4606,7 +4590,7 @@ object LlmOps {
          |ORDER BY t.cell, t.vec_id""".stripMargin,
 
     // filtered search: the label predicate joins INTO the cell scan;
-    // queries probe ServeNprobe cells against the label-carrying index
+    // queries probe FilteredNprobe cells against the label-carrying index
     "sim_ivf_filtered" ->
       s"""WITH $paramsDuck,
          |e AS (
@@ -4922,6 +4906,15 @@ object LlmOps {
   private def minhashWideSliceCols: String =
     (0 until 64).map(j => s"min(substr(h${j / 4}, ${1 + 8 * (j % 4)}, 8)) AS mh$j")
       .mkString(", ")
+
+  /** The [[wideBands]] geometry as DuckDB SQL — one UNION ALL branch per
+    * band over a CTE named `sig`, with `pred` appended as a WHERE clause
+    * (empty for the whole table). The single mirror of the Spark-side
+    * band hash composition. */
+  private def wideBandsDuckBranches(pred: String): String =
+    (0 until MinhashWideBands).map(bd =>
+      s"SELECT doc_id, $bd AS band, md5(mh${4 * bd} || mh${4 * bd + 1} || mh${4 * bd + 2} || mh${4 * bd + 3}) AS bh FROM sig$pred")
+      .mkString("\n  UNION ALL ")
 
   private def minhashWideSigDuck: String =
     s"""WITH $baseDuck, sh AS (

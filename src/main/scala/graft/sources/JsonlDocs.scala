@@ -31,11 +31,16 @@ object JsonlDocs {
 
   /** Parse a JSONL file: `(documents, quarantine)`. A line quarantines
     * when it is not valid JSON OR lacks the required doc_id/text fields
-    * (a structurally-valid but semantically-empty row is damage too). */
+    * (a structurally-valid but semantically-empty row is damage too).
+    * The parsed frame is cached so a caller consuming BOTH outputs — the
+    * normal shape, since the quarantine exists to be accounted —
+    * materializes the text scan + from_json once; unpersist either
+    * output's lineage (or clear the session cache) when done. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val parsed = spark.read.text(path)
       .filter(trim(col("value")) =!= "")
       .withColumn("j", from_json(col("value"), schema))
+      .cache()
     val ok = col("j").isNotNull &&
       col("j.doc_id").isNotNull && col("j.text").isNotNull
     val docs = parsed.filter(ok)

@@ -43,11 +43,19 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // same epoch-nanos reconstruction as the as-of/funnel transforms:
+          // ordering matches the batch window's (ts, event_id) down to the
+          // nanosecond, and `sec` is the reconstructed ns under the SAME
+          // truncating division as q10's `ts div 1000000000` — equal at
+          // every epoch, pre-1970 included, because both divide the same
+          // nanos value with the same rounding
+          def ns(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000) * 1000000000L + t.getNanos
+          val events = batch.toSeq.sortBy(e => (ns(e.ts), e.event_id))
           var closed = List.empty[SessionOut]
           var cur = state.getOption
           events.foreach { e =>
-            val sec = e.ts.getTime / 1000
+            val sec = ns(e.ts) / 1000000000L
             cur match {
               case Some(s) if sec - s.lastSec > 1800 =>
                 // HALF_UP, matching Spark's round(col, 2) in the batch

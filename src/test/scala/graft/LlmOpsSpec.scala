@@ -83,12 +83,16 @@ class LlmOpsSpec extends SparkSpec {
       Doc(0, base, "en", "corpus", base.length),    // existing corpus
       Doc(250, base, "en", "batch", base.length),   // verbatim re-crawl
       Doc(251, near, "en", "batch", near.length),   // near-dup re-crawl
-      Doc(252, fresh, "en", "batch", fresh.length)) // genuinely new
+      Doc(252, fresh, "en", "batch", fresh.length), // genuinely new
+      Doc(253, "hi there", "en", "batch", 8))       // sub-shingle: keeps by definition
     val d = java.nio.file.Files.createTempDirectory("incnear").toString
     docs.toDF().write.parquet(s"$d/documents.parquet")
     val rows = LlmOps.ddIncrementalNear(spark, d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(rows.keySet == Set(250L, 251L, 252L))
+    // conservation: EVERY arriving doc gets a verdict row, including the
+    // 2-token doc that cannot shingle
+    assert(rows.keySet == Set(250L, 251L, 252L, 253L))
+    assert(rows(253).getAs[Boolean]("kept") && rows(253).isNullAt(rows(253).fieldIndex("match_id")))
     assert(!rows(250).getAs[Boolean]("kept") &&
       rows(250).getAs[Long]("match_id") == 0L &&
       rows(250).getAs[Double]("est_sim") == 1.0, "verbatim re-crawl must drop at est 1.0")
@@ -1192,8 +1196,9 @@ class LlmOpsSpec extends SparkSpec {
     val recall = rows.count(r =>
       truth((r.getAs[Long]("qid"), r.getAs[Long]("cid")))).toDouble / math.max(truth.size, 1)
     info(f"filtered ANN recall@5 vs label-filtered brute force: $recall%.2f (nprobe=4)")
-    // measured 0.40 at sf0.001 (3 queries — coarse granularity); the floor
-    // sits one notch below so a legitimate tie-break shift can't flake it
-    assert(recall >= 0.35, f"filtered recall $recall%.2f below the 0.35 floor")
+    // measured 6/15 = 0.40 at sf0.001; the metric's granularity is 1/15
+    // (3 queries x 5), so the floor sits a full notch below — 5/15 = 0.333
+    // from one legitimate tie-break shift must still pass
+    assert(recall >= 0.30, f"filtered recall $recall%.2f below the 0.30 floor")
   }
 }
