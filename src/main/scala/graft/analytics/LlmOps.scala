@@ -373,22 +373,31 @@ object LlmOps {
     * score ≥ 1.0 with an n_toks ≥ 5 support floor. Plan: one text scan,
     * per-row lambda counters, no shuffle at all before the output sort —
     * embarrassingly parallel at any corpus size. */
-  def txtClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def txtClassifier(spark: SparkSession, dir: String): DataFrame =
+    classifierScored(spark, dir)
+      .select(col("doc_id"), col("n_toks"), col("n_stop"), col("n_short"),
+        col("n_long"), col("n_rep"), col("score"))
+      .withColumn("keep", col("n_toks") >= 5 && col("score") >= 1.0)
+      .orderBy(col("doc_id"))
+
+  /** The classifier head's scoring SCAN — documents plus per-row count
+    * features and the linear score, shared by [[txtClassifier]] and
+    * [[ddDedupKeepBest]] (which ranks duplicate-cluster members by it).
+    * Pure per-row arithmetic over one text scan: no shuffle, so any
+    * consumer can fold the score into its own plan for free. */
+  private def classifierScored(spark: SparkSession, dir: String): DataFrame = {
     val stopsIn = classifierStops.map(w => s"'$w'").mkString(", ")
     Tables.documents(spark, dir)
       .withColumn("toks", expr(toksSpark))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_toks"),
-        expr(s"size(filter(toks, t -> t IN ($stopsIn)))").cast("long").as("n_stop"),
-        expr("size(filter(toks, t -> length(t) <= 2))").cast("long").as("n_short"),
-        expr("size(filter(toks, t -> length(t) >= 12))").cast("long").as("n_long"),
-        (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("n_rep"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($stopsIn)))").cast("long"))
+      .withColumn("n_short", expr("size(filter(toks, t -> length(t) <= 2))").cast("long"))
+      .withColumn("n_long", expr("size(filter(toks, t -> length(t) >= 12))").cast("long"))
+      .withColumn("n_rep", (size(col("toks")) - size(array_distinct(col("toks")))).cast("long"))
       .withColumn("score",
         (col("n_toks") + lit(4L) * col("n_stop") - lit(2L) * col("n_short")
           - lit(3L) * col("n_long") - lit(2L) * col("n_rep"))
           / nullif(col("n_toks"), lit(0L)))
-      .withColumn("keep", col("n_toks") >= 5 && col("score") >= 1.0)
-      .orderBy(col("doc_id"))
   }
 
   /** N-gram-marker language ID: count marker-token hits per language,
@@ -706,6 +715,42 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** QUALITY-RANKED dedup keep — [[ddDedupKeep]] keeps each duplicate
+    * cluster's LOWEST doc_id; a production pipeline keeps its BEST member
+    * (dedup should never discard the clean copy of a page because a
+    * boilerplate-ridden mirror has the smaller id). Cluster membership is
+    * the same connected-components fixpoint as [[ddCluster]] (Jaccard ≥
+    * 0.8 edges); quality is the [[txtClassifier]] linear-head score
+    * (all-BIGINT numerator, one IEEE division — rank order is exact in
+    * both engines); within each cluster the winner is rank 1 by
+    * (score DESC NULLS LAST, doc_id). Scale shape: the cluster LABEL set
+    * is edge-bounded (only near-dup members, a tiny fraction of any
+    * corpus), so it broadcasts into the scoring scan to rank members, and
+    * the final kept-corpus assembly is broadcast anti-join(losers) +
+    * broadcast left-join(winners) over a second scan — the full corpus is
+    * never shuffled, the exact property that makes the min-id
+    * [[ddDedupKeep]] scalable, kept here. */
+  def ddDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
+      .select(col("ia").as("a"), col("ib").as("b"))
+    val (labels, _) = connectedComponents(spark, edges)
+    val lbl = labels().toDF("doc_id", "cluster_id")
+    val scored = classifierScored(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("score"))
+    val wBest = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc_nulls_last, col("doc_id"))
+    val ranked = scored.join(broadcast(lbl), Seq("doc_id"))
+      .withColumn("rk", row_number().over(wBest))
+    val losers = ranked.filter(col("rk") > 1).select(col("doc_id"))
+    val winners = ranked.filter(col("rk") === 1).select(col("doc_id"), col("cluster_id"))
+    scored
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .join(broadcast(winners), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("cluster_id"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the Jaccard >= 0.8
     * edge set (the same edges the dedup action uses), labelled by the
     * minimum doc_id in each component. Iterative min-label propagation —
@@ -951,6 +996,14 @@ object LlmOps {
         md5(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))).as("frame_digest"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Fixed batch/corpus split of the whole incremental-dedup family:
+    * doc_id < split is the already-ingested corpus, the rest the arriving
+    * batch (stable across SFs ≥ 500 docs). ONE site, interpolated into the
+    * Spark filters AND the DuckDB mirrors like the band/cap constants — a
+    * drifted copy on either side would silently break cross-engine parity
+    * until the oracle run caught it. */
+  private val IncrementalSplit = 250L
+
   /** Incremental dedup (the ingestion-time shape): treat doc_id < half as
     * the already-ingested corpus and the rest as the incoming batch; keep
     * only incoming docs whose content fingerprint is NOT already present.
@@ -959,7 +1012,7 @@ object LlmOps {
     * and the batch never rescans the corpus text. */
   def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val half = 250L // fixed split point: stable across SFs ≥ 500 docs
+    val half = IncrementalSplit
     val existing = docs.filter(col("doc_id") < half).select(md5(col("text")).as("fp"))
     docs.filter(col("doc_id") >= half)
       .withColumn("fp", md5(col("text")))
@@ -985,7 +1038,7 @@ object LlmOps {
   def ddIncrementalBucketed(spark: SparkSession, dir: String): DataFrame = {
     val t = fingerprintTable(spark, dir)
     Tables.documents(spark, dir)
-      .filter(col("doc_id") >= 250L)
+      .filter(col("doc_id") >= IncrementalSplit)
       .withColumn("fp", md5(col("text")))
       .join(spark.table(t).hint("merge"), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -1013,7 +1066,7 @@ object LlmOps {
           .foreach(java.nio.file.Files.delete)
       }
       Tables.documents(spark, dir)
-        .filter(col("doc_id") < 250L)
+        .filter(col("doc_id") < IncrementalSplit)
         .select(md5(col("text")).as("fp"))
         // single writer task: N input partitions x 8 buckets would commit
         // up to 8N tiny files for a 250-row state table. At production
@@ -1106,7 +1159,9 @@ object LlmOps {
     * are the next batch's corpus problem), so per batch doc the work is
     * ≤ bands × bucket-cap candidates regardless of corpus size; the
     * corpus-side per-(band, bucket) cap is the same monster-cluster guard
-    * as [[ddMinhashWidePairs]]. Both sides read the ONE memoized
+    * as [[ddMinhashWidePairs]], at the 4× width [[IncrementalProbeCap]]
+    * (the capped side is recall-critical here) with the cut surfaced by
+    * [[ddIncrementalCapped]]. Both sides read the ONE memoized
     * signature table. Emits EVERY arriving doc — the output is the
     * batch's admission list, so nothing may be silently absent: a doc
     * with a corpus match carries (match_id, est_sim) and drops at ≥ 0.5;
@@ -1114,8 +1169,8 @@ object LlmOps {
     * a null match like any other unmatched doc. */
   def ddIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashWideSig(spark, dir)
-    val half = 250L
-    val cb = cappedWideBands(sig.filter(col("doc_id") < half))
+    val half = IncrementalSplit
+    val cb = cappedWideBands(sig.filter(col("doc_id") < half), IncrementalProbeCap)
     val cand = wideBands(sig.filter(col("doc_id") >= half)).toDF("ia", "band", "bh")
       .join(cb.toDF("ib", "band2", "bh2"),
         col("band") === col("band2") && col("bh") === col("bh2"))
@@ -1194,13 +1249,43 @@ object LlmOps {
     sig.selectExpr("doc_id", s"stack($MinhashWideBands, $stackArgs) as (band, bh)")
   }
 
-  /** [[wideBands]] with the per-(band, bucket) membership cap
-    * ([[SimhashBucketCap]] — keep the smallest doc_ids, deterministic). */
-  private def cappedWideBands(sig: DataFrame): DataFrame =
+  /** [[wideBands]] with a per-(band, bucket) membership cap (keep the
+    * smallest doc_ids, deterministic). Default [[SimhashBucketCap]]; the
+    * incremental probe passes [[IncrementalProbeCap]] — there the capped
+    * side is the recall-critical corpus. */
+  private def cappedWideBands(sig: DataFrame, cap: Int = SimhashBucketCap): DataFrame =
     wideBands(sig)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= SimhashBucketCap).drop("rn")
+      .filter(col("rn") <= cap).drop("rn")
+
+  /** Corpus-side bucket cap of the INCREMENTAL near-dup probe — 4× the
+    * pairs-query cap, because here the capped side is the recall-critical
+    * one: evicting an arriving doc's only colliding corpus twin from every
+    * band admits a genuine near-dup as "fresh" (a silent false negative on
+    * the admission list). The probe's work per batch doc stays bounded at
+    * bands × cap regardless of corpus size, and [[ddIncrementalCapped]]
+    * surfaces exactly how much the cap is cutting (the repo's no-silent-
+    * caps rule): zero capped-out rows at the synthetic SFs, nonzero under
+    * a monster exact-dup cluster (LlmOpsSpec plants one). */
+  // lazy: declared ahead of SimhashBucketCap in object-init order
+  private lazy val IncrementalProbeCap = 4 * SimhashBucketCap
+
+  /** Cap ACCOUNTING for [[ddIncrementalNear]] — one summary row measuring
+    * what the corpus-side bucket cap cut this run: total corpus band rows,
+    * buckets over the cap, and rows capped out (each a potential missed
+    * match). The loss a production pipeline alarms on instead of
+    * discovering at audit time; the oracle pins it to zero on the
+    * synthetic corpora, which is itself the claim worth checking. */
+  def ddIncrementalCapped(spark: SparkSession, dir: String): DataFrame =
+    wideBands(minhashWideSig(spark, dir).filter(col("doc_id") < IncrementalSplit))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("cnt") > IncrementalProbeCap, lit(1L)).otherwise(lit(0L)))
+          .as("n_buckets_capped"),
+        sum(greatest(col("cnt") - IncrementalProbeCap, lit(0L)))
+          .as("n_rows_capped_out"))
 
   /** est_sim for a candidate joined to the signature as `a`/`b`:
     * matching slices / [[MinhashWidePerms]]. */
@@ -1894,37 +1979,93 @@ object LlmOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(100)
 
-  /** BPE TRAINING STEP — the round [[txtBpePairs]] only counts: APPLY the
-    * most frequent pair's merge and emit the round-2 census, i.e. one full
-    * iteration of Sennrich et al.'s Algorithm 1 (count pairs → merge the
-    * argmax everywhere → recount). The merged pair is rewritten to the
-    * single placeholder symbol 'º' (outside the corpus alphabet, so a
-    * 2-char sliding window again reads adjacent SYMBOLS; both engines'
-    * `replace` is left-to-right non-overlapping — exactly BPE's greedy
-    * merge order within a word). The argmax rides a 1-row broadcast onto
-    * the token stream; everything else is the same alphabet²-bounded
-    * map-side census as round 1. Two document scans total (census +
-    * re-census) — production BPE trainers pay the same shape per round. */
-  def txtBpeMerge(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  /** Merge-placeholder symbol for BPE round `r` (0-based): the Unicode
+    * NONCHARACTER U+FDD0+r. Noncharacters are permanently unassigned and
+    * excluded from interchanged text by Unicode conformance (C2/D14), so
+    * no real corpus — including arbitrary web text arriving through
+    * [[graft.sources.JsonlDocs]] — can legitimately contain one; a
+    * printable placeholder (the old 'º') collides with e.g. Spanish "nº"
+    * and conflates merged symbols with literal text in later censuses.
+    * Mirrored as chr(64976 + r) in DuckDB. */
+  private def bpeSentinel(r: Int): String = (0xFDD0 + r).toChar.toString
+
+  /** The token stream + in-token adjacent-pair census shared by the BPE
+    * training queries: pairs never cross token boundaries, every token
+    * instance contributes (Sennrich Algorithm 1's count), and the shuffle
+    * is bounded by the pair vocabulary (≤ symbols²), never the corpus. */
+  private def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
       .select(explode_outer(col("toks")).as("t"))
       .filter(col("t").isNotNull)
-    def pairCensus(tf: DataFrame, tcol: String): DataFrame = tf
-      .select(explode_outer(expr(
-        s"case when length($tcol) >= 2 then transform(sequence(1, length($tcol) - 1), " +
-          s"i -> substr($tcol, i, 2)) else array() end")).as("pair"))
-      .filter(col("pair").isNotNull)
-      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-    val top1 = pairCensus(toks, "t")
+
+  private def bpePairCensus(tf: DataFrame, tcol: String): DataFrame = tf
+    .select(explode_outer(expr(
+      s"case when length($tcol) >= 2 then transform(sequence(1, length($tcol) - 1), " +
+        s"i -> substr($tcol, i, 2)) else array() end")).as("pair"))
+    .filter(col("pair").isNotNull)
+    .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+
+  /** BPE TRAINING STEP — the round [[txtBpePairs]] only counts: APPLY the
+    * most frequent pair's merge and emit the round-2 census, i.e. one full
+    * iteration of Sennrich et al.'s Algorithm 1 (count pairs → merge the
+    * argmax everywhere → recount). The merged pair is rewritten to the
+    * single placeholder symbol [[bpeSentinel]](0) (a Unicode noncharacter,
+    * so a 2-char sliding window again reads adjacent SYMBOLS and no
+    * corpus text can collide; both engines' `replace` is left-to-right
+    * non-overlapping — exactly BPE's greedy merge order within a word).
+    * The argmax rides a 1-row broadcast onto the token stream; everything
+    * else is the same alphabet²-bounded map-side census as round 1. Two
+    * document scans total (census + re-census) — production BPE trainers
+    * pay the same shape per round. */
+  def txtBpeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val toks = bpeTokens(spark, dir)
+    val top1 = bpePairCensus(toks, "t")
       .orderBy(col("n").desc, col("pair")).limit(1)
       .select(col("pair").as("mp"))
     val merged = toks.crossJoin(broadcast(top1))
-      .select(expr("replace(t, mp, 'º')").as("t2"))
-    pairCensus(merged, "t2")
+      .select(expr(s"replace(t, mp, '${bpeSentinel(0)}')").as("t2"))
+    bpePairCensus(merged, "t2")
       .orderBy(col("n").desc, col("pair"))
       .limit(100)
+  }
+
+  /** How many merge rounds [[txtBpeVocab]] trains — bounded like the
+    * PageRank unroll; each round is one scan + one alphabet²-bounded
+    * census, so k rounds cost k scans, linear at any corpus size. */
+  private val BpeVocabRounds = 4
+
+  /** MULTI-ROUND BPE TRAINING — the trainer ARTIFACT [[txtBpeMerge]]'s
+    * single iteration only gestures at: [[BpeVocabRounds]] rounds of
+    * count → argmax → merge-everywhere, emitting the MERGE TABLE
+    * (round, pair, n) — the ordered merge list IS what a BPE tokenizer
+    * ships (Sennrich et al. 2016, Algorithm 1 run to k merges). Round r's
+    * winning pair is rewritten to [[bpeSentinel]](r-1), so later rounds
+    * treat merged units as single symbols and can merge ACROSS earlier
+    * merges (pair strings from round ≥ 2 may contain earlier sentinels —
+    * that is the recursive structure of a real BPE vocabulary). Each
+    * round's 1-row argmax is materialized via a local checkpoint (the
+    * dd_cluster pattern): without the 1-row barrier the round-r census
+    * would replay every earlier census through its own argmax subtree —
+    * exponential in rounds — whereas with it each round costs ONE pass
+    * over the token stream with r broadcast replaces riding along. */
+  def txtBpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    var cur = bpeTokens(spark, dir)
+    val rounds = (1 to BpeVocabRounds).map { r =>
+      val top1Plan = bpePairCensus(cur, "t")
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(lit(r.toLong).as("round"), col("pair"), col("n"))
+      val rdd = top1Plan.rdd
+      rdd.localCheckpoint()
+      rdd.count() // materialize: the 1-row barrier that keeps rounds linear
+      trackRdd(rdd)
+      val top1 = spark.createDataFrame(rdd, top1Plan.schema)
+      cur = cur.crossJoin(broadcast(top1.select(col("pair").as("mp"))))
+        .select(expr(s"replace(t, mp, '${bpeSentinel(r - 1)}')").as("t"))
+      top1
+    }
+    rounds.reduce(_ union _).orderBy(col("round"))
   }
 
   /** Per-document DUPLICATION FRACTION — the doc-level readout of the
@@ -3167,12 +3308,14 @@ object LlmOps {
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_containment" -> ddContainment _,
     "dd_dedup_keep" -> ddDedupKeep _,
+    "dd_dedup_keep_best" -> ddDedupKeepBest _,
     "dd_cluster" -> ddCluster _,
     "txt_tfidf" -> txtTfidf _,
     "txt_balance" -> txtBalance _,
     "txt_vocab_coverage" -> txtVocabCoverage _,
     "txt_bpe_pairs" -> txtBpePairs _,
     "txt_bpe_merge" -> txtBpeMerge _,
+    "txt_bpe_vocab" -> txtBpeVocab _,
     "txt_len_histogram" -> txtLenHistogram _,
     "txt_chunks" -> txtChunks _,
     "txt_pack" -> txtPack _,
@@ -3198,6 +3341,7 @@ object LlmOps {
     "dd_minhash_wide" -> ddMinhashWide _,
     "dd_minhash_wide_pairs" -> ddMinhashWidePairs _,
     "dd_incremental_near" -> ddIncrementalNear _,
+    "dd_incremental_capped" -> ddIncrementalCapped _,
     "dd_simhash" -> ddSimhash _,
     "dd_simhash_pairs" -> ddSimhashPairs _,
     "dd_simhash_wide" -> ddSimhashWide _,
@@ -3472,6 +3616,61 @@ object LlmOps {
          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.ib = doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // quality-ranked keep: same component fixpoint as dd_cluster, winner
+    // per cluster by (classifier score DESC NULLS LAST, doc_id)
+    "dd_dedup_keep_best" -> {
+      val stopsIn = classifierStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE $baseDuck, sh0 AS (
+         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
+         |  FROM base),
+         |sh AS (
+         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (
+         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
+         |  HAVING count(*) <= $StopShingleCap),
+         |capped AS (
+         |  SELECT sh.* FROM sh SEMI JOIN rare
+         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+         |  FROM capped a JOIN capped b
+         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |edges AS (
+         |  SELECT ia AS a, ib AS b FROM pairs
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE common / (sa.n + sb.n - common) >= 0.8),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+         |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+         |scored AS (
+         |  SELECT doc_id,
+         |    (CAST(len(toks) AS BIGINT)
+         |      + 4 * CAST(len(list_filter(toks, t -> t IN ($stopsIn))) AS BIGINT)
+         |      - 2 * CAST(len(list_filter(toks, t -> length(t) <= 2)) AS BIGINT)
+         |      - 3 * CAST(len(list_filter(toks, t -> length(t) >= 12)) AS BIGINT)
+         |      - 2 * CAST(len(toks) - len(list_distinct(toks)) AS BIGINT))
+         |      / nullif(CAST(len(toks) AS BIGINT), 0) AS score
+         |  FROM base),
+         |rankd AS (
+         |  SELECT l.doc_id, l.cluster_id, sc.score,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY sc.score DESC NULLS LAST, l.doc_id) AS rk
+         |  FROM lbl l JOIN scored sc ON l.doc_id = sc.doc_id),
+         |losers AS (SELECT doc_id FROM rankd WHERE rk > 1)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars, w.cluster_id, sc.score
+         |FROM documents d
+         |JOIN scored sc ON d.doc_id = sc.doc_id
+         |LEFT JOIN (SELECT doc_id, cluster_id FROM rankd WHERE rk = 1) w
+         |  ON d.doc_id = w.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE losers.doc_id = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "dd_cluster" ->
       s"""WITH RECURSIVE $baseDuck, sh0 AS (
          |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
@@ -3734,8 +3933,8 @@ object LlmOps {
          |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
 
     // one full BPE training round: argmax pair of the round-1 census
-    // merged to the 'º' placeholder (replace = left-to-right greedy in
-    // both engines), then the round-2 adjacent-symbol census
+    // merged to the noncharacter sentinel chr(64976) (replace =
+    // left-to-right greedy in both engines), then the round-2 census
     "txt_bpe_merge" ->
       s"""WITH $baseDuck, tok AS (
          |  SELECT unnest(toks) AS t FROM base),
@@ -3747,7 +3946,7 @@ object LlmOps {
          |  SELECT pair AS mp FROM p1 GROUP BY pair
          |  ORDER BY count(*) DESC, pair LIMIT 1),
          |m AS (
-         |  SELECT replace(t, (SELECT mp FROM top1), 'º') AS t2 FROM tok),
+         |  SELECT replace(t, (SELECT mp FROM top1), chr(64976)) AS t2 FROM tok),
          |p2 AS (
          |  SELECT unnest(list_transform(range(1, greatest(length(t2) - 1, 0) + 1),
          |    i -> substr(t2, i, 2))) AS pair
@@ -3755,6 +3954,36 @@ object LlmOps {
          |SELECT pair, count(*) AS n
          |FROM p2 GROUP BY pair
          |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+
+    // k merge rounds unrolled: each round's census over the stream with
+    // all earlier argmax merges applied (sentinels chr(64976 + r))
+    "txt_bpe_vocab" -> {
+      val census = (src: String, out: String) =>
+        s"""$out AS (
+           |  SELECT unnest(list_transform(range(1, greatest(length(t) - 1, 0) + 1),
+           |    i -> substr(t, i, 2))) AS pair
+           |  FROM $src)""".stripMargin
+      val top = (src: String, out: String) =>
+        s"""$out AS (
+           |  SELECT pair AS mp, count(*) AS n FROM $src GROUP BY pair
+           |  ORDER BY count(*) DESC, pair LIMIT 1)""".stripMargin
+      val merge = (src: String, topN: String, out: String, r: Int) =>
+        s"""$out AS (
+           |  SELECT replace(t, (SELECT mp FROM $topN), chr(${64976 + r - 1})) AS t
+           |  FROM $src)""".stripMargin
+      val rounds = (1 to BpeVocabRounds).map { r =>
+        val src = if (r == 1) "tok" else s"m${r - 1}"
+        Seq(census(src, s"p$r"), top(s"p$r", s"t$r")) ++
+          (if (r < BpeVocabRounds) Seq(merge(src, s"t$r", s"m$r", r)) else Nil)
+      }
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT unnest(toks) AS t FROM base),
+         |${rounds.flatten.mkString(",\n")}
+         |${(1 to BpeVocabRounds)
+             .map(r => s"SELECT CAST($r AS BIGINT) AS round, mp AS pair, n FROM t$r")
+             .mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin
+    },
 
     "dd_dup_fraction" ->
       s"""WITH $baseDuck, w0 AS (
@@ -4008,8 +4237,9 @@ object LlmOps {
          |FROM cand JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id
          |ORDER BY est_sim DESC, ia, ib LIMIT 200""".stripMargin,
 
-    // incremental near-dup: batch (>= 250) LSH-probed against the corpus
-    // (< 250) through the wide signature; corpus-side bucket cap mirrored
+    // incremental near-dup: the batch (>= split) LSH-probed against the
+    // corpus (< split) through the wide signature; corpus-side bucket cap
+    // (the probe's wider one) mirrored
     "dd_incremental_near" ->
       s"""WITH $baseDuck, sh AS (
          |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
@@ -4020,15 +4250,15 @@ object LlmOps {
          |  SELECT doc_id, $minhashWideSliceCols
          |  FROM h GROUP BY doc_id),
          |cb0 AS (
-         |  ${wideBandsDuckBranches(" WHERE doc_id < 250")}),
+         |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
          |cb AS (
          |  SELECT doc_id, band, bh FROM (
          |    SELECT doc_id, band, bh,
          |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
          |    FROM cb0)
-         |  WHERE rn <= $SimhashBucketCap),
+         |  WHERE rn <= $IncrementalProbeCap),
          |bb AS (
-         |  ${wideBandsDuckBranches(" WHERE doc_id >= 250")}),
+         |  ${wideBandsDuckBranches(s" WHERE doc_id >= $IncrementalSplit")}),
          |cand AS (
          |  SELECT DISTINCT b.doc_id AS ia, c.doc_id AS ib
          |  FROM bb b JOIN cb c ON b.band = c.band AND b.bh = c.bh),
@@ -4045,8 +4275,28 @@ object LlmOps {
          |SELECT d.doc_id, best.ib AS match_id, best.est_sim,
          |  (best.est_sim IS NULL OR best.est_sim < 0.5) AS kept
          |FROM documents d LEFT JOIN best ON d.doc_id = best.ia
-         |WHERE d.doc_id >= 250
+         |WHERE d.doc_id >= $IncrementalSplit
          |ORDER BY d.doc_id""".stripMargin,
+
+    // cap accounting for the incremental probe: what the corpus-side
+    // bucket cap cut (pinned to zero on the synthetic corpora)
+    "dd_incremental_capped" ->
+      s"""WITH $baseDuck, sh AS (
+         |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
+         |h AS (
+         |  SELECT doc_id, ${(0 until 16).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id, $minhashWideSliceCols
+         |  FROM h GROUP BY doc_id),
+         |cb0 AS (
+         |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
+         |buckets AS (
+         |  SELECT band, bh, count(*) AS cnt FROM cb0 GROUP BY band, bh)
+         |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN cnt > $IncrementalProbeCap THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_capped,
+         |  CAST(sum(greatest(cnt - $IncrementalProbeCap, 0)) AS BIGINT) AS n_rows_capped_out
+         |FROM buckets""".stripMargin,
 
     "dd_minhash_pairs" ->
       s"""WITH $baseDuck, sh AS (
@@ -4080,22 +4330,22 @@ object LlmOps {
          |FROM bits ORDER BY doc_id""".stripMargin,
 
     "dd_incremental" ->
-      """WITH existing AS (
-        |  SELECT md5(text) AS fp FROM documents WHERE doc_id < 250)
+      s"""WITH existing AS (
+        |  SELECT md5(text) AS fp FROM documents WHERE doc_id < $IncrementalSplit)
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d
-        |WHERE d.doc_id >= 250
+        |WHERE d.doc_id >= $IncrementalSplit
         |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = md5(d.text))
         |ORDER BY d.doc_id""".stripMargin,
 
     // same semantics as dd_incremental — the bucketed variant changes the
     // physical plan (zero corpus-side exchange), never the result
     "dd_incremental_bucketed" ->
-      """WITH existing AS (
-        |  SELECT md5(text) AS fp FROM documents WHERE doc_id < 250)
+      s"""WITH existing AS (
+        |  SELECT md5(text) AS fp FROM documents WHERE doc_id < $IncrementalSplit)
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d
-        |WHERE d.doc_id >= 250
+        |WHERE d.doc_id >= $IncrementalSplit
         |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = md5(d.text))
         |ORDER BY d.doc_id""".stripMargin,
 

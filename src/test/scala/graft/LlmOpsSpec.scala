@@ -156,15 +156,86 @@ class LlmOpsSpec extends SparkSpec {
   test("BPE merge round: applying the argmax merge yields the known round-2 census") {
     import spark.implicits._
     // round 1 top pair on "banana" x3 is 'an' (tie-break); merging it
-    // rewrites each token to "b(an)(an)a" = bººa, whose adjacent-symbol
-    // pairs are bº / ºº / ºa, three occurrences each
+    // rewrites each token to "b(an)(an)a" = b··a for the noncharacter
+    // sentinel · = U+FDD0, whose adjacent-symbol pairs are b· / ·· / ·a,
+    // three occurrences each
+    val S = "\uFDD0"
     val text = "banana banana banana"
     val docs = Seq(Doc(0, text, "en", "s", text.length))
     val d = java.nio.file.Files.createTempDirectory("bpe2").toString
     docs.toDF().write.parquet(s"$d/documents.parquet")
     val rows = LlmOps.txtBpeMerge(spark, d).collect()
       .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
-    assert(rows.toSeq == Seq(("bº", 3L), ("ºa", 3L), ("ºº", 3L)), rows.mkString(","))
+    assert(rows.toSeq == Seq((s"b$S", 3L), (s"$S$S", 3L), (s"${S}a", 3L))
+      .sortBy(_._1), rows.mkString(","))
+  }
+
+  test("BPE vocab: four merge rounds produce the known merge table, sentinels merging across rounds") {
+    import spark.implicits._
+    // pair counts: ab 20/ba 10 (from "abab" x10), cd 12/dc 6 ("cdcd" x6),
+    // ef 6/fe 3 ("efef" x3). Round 1 merges ab -> S0 ("abab" becomes
+    // S0S0); round 2 cd (12); round 3 the SENTINEL pair S0S0 (10) — a
+    // merge ACROSS round 1's output, the recursive structure of a real
+    // BPE vocabulary; round 4 breaks the (ef 6, S1S1 6) tie by pair
+    // order ('ef' sorts below the noncharacter).
+    val text = (Seq.fill(10)("abab") ++ Seq.fill(6)("cdcd") ++ Seq.fill(3)("efef")).mkString(" ")
+    val docs = Seq(Doc(0, text, "en", "s", text.length))
+    val d = java.nio.file.Files.createTempDirectory("bpevocab").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtBpeVocab(spark, d).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair"), r.getAs[Long]("n")))
+    assert(rows.toSeq == Seq(
+      (1L, "ab", 20L), (2L, "cd", 12L), (3L, "\uFDD0\uFDD0", 10L), (4L, "ef", 6L)),
+      rows.mkString(","))
+  }
+
+  test("quality-ranked dedup keep: the better-scoring cluster member wins over the lower id") {
+    import spark.implicits._
+    // docs 0 and 1 are near-dups (10 of 12 shingles shared, Jaccard 0.833)
+    // in the same (lang, length-bucket) block; 0 carries a long-token
+    // penalty (score 8/13), 1 a stopword bonus (score 15/13). dd_dedup_keep
+    // keeps min-id 0; the quality-ranked keep must keep 1.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val lowQ = base + " zzzzzzzzzzzzzz" // 14-char token: -3 long
+    val highQ = base + " the"           // stopword: +4
+    val other = "one two three four five six seven eight nine ten eleven twelve!"
+    val docs = Seq(
+      Doc(0, lowQ, "en", "s0", lowQ.length),
+      Doc(1, highQ, "en", "s1", highQ.length),
+      Doc(2, other, "en", "s2", other.length))
+    val d = java.nio.file.Files.createTempDirectory("keepbest").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.ddDedupKeepBest(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L), s"kept ${rows.keySet}")
+    assert(rows(1).getAs[Long]("cluster_id") == 0L,
+      "the winner must carry its cluster's min-id label")
+    assert(rows(1).getAs[Double]("score") > 1.0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("cluster_id")),
+      "an unclustered doc keeps with a null cluster")
+    // control: the min-id keep would have made the opposite choice
+    val minId = LlmOps.ddDedupKeep(spark, d).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(minId == Set(0L, 2L), s"min-id keep surprised: $minId")
+  }
+
+  test("incremental-probe cap accounting: zero on a small corpus, exact cut under a monster cluster") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 310 identical corpus-side docs (ids < 250 via negatives) overflow
+    // the 256-member bucket cap in every band: 16 buckets capped, 54
+    // rows cut per band
+    val docs = (-60L until 250L).map(i => Doc(i, text, "en", "s", text.length))
+    val d = java.nio.file.Files.createTempDirectory("inccap").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val r = LlmOps.ddIncrementalCapped(spark, d).collect().head
+    assert(r.getAs[Long]("n_rows") == 310L * 16)
+    assert(r.getAs[Long]("n_buckets") == 16L)
+    assert(r.getAs[Long]("n_buckets_capped") == 16L)
+    assert(r.getAs[Long]("n_rows_capped_out") == (310L - 256) * 16)
+    // and the accounting is quiet on the ordinary crafted corpus
+    val quiet = LlmOps.ddIncrementalCapped(spark, dir).collect().head
+    assert(quiet.getAs[Long]("n_rows_capped_out") == 0L &&
+      quiet.getAs[Long]("n_buckets_capped") == 0L)
   }
 
   test("filtered PQ serve: label predicate holds through the ADC scan; recall tracks the flat filtered path") {

@@ -47,6 +47,9 @@ class PlanGuardSpec extends SparkSpec {
       // sketch, the BPE argmax merge) crossJoined onto a bounded table
       // or the token stream
       "txt_rarity", "txt_tfidf", "txt_top_terms_cms", "txt_vocab_coverage",
+      // (txt_bpe_vocab also crossJoins 1-row argmaxes, but each round is
+      // materialized eagerly behind a local checkpoint at build time, so
+      // the RETURNED plan — all this sweep can see — is a union of leaves)
       "txt_bpe_merge")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
