@@ -3089,17 +3089,30 @@ object LlmOps {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val held = e.filter(expr("vec_id % 4 = 3"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-    val assigned = held.crossJoin(broadcast(serveCentroids(spark, dir)))
-      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-      .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("nrm"), col("cent_id").as("cell"))
+    val assigned = serveInsertAssign(spark, dir)
     val codes = pqEncode(held, servePqCodebook(spark, dir))
     assigned.join(codes, "vec_id")
       .select(Seq(col("vec_id"), col("cell"), col("nrm")) ++
         (0 until PqM).map(s => expr(s"CAST(codes[$s] AS BIGINT)").as(s"c$s")): _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** The INSERT path's cell assignment — each arriving (held-out) vector
+    * quantized against the frozen corpus centroids: (vec_id, nrm, cell).
+    * ONE site shared by [[simIvfServeInsert]] (which appends PQ codes) and
+    * [[simIvfRetrain]] (which censuses the post-insert occupancy), so the
+    * write path and the re-train decision can never disagree on where an
+    * insert landed. */
+  private def serveInsertAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    e.filter(expr("vec_id % 4 = 3"))
+      .crossJoin(broadcast(serveCentroids(spark, dir)))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("nrm"), col("cent_id").as("cell"))
   }
 
   /** DELETE path of incremental serving — the third side of the serve
@@ -3163,6 +3176,48 @@ object LlmOps {
       .select(col("vec_id"), col("cell"),
         (col("tomb0") && !col("compacted")).as("tomb"), col("compacted"))
       .orderBy(col("cell"), col("vec_id"))
+  }
+
+  /** RE-TRAIN DECISION — the last side of the serve-index lifecycle
+    * ([[simIvfServe]] reads, [[simIvfServeInsert]] writes,
+    * [[simIvfServeDelete]]/[[simIvfCompact]] retire): an IVF index absorbs
+    * inserts into its FROZEN cells, so occupancy drifts — cells fill
+    * unevenly and the per-cell scan cost (∝ cell size) degrades until a
+    * periodic re-train re-balances the centroids (the re-train itself
+    * being [[simIvfKmeans]]'s Lloyd round over the grown corpus). This
+    * query computes the decision the maintenance loop polls: per-cell
+    * post-insert occupancy (corpus members + arrivals through the shared
+    * [[serveInsertAssign]], so the decision can never disagree with the
+    * write path about where inserts landed) and two drift signals —
+    * `frac_inserted` (arrivals / total: re-train once enough of the index
+    * never voted for the centroids) and `skew` (max cell / mean cell, as
+    * the single long-arithmetic division max·cells/total: re-train when
+    * the worst cell's scan cost runs ≥ 2× the balanced cost). retrain =
+    * frac_inserted ≥ 0.2 OR skew ≥ 2.0. Cost mirrors the compaction
+    * decision: one map-side-combinable census over (vec_id, cell) columns
+    * — vectors are never read on the corpus side — plus k centroid dots
+    * per arrival; output is k rows at any index size, so polling the
+    * decision is free. LlmOpsSpec extends the lifecycle to
+    * read → insert → decide and pins the census + both signals. */
+  def simIvfRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = ivfServeAssignTable(spark, dir)
+      .select(col("cell"), lit(0L).as("ins"))
+    val inserted = serveInsertAssign(spark, dir)
+      .select(col("cell"), lit(1L).as("ins"))
+    val census = corpus.union(inserted)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_total"), sum(col("ins")).as("n_inserted"),
+        (count(lit(1)) - sum(col("ins"))).as("n_corpus"))
+    val globals = census.agg(
+      sum(col("n_total")).as("g_total"), sum(col("n_inserted")).as("g_ins"),
+      count(lit(1)).as("g_cells"), max(col("n_total")).as("g_max"))
+    census.crossJoin(broadcast(globals))
+      .withColumn("frac_inserted", col("g_ins") / col("g_total"))
+      .withColumn("skew", (col("g_max") * col("g_cells")) / col("g_total"))
+      .withColumn("retrain", col("frac_inserted") >= 0.2 || col("skew") >= 2.0)
+      .select(col("cell"), col("n_corpus"), col("n_inserted"), col("n_total"),
+        col("frac_inserted"), col("skew"), col("retrain"))
+      .orderBy(col("cell"))
   }
 
   /** METADATA-FILTERED ANN — the "filtered search" every production
@@ -3362,6 +3417,7 @@ object LlmOps {
     "sim_ivf_serve_insert" -> simIvfServeInsert _,
     "sim_ivf_serve_delete" -> simIvfServeDelete _,
     "sim_ivf_compact" -> simIvfCompact _,
+    "sim_ivf_retrain" -> simIvfRetrain _,
     "sim_ivf_filtered" -> simIvfFiltered _,
     "sim_ivf_filtered_pq" -> simIvfFilteredPq _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
@@ -4838,6 +4894,42 @@ object LlmOps {
          |FROM corpus t JOIN census c USING (cell)
          |WHERE NOT (c.compacted AND t.tomb0)
          |ORDER BY t.cell, t.vec_id""".stripMargin,
+
+    // re-train decision: post-insert occupancy census (corpus + held-out
+    // arrivals assigned to the frozen centroids) + the two drift signals
+    "sim_ivf_retrain" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id % 4 <> 3
+         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |assign AS (
+         |  SELECT vec_id, cell, ins FROM (
+         |    SELECT e.vec_id, cents.cent_id AS cell,
+         |      CAST(e.vec_id % 4 = 3 AS BIGINT) AS ins,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents)
+         |  WHERE ark = 1),
+         |census AS (
+         |  SELECT cell, count(*) AS n_total,
+         |    CAST(sum(ins) AS BIGINT) AS n_inserted,
+         |    count(*) - CAST(sum(ins) AS BIGINT) AS n_corpus
+         |  FROM assign GROUP BY cell),
+         |g AS (
+         |  SELECT CAST(sum(n_total) AS BIGINT) AS g_total,
+         |    CAST(sum(n_inserted) AS BIGINT) AS g_ins,
+         |    count(*) AS g_cells, max(n_total) AS g_max
+         |  FROM census)
+         |SELECT cell, n_corpus, n_inserted, n_total,
+         |  g_ins / g_total AS frac_inserted,
+         |  (g_max * g_cells) / g_total AS skew,
+         |  (g_ins / g_total >= 0.2 OR (g_max * g_cells) / g_total >= 2.0) AS retrain
+         |FROM census CROSS JOIN g ORDER BY cell""".stripMargin,
 
     // filtered search: the label predicate joins INTO the cell scan;
     // queries probe FilteredNprobe cells against the label-carrying index

@@ -1237,6 +1237,39 @@ class LlmOpsSpec extends SparkSpec {
       "post-compaction serving diverged from pre-compaction on live ids")
   }
 
+  test("re-train decision: post-insert census partitions the index, signals agree with the write path") {
+    import org.apache.spark.sql.functions.col
+    val real = "/root/testdata/sf0.001"
+    val rows = LlmOps.simIvfRetrain(spark, real).collect()
+    assert(rows.nonEmpty)
+    val e = spark.read.parquet(s"$real/embeddings.parquet")
+    val (nCorpus, nHeld) =
+      (e.filter("vec_id % 4 <> 3").count(), e.filter("vec_id % 4 = 3").count())
+    // census conservation: cells partition corpus + arrivals exactly
+    assert(rows.map(_.getAs[Long]("n_corpus")).sum == nCorpus)
+    assert(rows.map(_.getAs[Long]("n_inserted")).sum == nHeld)
+    rows.foreach(r => assert(r.getAs[Long]("n_total") ==
+      r.getAs[Long]("n_corpus") + r.getAs[Long]("n_inserted")))
+    // the decision must see inserts exactly where the WRITE path put them
+    val writePath = LlmOps.simIvfServeInsert(spark, real)
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(writePath.getOrElse(r.getAs[Long]("cell"), 0L) == r.getAs[Long]("n_inserted"),
+        s"decision and insert path disagree on cell ${r.getAs[Long]("cell")}")
+    }
+    // global signals are identical on every row and match the census
+    val fracs = rows.map(_.getAs[Double]("frac_inserted")).distinct
+    val skews = rows.map(_.getAs[Double]("skew")).distinct
+    assert(fracs.length == 1 && skews.length == 1)
+    assert(fracs.head == nHeld.toDouble / (nCorpus + nHeld))
+    val maxCell = rows.map(_.getAs[Long]("n_total")).max
+    assert(skews.head == (maxCell * rows.length).toDouble / (nCorpus + nHeld))
+    // a quarter of the index never voted for the centroids -> re-train
+    assert(fracs.head >= 0.2 && rows.forall(_.getAs[Boolean]("retrain")),
+      "insert drift crossed the threshold but the decision did not fire")
+  }
+
   test("filtered ANN: answers satisfy the label predicate; recall measured vs label-filtered brute force") {
     import spark.implicits._
     val real = "/root/testdata/sf0.001"

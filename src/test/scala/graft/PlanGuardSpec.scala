@@ -38,7 +38,8 @@ class PlanGuardSpec extends SparkSpec {
       "sim_ivf", "sim_ivf2", "sim_ivf_nprobe2", "sim_ivf_kmeans",
       "sim_ivf_pq", "sim_ivf_pq256", "sim_ivf_pq_rerank",
       "sim_ivf_serve", "sim_ivf_serve_pq", "sim_ivf_serve_insert",
-      "sim_ivf_serve_delete", "sim_ivf_compact", "sim_ivf_filtered",
+      "sim_ivf_serve_delete", "sim_ivf_compact", "sim_ivf_retrain",
+      "sim_ivf_filtered",
       "sim_ivf_filtered_pq", "dd_semdedup",
       // brute-force baseline: the query side is hard-capped at 256 rows
       // (SimQueryCap) before broadcasting against the corpus scan
