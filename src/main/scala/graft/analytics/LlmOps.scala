@@ -1078,6 +1078,40 @@ object LlmOps {
     t
   }
 
+  /** INGESTION-HEALTH census — promotes [[graft.sources.JsonlDocs]]'s
+    * quarantine accounting to the oracle-checked surface: a JSONL feed is
+    * derived in-plan from the documents table with DETERMINISTIC planted
+    * damage (doc_id % 10 = 3 → line truncated mid-object; % 10 = 5 → the
+    * required doc_id field absent; % 10 = 7 → the required text field
+    * absent), pushed through the REAL permissive parser (`from_json` over
+    * [[graft.sources.JsonlDocs.schema]]) and the REAL admission/reason
+    * classifiers ingestion uses, then counted per reason. The oracle
+    * recomputes the expected counts from the damage rule alone — so the
+    * hash match asserts the parser + classifier recover exactly the
+    * damage that was planted: torn lines parse to nothing, field-dropped
+    * lines parse but fail admission with the right reason, clean lines
+    * admit. (Implied conservation: the four counts sum to the corpus.)
+    * Per-row work over one scan + a 4-row aggregate — an ingestion-health
+    * dashboard query that stays free at any scale. */
+  def ingestQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JsonlDocs
+    val full = "to_json(named_struct('doc_id', doc_id, 'text', text, 'lang', lang, 'source', source))"
+    val noId = "to_json(named_struct('text', text, 'lang', lang, 'source', source))"
+    val noText = "to_json(named_struct('doc_id', doc_id, 'lang', lang, 'source', source))"
+    Tables.documents(spark, dir)
+      .select(
+        when(col("doc_id") % 10 === 3, expr(s"substr($full, 1, length($full) - 5)"))
+          .when(col("doc_id") % 10 === 5, expr(noId))
+          .when(col("doc_id") % 10 === 7, expr(noText))
+          .otherwise(expr(full)).as("value"))
+      .withColumn("j", from_json(col("value"), JsonlDocs.schema))
+      .select(
+        when(JsonlDocs.okCol(col("j")), lit("ok"))
+          .otherwise(JsonlDocs.reasonCol(col("j"))).as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+      .orderBy(col("reason"))
+  }
+
   /** MinHash signatures (k=8 permutations approximated by seeded md5 minima
     * over the shingle set). The per-doc aggregation is a single map-side
     * combinable groupBy — scales linearly in total shingle count. */
@@ -3397,6 +3431,7 @@ object LlmOps {
     "dd_minhash_wide_pairs" -> ddMinhashWidePairs _,
     "dd_incremental_near" -> ddIncrementalNear _,
     "dd_incremental_capped" -> ddIncrementalCapped _,
+    "ingest_quarantine" -> ingestQuarantine _,
     "dd_simhash" -> ddSimhash _,
     "dd_simhash_pairs" -> ddSimhashPairs _,
     "dd_simhash_wide" -> ddSimhashWide _,
@@ -4353,6 +4388,16 @@ object LlmOps {
          |  CAST(sum(CASE WHEN cnt > $IncrementalProbeCap THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_capped,
          |  CAST(sum(greatest(cnt - $IncrementalProbeCap, 0)) AS BIGINT) AS n_rows_capped_out
          |FROM buckets""".stripMargin,
+
+    // ingestion-health census: the oracle recomputes the per-reason counts
+    // from the deterministic damage rule alone — the Spark side must
+    // recover exactly that split through the real permissive parser
+    "ingest_quarantine" ->
+      """SELECT CASE WHEN doc_id % 10 = 3 THEN 'torn_json'
+        |            WHEN doc_id % 10 = 5 THEN 'missing_doc_id'
+        |            WHEN doc_id % 10 = 7 THEN 'missing_text'
+        |            ELSE 'ok' END AS reason, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY reason""".stripMargin,
 
     "dd_minhash_pairs" ->
       s"""WITH $baseDuck, sh AS (
