@@ -1321,6 +1321,63 @@ object LlmOps {
         sum(greatest(col("cnt") - IncrementalProbeCap, lit(0L)))
           .as("n_rows_capped_out"))
 
+  /** Row-LOCAL wide signature, for the STREAMING probe: the same 64
+    * min-slices as [[buildMinhashWideSig]] — same "w<d>:" seeded digests,
+    * same 8-hex slicing, min over the same shingle set — computed as
+    * array expressions within each document's own row (a streaming select
+    * cannot run the table aggregation; it doesn't need to, since all of a
+    * doc's shingles live in its row). Appends a `sig` array<string>(64)
+    * column; a doc that cannot shingle gets all-null slices, which
+    * null out its band hashes downstream — the per-row form of "no sig
+    * row, no bands". Each of the 16 digests is computed once per shingle
+    * and sliced four ways (codegen subexpression elimination keeps the
+    * md5 count identical to the batch build). */
+  private[graft] def withWideSigPerRow(df: DataFrame): DataFrame = {
+    val withSh = df.withColumn("toks", expr(toksSpark))
+      .withColumn("sh_", expr(shinglesSpark))
+    val withH = (0 until MinhashWidePerms / 4).foldLeft(withSh) { (d2, dg) =>
+      d2.withColumn(s"h$dg", expr(s"transform(sh_, s -> md5(concat('w$dg:', s)))"))
+    }
+    val sigCols = (0 until MinhashWidePerms).map { j =>
+      expr(s"array_min(transform(h${j / 4}, x -> substr(x, ${1 + 8 * (j % 4)}, 8)))")
+    }
+    withH.withColumn("sig", array(sigCols: _*))
+      .drop(((0 until MinhashWidePerms / 4).map(d => s"h$d") ++ Seq("toks", "sh_")): _*)
+  }
+
+  /** Row-local [[MinhashWideBands]]-band stack over a `sig` array column:
+    * array of (band, bh) structs, bh = md5 of the band's four slices —
+    * exactly [[wideBands]]'s hash over the same geometry constants, so
+    * the streaming probe and the batch index agree band for band. */
+  private[graft] def wideBandsPerRow(sig: Column): Column =
+    array((0 until MinhashWideBands).map { bd =>
+      struct(lit(bd).as("band"),
+        md5(concat((0 until 4).map(r => sig.getItem(4 * bd + r)): _*)).as("bh"))
+    }: _*)
+
+  /** The STATIC corpus state a streaming near-dup probe joins against —
+    * (ib, band, bh, mh0..mh63): the capped corpus band table
+    * ([[IncrementalProbeCap]], same as the batch probe) carrying the
+    * corpus signature slices, built from the ONE memoized wide-signature
+    * table. Re-read per micro-batch by the stream-static join (the same
+    * refresh-between-restarts contract as the fingerprint state in
+    * [[graft.streaming.EventStream.dedupeAgainstCorpus]]); at production
+    * scale this is the persisted LSH index table. */
+  def nearDupCorpusState(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashWideSig(spark, dir).filter(col("doc_id") < IncrementalSplit)
+    cappedWideBands(sig, IncrementalProbeCap).toDF("ib", "band", "bh")
+      .join(sig.toDF(("ib" +: (0 until MinhashWidePerms).map(j => s"mh$j")): _*), "ib")
+  }
+
+  /** est_sim of a streaming candidate row: the row-local `sig` array
+    * against a joined corpus signature's mh columns — [[wideEstSim]]'s
+    * arithmetic (count of matching slices, cast, one division) against
+    * the per-row layout. */
+  private[graft] def wideEstSimPerRow(sig: Column): Column =
+    (0 until MinhashWidePerms)
+      .map(j => when(sig.getItem(j) === col(s"mh$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / MinhashWidePerms.toDouble
+
   /** est_sim for a candidate joined to the signature as `a`/`b`:
     * matching slices / [[MinhashWidePerms]]. */
   private def wideEstSim: Column =

@@ -269,6 +269,59 @@ object EventStream {
       .withColumn("fp", md5(col("text")))
       .join(corpusFps, Seq("fp"), "left_anti")
 
+  case class NearDupVerdict(doc_id: Long, match_id: Option[Long],
+                            est_sim: Option[Double], kept: Boolean)
+
+  /** Streaming NEAR-dup ingestion — the streaming twin of the batch
+    * `LlmOps.ddIncrementalNear`, closing the admission-consistency gap
+    * between the two paths: [[dedupeAgainstCorpus]] anti-joins exact
+    * fingerprints only, so an in-stream pipeline would admit near-
+    * re-crawls (ads/timestamps changed, content the same) that the batch
+    * probe later rejects. Each arriving document's 64-slice wide-MinHash
+    * signature is computed ROW-LOCALLY (`LlmOps.withWideSigPerRow` — the
+    * same seeded digests, slicing, and min as the batch signature table,
+    * evaluable in a stateless streaming select), its 16 band hashes
+    * probe the static capped corpus band state (`LlmOps
+    * .nearDupCorpusState`, re-read per micro-batch like the fingerprint
+    * state), and the per-doc best match collapses in a
+    * flatMapGroupsWithState reducer — stream-native argmax, since a
+    * streaming frame allows neither window functions nor append-mode
+    * aggregation. Verdicts are per-doc and depend only on the corpus
+    * state, so they are IDENTICAL however the batch is micro-batched —
+    * EventStreamSpec pins the accumulated sink equal to the
+    * oracle-checked batch probe on the same split. State is never
+    * stored (the group exists only to reduce within the micro-batch);
+    * per arriving doc the work is ≤ bands × cap candidates regardless
+    * of corpus size — the batch probe's bound, kept in-stream. */
+  def nearDedupeAgainstCorpus(docs: DataFrame, corpusState: DataFrame): Dataset[NearDupVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.analytics.LlmOps
+    val sigd = LlmOps.withWideSigPerRow(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("sig"),
+        explode(LlmOps.wideBandsPerRow(col("sig"))).as("b"))
+      .select(col("doc_id"), col("sig"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    val cs = corpusState.select(Seq(col("ib"), col("band").as("cband"),
+      col("bh").as("cbh")) ++ (0 until 64).map(j => col(s"mh$j")): _*)
+    val cands = sigd.join(cs,
+        col("band") === col("cband") && col("bh") === col("cbh"), "left")
+      .select(col("doc_id"), col("ib"),
+        when(col("ib").isNotNull, LlmOps.wideEstSimPerRow(col("sig"))).as("est"))
+      .as[(Long, Option[Long], Option[Double])]
+    cands.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, NearDupVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (docId: Long, rows: Iterator[(Long, Option[Long], Option[Double])],
+         state: GroupState[Int]) =>
+          // the group only reduces within the micro-batch — no state kept
+          val cands = rows.collect { case (_, Some(ib), Some(e)) => (ib, e) }.toSeq
+          val best = if (cands.isEmpty) None
+            else Some(cands.minBy { case (ib, e) => (-e, ib) }) // est desc, id asc
+          Iterator.single(NearDupVerdict(docId, best.map(_._1), best.map(_._2),
+            kept = best.forall(_._2 < 0.5)))
+      }
+  }
+
   /** Wire a streaming DataFrame to a memory sink for tests/demos. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

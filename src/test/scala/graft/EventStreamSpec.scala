@@ -408,4 +408,39 @@ class EventStreamSpec extends SparkSpec {
         "a user skipped a funnel stage")
     } finally q.stop()
   }
+
+  test("stream-driven near-dup ingestion probe equals the oracle-checked batch dd_incremental_near") {
+    // The admission-consistency contract: the arriving half of the
+    // documents table (doc_id >= 250), fed as a real stream in several
+    // micro-batches, LSH-probed per batch against the static corpus band
+    // state, must produce EXACTLY the verdicts of the oracle-checked
+    // batch probe on the same split — per-doc verdicts depend only on
+    // the corpus state, so the micro-batching must not matter.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpusState = graft.analytics.LlmOps.nearDupCorpusState(spark, dir)
+    val arriving = graft.analytics.Tables.documents(spark, dir)
+      .filter("doc_id >= 250").select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val chunks = arriving.grouped((arriving.size + 3) / 4).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.toMemorySink(
+      EventStream.nearDedupeAgainstCorpus(
+        input.toDF().toDF("doc_id", "text"), corpusState).toDF(),
+      "near_parity", OutputMode.Append())
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong),
+        Option(r.getAs[java.lang.Double]("est_sim")).map(_.toDouble),
+        r.getAs[Boolean]("kept"))
+      val got = spark.table("near_parity").collect().map(key).toSet
+      val want = graft.analytics.LlmOps.ddIncrementalNear(spark, dir).collect().map(key).toSet
+      assert(got.size == arriving.size, "conservation: one verdict per arriving doc")
+      assert(want.exists(!_._4), "parity vacuous: the batch probe dropped nothing at this sf")
+      assert(got == want,
+        s"stream probe diverged from batch: missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+    } finally q.stop()
+  }
 }
