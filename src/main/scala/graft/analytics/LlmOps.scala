@@ -591,6 +591,7 @@ object LlmOps {
     "simhash_wide_sig" -> (() => { simhashWideSig(spark, dir).count(); () }),
     "minhash_sig" -> (() => { minhashSig(spark, dir).count(); () }),
     "minhash_wide_sig" -> (() => { minhashWideSig(spark, dir).count(); () }),
+    "minhash_wide128_sig" -> (() => { minhashWide128Sig(spark, dir).count(); () }),
     "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }),
     "ivf_assign" -> (() => { ivfAssignTable(spark, dir).count(); () }),
     "ivf_kmeans_assign" -> (() => { ivfKmeansAssignTable(spark, dir).count(); () }),
@@ -1254,22 +1255,41 @@ object LlmOps {
   private def minhashWideSig(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "minhash_wide_sig") { buildMinhashWideSig(spark, dir) }
 
-  private def buildMinhashWideSig(spark: SparkSession, dir: String): DataFrame = {
+  private def buildMinhashWideSig(spark: SparkSession, dir: String): DataFrame =
+    buildMinhashWideSigN(spark, dir, MinhashWidePerms)
+
+  /** The wide-signature build generalized over permutation count —
+    * perms/4 seeded digests ("w<d>:" prefixes keep them independent of
+    * the didactic path's md5(s) / md5('x'||s) family; the 64-perm
+    * signature is by construction the first 64 slices of the 128-perm
+    * one). One map-side-combinable min-aggregation whatever the width. */
+  private def buildMinhashWideSigN(spark: SparkSession, dir: String, perms: Int): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
       .select(col("doc_id"), explode_outer(expr(shinglesSpark)).as("s"))
       .filter(col("s").isNotNull)
-    // 16 seeded digests ("w<d>:" prefixes keep them independent of the
-    // didactic path's md5(s) / md5('x'||s) family)
-    val hashed = (0 until MinhashWidePerms / 4).foldLeft(sh) { (df, d) =>
+    val hashed = (0 until perms / 4).foldLeft(sh) { (df, d) =>
       df.withColumn(s"h$d", md5(concat(lit(s"w$d:"), col("s"))))
     }
-    val mhs = (0 until MinhashWidePerms).map { j =>
+    val mhs = (0 until perms).map { j =>
       min(substring(col(s"h${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"mh$j")
     }
     hashed.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
   }
+
+  /** TRUE-production-width MinHash signatures — 128 permutations (Lee et
+    * al. 2022 run 128+; 64 is the regime's low end) from 32 seeded
+    * digests via the same one-hash-many-slices scheme. Memoized +
+    * prewarmed like the 64-perm table; the banding/pairs surface stays on
+    * the 64-perm geometry (16×4 at the 0.5-Jaccard operating point) —
+    * this table is the signature WIDTH probe the estimator accuracy
+    * story needs (est_sim variance halves at 128 slices). */
+  def ddMinhashWide128(spark: SparkSession, dir: String): DataFrame =
+    minhashWide128Sig(spark, dir).orderBy(col("doc_id"))
+
+  private def minhashWide128Sig(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "minhash_wide128_sig") { buildMinhashWideSigN(spark, dir, 128) }
 
   /** [[MinhashWideBands]]-band stack over a wide-signature frame →
     * (doc_id, band, bh). One code site for the band geometry — the pairs
@@ -3485,6 +3505,7 @@ object LlmOps {
     "dd_minhash_sig" -> ddMinhashSig _,
     "dd_minhash_pairs" -> ddMinhashPairs _,
     "dd_minhash_wide" -> ddMinhashWide _,
+    "dd_minhash_wide128" -> ddMinhashWide128 _,
     "dd_minhash_wide_pairs" -> ddMinhashWidePairs _,
     "dd_incremental_near" -> ddIncrementalNear _,
     "dd_incremental_capped" -> ddIncrementalCapped _,
@@ -4356,6 +4377,7 @@ object LlmOps {
     "dd_minhash_sig" -> minhashSigDuck,
 
     "dd_minhash_wide" -> minhashWideSigDuck,
+    "dd_minhash_wide128" -> minhashWideSigDuckN(128),
 
     // production-width LSH: 16 bands x 4 rows over the 64-slice signature,
     // per-(band, bucket) cap mirrored from the Spark side
@@ -5347,8 +5369,10 @@ object LlmOps {
 
   /** 64 min-slice aggregates over the 16 seeded digests h0..h15 — the
     * DuckDB mirror of [[buildMinhashWideSig]]'s slicing. */
-  private def minhashWideSliceCols: String =
-    (0 until 64).map(j => s"min(substr(h${j / 4}, ${1 + 8 * (j % 4)}, 8)) AS mh$j")
+  private def minhashWideSliceCols: String = minhashWideSliceColsN(64)
+
+  private def minhashWideSliceColsN(perms: Int): String =
+    (0 until perms).map(j => s"min(substr(h${j / 4}, ${1 + 8 * (j % 4)}, 8)) AS mh$j")
       .mkString(", ")
 
   /** The [[wideBands]] geometry as DuckDB SQL — one UNION ALL branch per
@@ -5360,12 +5384,16 @@ object LlmOps {
       s"SELECT doc_id, $bd AS band, md5(mh${4 * bd} || mh${4 * bd + 1} || mh${4 * bd + 2} || mh${4 * bd + 3}) AS bh FROM sig$pred")
       .mkString("\n  UNION ALL ")
 
-  private def minhashWideSigDuck: String =
+  private def minhashWideSigDuck: String = minhashWideSigDuckN(64)
+
+  /** The signature-table mirror generalized over permutation count —
+    * perms/4 seeded digests, [[minhashWideSliceColsN]] slicing. */
+  private def minhashWideSigDuckN(perms: Int): String =
     s"""WITH $baseDuck, sh AS (
        |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
        |h AS (
-       |  SELECT doc_id, ${(0 until 16).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
+       |  SELECT doc_id, ${(0 until perms / 4).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
        |  FROM sh)
-       |SELECT doc_id, $minhashWideSliceCols
+       |SELECT doc_id, ${minhashWideSliceColsN(perms)}
        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

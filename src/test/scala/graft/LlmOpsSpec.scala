@@ -53,6 +53,17 @@ class LlmOpsSpec extends SparkSpec {
   test("wide minhash: 64-perm signatures agree on identical docs; 16x4 banding recall >= the 8-perm path") {
     val sig = LlmOps.ddMinhashWide(spark, dir).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     (0 until 64).foreach(j => assert(sig(0).getAs[String](s"mh$j") == sig(1).getAs[String](s"mh$j")))
+    // the 128-perm production-width table: same scheme, so its first 64
+    // slices ARE the 64-perm signature (by construction), and identical
+    // docs agree on all 128
+    val sig128 = LlmOps.ddMinhashWide128(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    sig.foreach { case (id, r64) =>
+      (0 until 64).foreach(j =>
+        assert(sig128(id).getAs[String](s"mh$j") == r64.getAs[String](s"mh$j"),
+          s"128-perm slice mh$j drifted from the 64-perm signature for doc $id"))
+    }
+    (0 until 128).foreach(j => assert(sig128(0).getAs[String](s"mh$j") == sig128(1).getAs[String](s"mh$j")))
     // planted dup triple: (0,1) exact, (0,2)/(1,2) one-word-off near dups
     val planted = Set((0L, 1L), (0L, 2L), (1L, 2L))
     def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
