@@ -400,6 +400,32 @@ object LlmOps {
           / nullif(col("n_toks"), lit(0L)))
   }
 
+  /** CLASSIFIER THRESHOLD SWEEP — the calibration census a quality
+    * classifier ships with: for each cut threshold on the
+    * [[classifierScored]] grid (0.0 to 2.5 in half-point steps, the
+    * operating range around the deployed score ≥ 1.0 cut), how many
+    * documents survive and what corpus fraction that is. This is the
+    * curve an operator reads to pick the keep threshold (the
+    * aggressiveness/recall trade every CCNet/Gopher-style pipeline tunes)
+    * — and it makes threshold drift visible: a weight change that moves
+    * any cut's kept-count shows up as a hash mismatch here even if the
+    * deployed cut's verdicts happen to agree. All six cuts share the
+    * deployed n_toks ≥ 5 support floor. Plan: ONE text scan folded to a
+    * single map-side-combinable 1-row aggregate (six conditional counts),
+    * then a stack() unpivot of that row — no join, no shuffle beyond the
+    * 1-row agg, constant output at any corpus size. */
+  def txtClassifierSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ks = (0 to 5).map(r =>
+      count(when(col("n_toks") >= 5 && col("score") >= lit(r / 2.0), 1)).as(s"k$r"))
+    val stackArgs = (0 to 5)
+      .map(r => s"CAST(${r / 2.0} AS DOUBLE), k$r").mkString(", ")
+    classifierScored(spark, dir)
+      .agg(count(lit(1)).as("n_docs"), ks: _*)
+      .selectExpr(s"stack(6, $stackArgs) AS (threshold, n_keep)", "n_docs")
+      .withColumn("keep_frac", col("n_keep") / col("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
   /** N-gram-marker language ID: count marker-token hits per language,
     * argmax with a fixed priority order. (The synthetic corpus shares one
     * vocabulary across langs — the heuristic is exercised for determinism,
@@ -592,6 +618,7 @@ object LlmOps {
     "minhash_sig" -> (() => { minhashSig(spark, dir).count(); () }),
     "minhash_wide_sig" -> (() => { minhashWideSig(spark, dir).count(); () }),
     "minhash_wide128_sig" -> (() => { minhashWide128Sig(spark, dir).count(); () }),
+    "bpe_merges" -> (() => { bpeMergeTable(spark, dir).count(); () }),
     "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }),
     "ivf_assign" -> (() => { ivfAssignTable(spark, dir).count(); () }),
     "ivf_kmeans_assign" -> (() => { ivfKmeansAssignTable(spark, dir).count(); () }),
@@ -2097,8 +2124,12 @@ object LlmOps {
     * [[graft.sources.JsonlDocs]] — can legitimately contain one; a
     * printable placeholder (the old 'º') collides with e.g. Spanish "nº"
     * and conflates merged symbols with literal text in later censuses.
-    * Mirrored as chr(64976 + r) in DuckDB. */
-  private def bpeSentinel(r: Int): String = (0xFDD0 + r).toChar.toString
+    * Mirrored as chr($BpeSentinelBase + r) in DuckDB — BOTH engines
+    * derive the codepoint from the single [[BpeSentinelBase]] constant,
+    * so the placeholder alphabet cannot drift between them (the same
+    * one-site rule as [[IncrementalSplit]]). */
+  private val BpeSentinelBase = 0xFDD0
+  private def bpeSentinel(r: Int): String = (BpeSentinelBase + r).toChar.toString
 
   /** The token stream + in-token adjacent-pair census shared by the BPE
     * training queries: pairs never cross token boundaries, every token
@@ -2161,22 +2192,66 @@ object LlmOps {
     * would replay every earlier census through its own argmax subtree —
     * exponential in rounds — whereas with it each round costs ONE pass
     * over the token stream with r broadcast replaces riding along. */
-  def txtBpeVocab(spark: SparkSession, dir: String): DataFrame = {
-    var cur = bpeTokens(spark, dir)
-    val rounds = (1 to BpeVocabRounds).map { r =>
-      val top1Plan = bpePairCensus(cur, "t")
-        .orderBy(col("n").desc, col("pair")).limit(1)
-        .select(lit(r.toLong).as("round"), col("pair"), col("n"))
-      val rdd = top1Plan.rdd
-      rdd.localCheckpoint()
-      rdd.count() // materialize: the 1-row barrier that keeps rounds linear
-      trackRdd(rdd)
-      val top1 = spark.createDataFrame(rdd, top1Plan.schema)
-      cur = cur.crossJoin(broadcast(top1.select(col("pair").as("mp"))))
-        .select(expr(s"replace(t, mp, '${bpeSentinel(r - 1)}')").as("t"))
-      top1
+  def txtBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeTable(spark, dir).orderBy(col("round"))
+
+  /** The TRAINED MERGE TABLE — [[BpeVocabRounds]] rows of (round, pair, n),
+    * each round's 1-row argmax a local-checkpointed leaf — memoized so the
+    * trainer ([[txtBpeVocab]]) and the encoder ([[txtBpeEncode]]) share ONE
+    * training run per (session, dir): the tokenizer artifact is built once
+    * and consumed twice, exactly the production relationship between a BPE
+    * trainer and the encode path it ships merges to. */
+  private def bpeMergeTable(spark: SparkSession, dir: String): DataFrame =
+    memoRaw(spark, dir, "bpe_merges") {
+      var cur = bpeTokens(spark, dir)
+      val rounds = (1 to BpeVocabRounds).map { r =>
+        val top1Plan = bpePairCensus(cur, "t")
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .select(lit(r.toLong).as("round"), col("pair"), col("n"))
+        val rdd = top1Plan.rdd
+        rdd.localCheckpoint()
+        rdd.count() // materialize: the 1-row barrier that keeps rounds linear
+        trackRdd(rdd)
+        val top1 = spark.createDataFrame(rdd, top1Plan.schema)
+        cur = cur.crossJoin(broadcast(top1.select(col("pair").as("mp"))))
+          .select(expr(s"replace(t, mp, '${bpeSentinel(r - 1)}')").as("t"))
+        top1
+      }
+      rounds.reduce(_ union _)
     }
-    rounds.reduce(_ union _).orderBy(col("round"))
+
+  /** BPE ENCODE — the trained artifact APPLIED, closing the tokenizer
+    * lifecycle the way [[simIvfServe]] closes the index lifecycle: every
+    * document's token stream is rewritten through the [[bpeMergeTable]]
+    * merge list in training order (merge r's pair may contain earlier
+    * sentinels — the recursive vocabulary structure — so application order
+    * IS the correctness contract), then summarized per document as raw
+    * char count vs post-merge symbol count (each sentinel = one symbol) —
+    * the compression a tokenizer buys, the per-doc statistic a training
+    * pipeline bills sequence budgets with. Plan: ONE documents scan with
+    * [[BpeVocabRounds]] 1-row broadcast merge pairs riding along and all
+    * counting in per-row lambdas — no shuffle before the output sort,
+    * embarrassingly parallel at any corpus size (the training cost lives
+    * in the shared memoized merge table, paid once per session). */
+  def txtBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergeTable(spark, dir)
+    val replaced = (1 to BpeVocabRounds).foldLeft("t") { (acc, r) =>
+      s"replace($acc, mp$r, '${bpeSentinel(r - 1)}')"
+    }
+    val docs = Tables.documents(spark, dir).withColumn("toks", expr(toksSpark))
+    val withMerges = (1 to BpeVocabRounds).foldLeft(docs) { (df, r) =>
+      df.crossJoin(broadcast(
+        merges.filter(col("round") === r.toLong).select(col("pair").as(s"mp$r"))))
+    }
+    withMerges
+      .withColumn("etoks", expr(s"transform(toks, t -> $replaced)"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))").as("n_chars"),
+        expr("aggregate(etoks, CAST(0 AS BIGINT), (a, t) -> a + length(t))").as("n_symbols"))
+      .withColumn("n_saved", col("n_chars") - col("n_symbols"))
+      .withColumn("ratio", col("n_symbols") / nullif(col("n_chars"), lit(0L)))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-document DUPLICATION FRACTION — the doc-level readout of the
@@ -3319,10 +3394,18 @@ object LlmOps {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_total"), sum(col("ins")).as("n_inserted"),
         (count(lit(1)) - sum(col("ins"))).as("n_corpus"))
-    val globals = census.agg(
-      sum(col("n_total")).as("g_total"), sum(col("n_inserted")).as("g_ins"),
-      count(lit(1)).as("g_cells"), max(col("n_total")).as("g_max"))
-    census.crossJoin(broadcast(globals))
+    // Drift signals as window aggregates over the k-row census (single
+    // partition — k rows, so the "no partition defined" shape is exactly
+    // right) rather than a separate agg + crossJoin back: the two census
+    // references there prune different columns, don't canonicalize equal,
+    // and so replayed the whole insert-assignment window/scan subtree —
+    // doubling the poll cost this query's contract says is k-row cheap.
+    val wAll = Window.partitionBy()
+    census
+      .withColumn("g_total", sum(col("n_total")).over(wAll))
+      .withColumn("g_ins", sum(col("n_inserted")).over(wAll))
+      .withColumn("g_cells", count(lit(1)).over(wAll))
+      .withColumn("g_max", max(col("n_total")).over(wAll))
       .withColumn("frac_inserted", col("g_ins") / col("g_total"))
       .withColumn("skew", (col("g_max") * col("g_cells")) / col("g_total"))
       .withColumn("retrain", col("frac_inserted") >= 0.2 || col("skew") >= 2.0)
@@ -3482,6 +3565,8 @@ object LlmOps {
     "txt_bpe_pairs" -> txtBpePairs _,
     "txt_bpe_merge" -> txtBpeMerge _,
     "txt_bpe_vocab" -> txtBpeVocab _,
+    "txt_bpe_encode" -> txtBpeEncode _,
+    "txt_classifier_sweep" -> txtClassifierSweep _,
     "txt_len_histogram" -> txtLenHistogram _,
     "txt_chunks" -> txtChunks _,
     "txt_pack" -> txtPack _,
@@ -3545,6 +3630,121 @@ object LlmOps {
 
   private val baseDuck =
     s"base AS (SELECT doc_id, lang, source, n_chars, text, $toksDuck AS toks FROM documents)"
+
+  /** (lang, length-bucket)-blocked shingle→candidate-pair CTE chain
+    * (sh0→sh→sizes→rare→capped→pairs, undirected `a.doc_id < b.doc_id`)
+    * shared by the Jaccard-family mirrors (dd_ngram_jaccard, dd_dedup_keep,
+    * dd_dedup_keep_best, dd_cluster). ONE site for the blocking scheme,
+    * [[StopShingleCap]], and the first-4-md5-bytes shingle hash — a drifted
+    * copy in any one mirror would silently break only that query's parity. */
+  private def shinglePairsDuck: String =
+    s"""sh0 AS (
+       |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
+       |  FROM base),
+       |sh AS (
+       |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |rare AS (
+       |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
+       |  HAVING count(*) <= $StopShingleCap),
+       |capped AS (
+       |  SELECT sh.* FROM sh SEMI JOIN rare
+       |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
+       |pairs AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+       |  FROM capped a JOIN capped b
+       |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  /** Jaccard-0.8 edge set + connected-component closure
+    * (edges→sym→reach→lbl) over [[shinglePairsDuck]]'s `pairs`/`sizes`,
+    * shared by the cluster-labelled mirrors (dd_cluster,
+    * dd_dedup_keep_best). Callers must open with WITH RECURSIVE. */
+  private def ccClosureDuck: String =
+    """edges AS (
+      |  SELECT ia AS a, ib AS b FROM pairs
+      |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+      |  WHERE common / (sa.n + sb.n - common) >= 0.8),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+      |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  /** Wide-MinHash signature CTE stack (sh→h→sig) over `base` — the 16
+    * seeded "w&lt;d&gt;:" md5 digests sliced into the 64-perm signature
+    * ([[minhashWideSliceCols]]) — shared by the three wide-LSH mirrors
+    * (dd_minhash_wide_pairs, dd_incremental_near, dd_incremental_capped).
+    * ONE site for the digest-family/slicing scheme on the Duck side,
+    * matching the Spark side's single memoized [[minhashWideSig]] table. */
+  private def wideSigStackDuck: String =
+    s"""sh AS (
+       |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
+       |h AS (
+       |  SELECT doc_id, ${(0 until 16).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, $minhashWideSliceCols
+       |  FROM h GROUP BY doc_id)""".stripMargin
+
+  /** 64-slice signature-agreement estimate over `sig` aliases sa/sb —
+    * the wide-MinHash est_sim expression shared by the banded-pairs and
+    * incremental-probe mirrors. */
+  private def wideEstSimDuck: String =
+    s"(${(0 until 64).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) / 64.0"
+
+  /** The k-round BPE training CTE chain (tok→p1→t1→m1→…→pk→tk→mk) over
+    * `base` — round r's census (p_r), 1-row argmax (t_r, columns mp/n),
+    * and merge-applied stream (m_r, sentinel chr([[BpeSentinelBase]]+r−1))
+    * — shared by the txt_bpe_vocab and txt_bpe_encode mirrors so the
+    * trainer and encoder oracles read ONE merge-table definition, exactly
+    * as the Spark sides share [[bpeMergeTable]]. Unreferenced trailing
+    * CTEs (e.g. m_k under the vocab entry) are pruned by DuckDB. */
+  private def bpeRoundsDuck(k: Int): String = {
+    val census = (src: String, out: String) =>
+      s"""$out AS (
+         |  SELECT unnest(list_transform(range(1, greatest(length(t) - 1, 0) + 1),
+         |    i -> substr(t, i, 2))) AS pair
+         |  FROM $src)""".stripMargin
+    val top = (src: String, out: String) =>
+      s"""$out AS (
+         |  SELECT pair AS mp, count(*) AS n FROM $src GROUP BY pair
+         |  ORDER BY count(*) DESC, pair LIMIT 1)""".stripMargin
+    val merge = (src: String, topN: String, out: String, r: Int) =>
+      s"""$out AS (
+         |  SELECT replace(t, (SELECT mp FROM $topN), chr(${BpeSentinelBase + r - 1})) AS t
+         |  FROM $src)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      val src = if (r == 1) "tok" else s"m${r - 1}"
+      Seq(census(src, s"p$r"), top(s"p$r", s"t$r"), merge(src, s"t$r", s"m$r", r))
+    }
+    s"""tok AS (
+       |  SELECT unnest(toks) AS t FROM base),
+       |${rounds.flatten.mkString(",\n")}""".stripMargin
+  }
+
+  /** Classifier feature+score CTE pair (clf_f→clf_s) over `base`, the ONE
+    * mirror site for the linear head's weights (+4 stop / −2 short / −3
+    * long / −2 repeat), feature thresholds (≤2 / ≥12 chars), and stopword
+    * list — shared by txt_classifier and dd_dedup_keep_best, matching the
+    * Spark side's single [[classifierScored]] kernel. */
+  private def classifierScoredDuck: String = {
+    val stopsIn = classifierStops.map(w => s"'$w'").mkString(", ")
+    s"""clf_f AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CAST(len(list_filter(toks, t -> t IN ($stopsIn))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_filter(toks, t -> length(t) <= 2)) AS BIGINT) AS n_short,
+       |    CAST(len(list_filter(toks, t -> length(t) >= 12)) AS BIGINT) AS n_long,
+       |    CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_rep
+       |  FROM base),
+       |clf_s AS (
+       |  SELECT doc_id, n_toks, n_stop, n_short, n_long, n_rep,
+       |    (n_toks + 4 * n_stop - 2 * n_short - 3 * n_long - 2 * n_rep)
+       |      / nullif(n_toks, 0) AS score
+       |  FROM clf_f)""".stripMargin
+  }
 
   /** Shared CTE body of the IVF-PQ oracles (everything through the ADC
     * `pairs`), mirroring [[ivfPqAdcPairs]]: coarse cells as in sim_ivf; the
@@ -3666,25 +3866,11 @@ object LlmOps {
 
     // fixed-weight linear classifier head: all-BIGINT numerator, one final
     // int/int division; stopword list = the flattened language markers
-    "txt_classifier" -> {
-      val stopsIn = classifierStops.map(w => s"'$w'").mkString(", ")
-      s"""WITH $baseDuck, f AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_toks,
-         |    CAST(len(list_filter(toks, t -> t IN ($stopsIn))) AS BIGINT) AS n_stop,
-         |    CAST(len(list_filter(toks, t -> length(t) <= 2)) AS BIGINT) AS n_short,
-         |    CAST(len(list_filter(toks, t -> length(t) >= 12)) AS BIGINT) AS n_long,
-         |    CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_rep
-         |  FROM base),
-         |s AS (
-         |  SELECT doc_id, n_toks, n_stop, n_short, n_long, n_rep,
-         |    (n_toks + 4 * n_stop - 2 * n_short - 3 * n_long - 2 * n_rep)
-         |      / nullif(n_toks, 0) AS score
-         |  FROM f)
+    "txt_classifier" ->
+      s"""WITH $baseDuck, $classifierScoredDuck
          |SELECT doc_id, n_toks, n_stop, n_short, n_long, n_rep, score,
          |  (n_toks >= 5 AND score >= 1.0) AS keep
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+         |FROM clf_s ORDER BY doc_id""".stripMargin,
 
     "txt_langid" -> {
       val scores = langMarkers.map { case (lang, ws) =>
@@ -3712,23 +3898,7 @@ object LlmOps {
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
 
     "dd_ngram_jaccard" ->
-      s"""WITH $baseDuck, sh0 AS (
-         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
-         |  FROM base),
-         |sh AS (
-         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |rare AS (
-         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
-         |  HAVING count(*) <= $StopShingleCap),
-         |capped AS (
-         |  SELECT sh.* FROM sh SEMI JOIN rare
-         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
-         |pairs AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
-         |  FROM capped a JOIN capped b
-         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
+      s"""WITH $baseDuck, $shinglePairsDuck
          |SELECT ia, ib, common / (sa.n + sb.n - common) AS jaccard
          |FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
          |WHERE common / (sa.n + sb.n - common) >= 0.2
@@ -3760,23 +3930,7 @@ object LlmOps {
          |ORDER BY containment DESC, ia, ib LIMIT 200""".stripMargin,
 
     "dd_dedup_keep" ->
-      s"""WITH $baseDuck, sh0 AS (
-         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
-         |  FROM base),
-         |sh AS (
-         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |rare AS (
-         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
-         |  HAVING count(*) <= $StopShingleCap),
-         |capped AS (
-         |  SELECT sh.* FROM sh SEMI JOIN rare
-         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
-         |pairs AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
-         |  FROM capped a JOIN capped b
-         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
+      s"""WITH $baseDuck, $shinglePairsDuck,
          |drops AS (
          |  SELECT DISTINCT ib FROM pairs
          |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
@@ -3787,87 +3941,25 @@ object LlmOps {
 
     // quality-ranked keep: same component fixpoint as dd_cluster, winner
     // per cluster by (classifier score DESC NULLS LAST, doc_id)
-    "dd_dedup_keep_best" -> {
-      val stopsIn = classifierStops.map(w => s"'$w'").mkString(", ")
-      s"""WITH RECURSIVE $baseDuck, sh0 AS (
-         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
-         |  FROM base),
-         |sh AS (
-         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |rare AS (
-         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
-         |  HAVING count(*) <= $StopShingleCap),
-         |capped AS (
-         |  SELECT sh.* FROM sh SEMI JOIN rare
-         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
-         |pairs AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
-         |  FROM capped a JOIN capped b
-         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |edges AS (
-         |  SELECT ia AS a, ib AS b FROM pairs
-         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-         |  WHERE common / (sa.n + sb.n - common) >= 0.8),
-         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM sym
-         |  UNION
-         |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
-         |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
-         |scored AS (
-         |  SELECT doc_id,
-         |    (CAST(len(toks) AS BIGINT)
-         |      + 4 * CAST(len(list_filter(toks, t -> t IN ($stopsIn))) AS BIGINT)
-         |      - 2 * CAST(len(list_filter(toks, t -> length(t) <= 2)) AS BIGINT)
-         |      - 3 * CAST(len(list_filter(toks, t -> length(t) >= 12)) AS BIGINT)
-         |      - 2 * CAST(len(toks) - len(list_distinct(toks)) AS BIGINT))
-         |      / nullif(CAST(len(toks) AS BIGINT), 0) AS score
-         |  FROM base),
+    "dd_dedup_keep_best" ->
+      s"""WITH RECURSIVE $baseDuck, $shinglePairsDuck, $ccClosureDuck,
+         |$classifierScoredDuck,
          |rankd AS (
          |  SELECT l.doc_id, l.cluster_id, sc.score,
          |    row_number() OVER (PARTITION BY l.cluster_id
          |      ORDER BY sc.score DESC NULLS LAST, l.doc_id) AS rk
-         |  FROM lbl l JOIN scored sc ON l.doc_id = sc.doc_id),
+         |  FROM lbl l JOIN clf_s sc ON l.doc_id = sc.doc_id),
          |losers AS (SELECT doc_id FROM rankd WHERE rk > 1)
          |SELECT d.doc_id, d.lang, d.source, d.n_chars, w.cluster_id, sc.score
          |FROM documents d
-         |JOIN scored sc ON d.doc_id = sc.doc_id
+         |JOIN clf_s sc ON d.doc_id = sc.doc_id
          |LEFT JOIN (SELECT doc_id, cluster_id FROM rankd WHERE rk = 1) w
          |  ON d.doc_id = w.doc_id
          |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE losers.doc_id = d.doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-    },
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dd_cluster" ->
-      s"""WITH RECURSIVE $baseDuck, sh0 AS (
-         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
-         |  FROM base),
-         |sh AS (
-         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |rare AS (
-         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
-         |  HAVING count(*) <= $StopShingleCap),
-         |capped AS (
-         |  SELECT sh.* FROM sh SEMI JOIN rare
-         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
-         |pairs AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
-         |  FROM capped a JOIN capped b
-         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |edges AS (
-         |  SELECT ia AS a, ib AS b FROM pairs
-         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-         |  WHERE common / (sa.n + sb.n - common) >= 0.8),
-         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM sym
-         |  UNION
-         |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
-         |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      s"""WITH RECURSIVE $baseDuck, $shinglePairsDuck, $ccClosureDuck,
          |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
          |SELECT doc_id, lbl.cluster_id, cluster_size
          |FROM lbl JOIN csz ON lbl.cluster_id = csz.cluster_id
@@ -4102,7 +4194,7 @@ object LlmOps {
          |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
 
     // one full BPE training round: argmax pair of the round-1 census
-    // merged to the noncharacter sentinel chr(64976) (replace =
+    // merged to the noncharacter sentinel chr(BpeSentinelBase) (replace =
     // left-to-right greedy in both engines), then the round-2 census
     "txt_bpe_merge" ->
       s"""WITH $baseDuck, tok AS (
@@ -4115,7 +4207,7 @@ object LlmOps {
          |  SELECT pair AS mp FROM p1 GROUP BY pair
          |  ORDER BY count(*) DESC, pair LIMIT 1),
          |m AS (
-         |  SELECT replace(t, (SELECT mp FROM top1), chr(64976)) AS t2 FROM tok),
+         |  SELECT replace(t, (SELECT mp FROM top1), chr($BpeSentinelBase)) AS t2 FROM tok),
          |p2 AS (
          |  SELECT unnest(list_transform(range(1, greatest(length(t2) - 1, 0) + 1),
          |    i -> substr(t2, i, 2))) AS pair
@@ -4125,33 +4217,60 @@ object LlmOps {
          |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
 
     // k merge rounds unrolled: each round's census over the stream with
-    // all earlier argmax merges applied (sentinels chr(64976 + r))
-    "txt_bpe_vocab" -> {
-      val census = (src: String, out: String) =>
-        s"""$out AS (
-           |  SELECT unnest(list_transform(range(1, greatest(length(t) - 1, 0) + 1),
-           |    i -> substr(t, i, 2))) AS pair
-           |  FROM $src)""".stripMargin
-      val top = (src: String, out: String) =>
-        s"""$out AS (
-           |  SELECT pair AS mp, count(*) AS n FROM $src GROUP BY pair
-           |  ORDER BY count(*) DESC, pair LIMIT 1)""".stripMargin
-      val merge = (src: String, topN: String, out: String, r: Int) =>
-        s"""$out AS (
-           |  SELECT replace(t, (SELECT mp FROM $topN), chr(${64976 + r - 1})) AS t
-           |  FROM $src)""".stripMargin
-      val rounds = (1 to BpeVocabRounds).map { r =>
-        val src = if (r == 1) "tok" else s"m${r - 1}"
-        Seq(census(src, s"p$r"), top(s"p$r", s"t$r")) ++
-          (if (r < BpeVocabRounds) Seq(merge(src, s"t$r", s"m$r", r)) else Nil)
-      }
-      s"""WITH $baseDuck, tok AS (
-         |  SELECT unnest(toks) AS t FROM base),
-         |${rounds.flatten.mkString(",\n")}
+    // all earlier argmax merges applied (sentinels chr(BpeSentinelBase + r))
+    "txt_bpe_vocab" ->
+      s"""WITH $baseDuck, ${bpeRoundsDuck(BpeVocabRounds)}
          |${(1 to BpeVocabRounds)
              .map(r => s"SELECT CAST($r AS BIGINT) AS round, mp AS pair, n FROM t$r")
              .mkString("\nUNION ALL\n")}
-         |ORDER BY round""".stripMargin
+         |ORDER BY round""".stripMargin,
+
+    // the trained merge list applied per document (merge r after all
+    // earlier merges — later pairs may contain earlier sentinels), then
+    // per-doc raw-char vs post-merge symbol counts
+    "txt_bpe_encode" -> {
+      // DuckDB forbids subqueries inside lambdas, so the 4 scalar merge
+      // pairs ride a 1-row CTE joined onto base and the lambda reads
+      // plain columns — same shape as the Spark side's broadcast pairs
+      val replaced = (1 to BpeVocabRounds).foldLeft("t") { (acc, r) =>
+        s"replace($acc, mp$r, chr(${BpeSentinelBase + r - 1}))"
+      }
+      val mt = (1 to BpeVocabRounds)
+        .map(r => s"(SELECT mp FROM t$r) AS mp$r").mkString(", ")
+      s"""WITH $baseDuck, ${bpeRoundsDuck(BpeVocabRounds)},
+         |mt AS (SELECT $mt),
+         |enc AS (
+         |  SELECT doc_id, toks, list_transform(toks, t -> $replaced) AS etoks
+         |  FROM base, mt),
+         |stats AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS n_chars,
+         |    CAST(coalesce(list_sum(list_transform(etoks, t -> length(t))), 0) AS BIGINT) AS n_symbols
+         |  FROM enc)
+         |SELECT doc_id, n_toks, n_chars, n_symbols,
+         |  n_chars - n_symbols AS n_saved,
+         |  n_symbols / nullif(n_chars, 0) AS ratio
+         |FROM stats ORDER BY doc_id""".stripMargin
+    },
+
+    // calibration census: kept docs per half-point score cut (all cuts
+    // share the deployed n_toks >= 5 support floor)
+    "txt_classifier_sweep" -> {
+      val ks = (0 to 5).map(r =>
+        s"count(CASE WHEN n_toks >= 5 AND score >= ${r / 2.0} THEN 1 END) AS k$r")
+        .mkString(",\n    ")
+      val branches = (0 to 5).map(r =>
+        s"SELECT CAST(${r / 2.0} AS DOUBLE) AS threshold, k$r AS n_keep, n_docs FROM w")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $baseDuck, $classifierScoredDuck,
+         |w AS (
+         |  SELECT count(*) AS n_docs,
+         |    $ks
+         |  FROM clf_s)
+         |SELECT threshold, n_keep, n_docs, n_keep / n_docs AS keep_frac
+         |FROM (${branches})
+         |ORDER BY threshold""".stripMargin
     },
 
     "dd_dup_fraction" ->
@@ -4382,14 +4501,7 @@ object LlmOps {
     // production-width LSH: 16 bands x 4 rows over the 64-slice signature,
     // per-(band, bucket) cap mirrored from the Spark side
     "dd_minhash_wide_pairs" ->
-      s"""WITH $baseDuck, sh AS (
-         |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
-         |h AS (
-         |  SELECT doc_id, ${(0 until 16).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id, $minhashWideSliceCols
-         |  FROM h GROUP BY doc_id),
+      s"""WITH $baseDuck, $wideSigStackDuck,
          |bands0 AS (
          |  ${wideBandsDuckBranches("")}),
          |bands AS (
@@ -4403,7 +4515,7 @@ object LlmOps {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
          |SELECT ia, ib,
-         |  (${(0 until 64).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) / 64.0 AS est_sim
+         |  $wideEstSimDuck AS est_sim
          |FROM cand JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id
          |ORDER BY est_sim DESC, ia, ib LIMIT 200""".stripMargin,
 
@@ -4411,14 +4523,7 @@ object LlmOps {
     // corpus (< split) through the wide signature; corpus-side bucket cap
     // (the probe's wider one) mirrored
     "dd_incremental_near" ->
-      s"""WITH $baseDuck, sh AS (
-         |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
-         |h AS (
-         |  SELECT doc_id, ${(0 until 16).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id, $minhashWideSliceCols
-         |  FROM h GROUP BY doc_id),
+      s"""WITH $baseDuck, $wideSigStackDuck,
          |cb0 AS (
          |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
          |cb AS (
@@ -4434,7 +4539,7 @@ object LlmOps {
          |  FROM bb b JOIN cb c ON b.band = c.band AND b.bh = c.bh),
          |scored AS (
          |  SELECT ia, ib,
-         |    (${(0 until 64).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) / 64.0 AS est_sim
+         |    $wideEstSimDuck AS est_sim
          |  FROM cand JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id),
          |best AS (
          |  SELECT ia, ib, est_sim FROM (
@@ -4451,14 +4556,7 @@ object LlmOps {
     // cap accounting for the incremental probe: what the corpus-side
     // bucket cap cut (pinned to zero on the synthetic corpora)
     "dd_incremental_capped" ->
-      s"""WITH $baseDuck, sh AS (
-         |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
-         |h AS (
-         |  SELECT doc_id, ${(0 until 16).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id, $minhashWideSliceCols
-         |  FROM h GROUP BY doc_id),
+      s"""WITH $baseDuck, $wideSigStackDuck,
          |cb0 AS (
          |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
          |buckets AS (

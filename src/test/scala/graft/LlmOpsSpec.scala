@@ -200,6 +200,40 @@ class LlmOpsSpec extends SparkSpec {
       rows.mkString(","))
   }
 
+  test("BPE encode: the trained merges compress the crafted corpus to the known symbol counts") {
+    import spark.implicits._
+    // same corpus as the vocab test: merges are ab->S0, cd->S1, S0S0->S2,
+    // ef->S3, so "abab" encodes to ONE symbol (through the recursive
+    // round-3 merge), "cdcd" and "efef" to two each
+    val text = (Seq.fill(10)("abab") ++ Seq.fill(6)("cdcd") ++ Seq.fill(3)("efef")).mkString(" ")
+    val docs = Seq(Doc(0, text, "en", "s", text.length))
+    val d = java.nio.file.Files.createTempDirectory("bpeencode").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val r = LlmOps.txtBpeEncode(spark, d).collect().head
+    assert(r.getAs[Long]("n_toks") == 19L)
+    assert(r.getAs[Long]("n_chars") == 76L)
+    assert(r.getAs[Long]("n_symbols") == 10L * 1 + 6L * 2 + 3L * 2,
+      s"expected 28 post-merge symbols, got ${r.getAs[Long]("n_symbols")}")
+    assert(r.getAs[Long]("n_saved") == 48L)
+    assert(r.getAs[Double]("ratio") == 28.0 / 76.0)
+  }
+
+  test("classifier sweep: the 6-point census is monotone and agrees with the deployed cut") {
+    val rows = LlmOps.txtClassifierSweep(spark, dir).collect()
+    assert(rows.length == 6)
+    val ks = rows.map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_keep"))).toSeq
+    assert(ks.map(_._1) == Seq(0.0, 0.5, 1.0, 1.5, 2.0, 2.5))
+    assert(ks.map(_._2) == ks.map(_._2).sorted.reverse,
+      "kept counts must be non-increasing in the cut")
+    assert(rows.forall(_.getAs[Long]("n_docs") == 5L))
+    val deployed = LlmOps.txtClassifier(spark, dir).collect()
+      .count(_.getAs[Boolean]("keep")).toLong
+    assert(ks.toMap.apply(1.0) == deployed,
+      "the 1.0 cut must reproduce the deployed keep count")
+    val frac = rows.find(_.getAs[Double]("threshold") == 1.0).get.getAs[Double]("keep_frac")
+    assert(frac == deployed.toDouble / 5.0)
+  }
+
   test("quality-ranked dedup keep: the better-scoring cluster member wins over the lower id") {
     import spark.implicits._
     // docs 0 and 1 are near-dups (10 of 12 shingles shared, Jaccard 0.833)

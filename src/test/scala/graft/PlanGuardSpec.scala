@@ -51,7 +51,10 @@ class PlanGuardSpec extends SparkSpec {
       // (txt_bpe_vocab also crossJoins 1-row argmaxes, but each round is
       // materialized eagerly behind a local checkpoint at build time, so
       // the RETURNED plan — all this sweep can see — is a union of leaves)
-      "txt_bpe_merge")
+      "txt_bpe_merge",
+      // encoder path: BpeVocabRounds 1-row merge pairs (filtered off the
+      // checkpointed merge-table leaves) broadcast onto the documents scan
+      "txt_bpe_encode")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
