@@ -3284,11 +3284,12 @@ object LlmOps {
   }
 
   /** The INSERT path's cell assignment — each arriving (held-out) vector
-    * quantized against the frozen corpus centroids: (vec_id, nrm, cell).
-    * ONE site shared by [[simIvfServeInsert]] (which appends PQ codes) and
-    * [[simIvfRetrain]] (which censuses the post-insert occupancy), so the
-    * write path and the re-train decision can never disagree on where an
-    * insert landed. */
+    * quantized against the frozen corpus centroids: (vec_id, embedding,
+    * nrm, cell). ONE site shared by [[simIvfServeInsert]] (which appends
+    * PQ codes), [[simIvfRetrain]] (which censuses the post-insert
+    * occupancy), and [[simIvfRetrainExec]] (which feeds the arrivals into
+    * the Lloyd re-train), so the write path, the re-train decision, and
+    * the re-train itself can never disagree on where an insert landed. */
   private def serveInsertAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))
@@ -3298,7 +3299,7 @@ object LlmOps {
       .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
       .withColumn("ark", row_number().over(wAssign))
       .filter(col("ark") === 1)
-      .select(col("vec_id"), col("nrm"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
   }
 
   /** DELETE path of incremental serving — the third side of the serve
@@ -3411,6 +3412,55 @@ object LlmOps {
       .withColumn("retrain", col("frac_inserted") >= 0.2 || col("skew") >= 2.0)
       .select(col("cell"), col("n_corpus"), col("n_inserted"), col("n_total"),
         col("frac_inserted"), col("skew"), col("retrain"))
+      .orderBy(col("cell"))
+  }
+
+  /** RE-TRAIN EXECUTION — the rebalance [[simIvfRetrain]] only DECIDES
+    * (the same decision→execution pairing as [[simIvfServeDelete]] →
+    * [[simIvfCompact]]): one integer-exact Lloyd refinement round over the
+    * GROWN corpus — frozen-cell members ∪ arrivals through the shared
+    * [[serveInsertAssign]] kernel — using [[kmCentroids]]' quantized
+    * component sums (the cross-engine-exact update the k-means quantizer
+    * already trains with; a float mean would be partition-order-dependent),
+    * then every member re-assigned against the retrained centroids. Emits
+    * the per-cell occupancy BEFORE (drifted) vs AFTER (retrained) with the
+    * same max·cells/total skew signal the decision reads on both sides —
+    * the evidence the maintenance pass actually repaired the drift it was
+    * triggered by. Cost: one pass to sum centroids (map-side combinable),
+    * one N × k broadcast re-assignment — the price of any re-train — and
+    * two k-row censuses; the arrivals' assignment is computed once and
+    * cached (it feeds both the union and, transitively, the sums). The
+    * skew globals ride window aggregates over the k-row census, not a
+    * separate agg crossJoined back (the [[simIvfRetrain]] single-subtree
+    * lesson). */
+  def simIvfRetrainExec(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = ivfServeAssignTable(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val inserted = track(serveInsertAssign(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")).cache())
+    val members = corpus.union(inserted)
+    val cents = kmCentroids(members)
+      .select(col("cell").as("ncell"), col("svec"), col("snrm"))
+    val wRef = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("ncell"))
+    val after = members.crossJoin(broadcast(cents))
+      .withColumn("cos_c", dotFL(col("embedding"), col("svec")) / sqrt(col("nrm") * col("snrm")))
+      .withColumn("ark", row_number().over(wRef))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("ncell"))
+    val before = members.groupBy(col("cell")).agg(count(lit(1)).as("n_before"))
+    val afterC = after.groupBy(col("ncell").as("cell"))
+      .agg(count(lit(1)).as("n_after"))
+    val wAll = Window.partitionBy()
+    before.join(afterC, Seq("cell"), "full_outer")
+      .withColumn("n_before", coalesce(col("n_before"), lit(0L)))
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+      .withColumn("skew_before",
+        (max(col("n_before")).over(wAll) * count(lit(1)).over(wAll))
+          / sum(col("n_before")).over(wAll))
+      .withColumn("skew_after",
+        (max(col("n_after")).over(wAll) * count(lit(1)).over(wAll))
+          / sum(col("n_after")).over(wAll))
+      .withColumn("rebalanced", col("skew_after") <= col("skew_before"))
       .orderBy(col("cell"))
   }
 
@@ -3616,6 +3666,7 @@ object LlmOps {
     "sim_ivf_serve_delete" -> simIvfServeDelete _,
     "sim_ivf_compact" -> simIvfCompact _,
     "sim_ivf_retrain" -> simIvfRetrain _,
+    "sim_ivf_retrain_exec" -> simIvfRetrainExec _,
     "sim_ivf_filtered" -> simIvfFiltered _,
     "sim_ivf_filtered_pq" -> simIvfFilteredPq _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
@@ -5152,6 +5203,53 @@ object LlmOps {
          |  (g_max * g_cells) / g_total AS skew,
          |  (g_ins / g_total >= 0.2 OR (g_max * g_cells) / g_total >= 2.0) AS retrain
          |FROM census CROSS JOIN g ORDER BY cell""".stripMargin,
+
+    // re-train executed: one integer Lloyd round over corpus ∪ arrivals
+    // (quantized component sums — the kmeans mirror's exact update), then
+    // every member re-assigned; before/after occupancy + skew both ways
+    "sim_ivf_retrain_exec" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id % 4 <> 3
+         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |members AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+         |                 cents.cent_id) AS ark
+         |    FROM e CROSS JOIN cents)
+         |  WHERE ark = 1),
+         |sums AS (
+         |  SELECT cell, [${(1 to 64).map(i =>
+             s"SUM(CAST(round(CAST(embedding[$i] AS DOUBLE) * $KmQuant) AS BIGINT))").mkString(", ")}] AS svec
+         |  FROM members GROUP BY cell),
+         |cn AS (SELECT cell AS ncell, svec, ${dot("svec", "svec", 1)} AS snrm FROM sums),
+         |after0 AS (
+         |  SELECT m.vec_id, c.ncell,
+         |    row_number() OVER (PARTITION BY m.vec_id
+         |      ORDER BY (${dot("m.embedding", "c.svec", 1)}) / sqrt(m.nrm * c.snrm) DESC,
+         |               c.ncell) AS ark
+         |  FROM members m CROSS JOIN cn c),
+         |bc AS (SELECT cell, count(*) AS n_before FROM members GROUP BY cell),
+         |ac AS (SELECT ncell AS cell, count(*) AS n_after FROM after0 WHERE ark = 1 GROUP BY ncell),
+         |j AS (
+         |  SELECT coalesce(bc.cell, ac.cell) AS cell,
+         |    coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after
+         |  FROM bc FULL JOIN ac ON bc.cell = ac.cell),
+         |g AS (
+         |  SELECT max(n_before) AS mb, max(n_after) AS ma, count(*) AS nc,
+         |    CAST(sum(n_before) AS BIGINT) AS tb, CAST(sum(n_after) AS BIGINT) AS ta
+         |  FROM j)
+         |SELECT cell, n_before, n_after,
+         |  (mb * nc) / tb AS skew_before,
+         |  (ma * nc) / ta AS skew_after,
+         |  (ma * nc) / ta <= (mb * nc) / tb AS rebalanced
+         |FROM j CROSS JOIN g ORDER BY cell""".stripMargin,
 
     // filtered search: the label predicate joins INTO the cell scan;
     // queries probe FilteredNprobe cells against the label-carrying index

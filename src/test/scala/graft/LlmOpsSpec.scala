@@ -1315,6 +1315,34 @@ class LlmOpsSpec extends SparkSpec {
       "insert drift crossed the threshold but the decision did not fire")
   }
 
+  test("re-train execution: members conserved through the Lloyd round, drifted census matches the decision") {
+    import org.apache.spark.sql.functions.col
+    val real = "/root/testdata/sf0.001"
+    val rows = LlmOps.simIvfRetrainExec(spark, real).collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$real/embeddings.parquet").count()
+    // corpus ∪ arrivals is ALL vectors; re-assignment must conserve them
+    assert(rows.map(_.getAs[Long]("n_before")).sum == n)
+    assert(rows.map(_.getAs[Long]("n_after")).sum == n,
+      "the Lloyd re-assignment lost or duplicated members")
+    // the drifted (before) census must agree with the decision query
+    val decide = LlmOps.simIvfRetrain(spark, real).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_total")).toMap
+    rows.filter(_.getAs[Long]("n_before") > 0).foreach { r =>
+      assert(decide(r.getAs[Long]("cell")) == r.getAs[Long]("n_before"),
+        s"drifted census disagrees with the decision on cell ${r.getAs[Long]("cell")}")
+    }
+    // skew globals: one value per side, the decision's max*cells/total form
+    val k = rows.length.toLong
+    val sb = rows.map(_.getAs[Double]("skew_before")).distinct
+    val sa = rows.map(_.getAs[Double]("skew_after")).distinct
+    assert(sb.length == 1 && sa.length == 1)
+    assert(sb.head == (rows.map(_.getAs[Long]("n_before")).max * k).toDouble / n)
+    assert(sa.head == (rows.map(_.getAs[Long]("n_after")).max * k).toDouble / n)
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("rebalanced") == (sa.head <= sb.head)))
+  }
+
   test("filtered ANN: answers satisfy the label predicate; recall measured vs label-filtered brute force") {
     import spark.implicits._
     val real = "/root/testdata/sf0.001"
