@@ -626,6 +626,7 @@ object LlmOps {
     "pq_codes" -> (() => { pqCodesTable(spark, dir).count(); () }),
     "pq_codes256" -> (() => { pqCodesTable256(spark, dir).count(); () }),
     "ivf_serve_assign" -> (() => { ivfServeAssignTable(spark, dir).count(); () }),
+    "serve_insert_assign" -> (() => { serveInsertAssign(spark, dir).count(); () }),
     "ivf_serve_pq_codes" -> (() => { servePqCodesTable(spark, dir).count(); () }),
     "ivf2_assign" -> (() => { ivf2AssignTable(spark, dir).count(); () }))
 
@@ -3289,18 +3290,22 @@ object LlmOps {
     * PQ codes), [[simIvfRetrain]] (which censuses the post-insert
     * occupancy), and [[simIvfRetrainExec]] (which feeds the arrivals into
     * the Lloyd re-train), so the write path, the re-train decision, and
-    * the re-train itself can never disagree on where an insert landed. */
-  private def serveInsertAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-    e.filter(expr("vec_id % 4 = 3"))
-      .crossJoin(broadcast(serveCentroids(spark, dir)))
-      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-      .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
-  }
+    * the re-train itself can never disagree on where an insert landed.
+    * Memoized per (session, dir) like the sibling assignment tables —
+    * three queries consume it, so the N/4 × k window assignment is built
+    * once and accounted as a state build, not re-paid per query. */
+  private def serveInsertAssign(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "serve_insert_assign") {
+      val e = Tables.embeddings(spark, dir)
+        .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+      e.filter(expr("vec_id % 4 = 3"))
+        .crossJoin(broadcast(serveCentroids(spark, dir)))
+        .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+        .withColumn("ark", row_number().over(wAssign))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    }
 
   /** DELETE path of incremental serving — the third side of the serve
     * index's lifecycle ([[simIvfServe]] reads, [[simIvfServeInsert]]
@@ -3428,16 +3433,16 @@ object LlmOps {
     * the evidence the maintenance pass actually repaired the drift it was
     * triggered by. Cost: one pass to sum centroids (map-side combinable),
     * one N × k broadcast re-assignment — the price of any re-train — and
-    * two k-row censuses; the arrivals' assignment is computed once and
-    * cached (it feeds both the union and, transitively, the sums). The
+    * two k-row censuses; the arrivals' assignment is the memoized
+    * [[serveInsertAssign]] table (built once per session). The
     * skew globals ride window aggregates over the k-row census, not a
     * separate agg crossJoined back (the [[simIvfRetrain]] single-subtree
     * lesson). */
   def simIvfRetrainExec(spark: SparkSession, dir: String): DataFrame = {
     val corpus = ivfServeAssignTable(spark, dir)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    val inserted = track(serveInsertAssign(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")).cache())
+    val inserted = serveInsertAssign(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val members = corpus.union(inserted)
     val cents = kmCentroids(members)
       .select(col("cell").as("ncell"), col("svec"), col("snrm"))
@@ -3688,6 +3693,31 @@ object LlmOps {
     * dd_dedup_keep_best, dd_cluster). ONE site for the blocking scheme,
     * [[StopShingleCap]], and the first-4-md5-bytes shingle hash — a drifted
     * copy in any one mirror would silently break only that query's parity. */
+  /** The serve lifecycle's frozen base, ONE definition for the e/cents
+    * CTE pair that every serve-index mirror (serve, serve_pq, insert,
+    * delete, compact, retrain, retrain_exec) opens with: embeddings with
+    * norms, and the corpus-only centroid table — the k lowest-id
+    * non-held-out (vec_id % 4 <> 3) vectors. Twin of [[serveCentroids]]
+    * on the Spark side; edits to the frozen-index definition happen here
+    * or nowhere. */
+  /** The quantized Lloyd centroid update's component list, ONE definition
+    * for every Duck mirror that re-trains centroids ([[kmCentroids]]'
+    * cross-engine twin): 64 per-dimension sums of round(x * KmQuant) as
+    * BIGINT — the integer-exact update that cannot drift with partition
+    * order. */
+  private def kmSumsVecDuck: String =
+    s"[${(1 to 64).map(i =>
+      s"SUM(CAST(round(CAST(embedding[$i] AS DOUBLE) * $KmQuant) AS BIGINT))").mkString(", ")}] AS svec"
+
+  private def serveECentsDuck: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+       |  FROM e WHERE vec_id % 4 <> 3
+       |  ORDER BY vec_id LIMIT (SELECT k FROM params))""".stripMargin
+
   private def shinglePairsDuck: String =
     s"""sh0 AS (
        |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
@@ -4871,13 +4901,7 @@ object LlmOps {
     // quantized at query time and ranked within their cell
     "sim_ivf_serve" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id % 4 <> 3
-         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |$serveECentsDuck,
          |corpus AS (
          |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
          |    SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
@@ -4911,13 +4935,7 @@ object LlmOps {
     // top-PqRerankDepth shortlist is re-ranked with exact cosines
     "sim_ivf_serve_pq" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id % 4 <> 3
-         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |$serveECentsDuck,
          |corpus AS (
          |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
          |    SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
@@ -5075,13 +5093,7 @@ object LlmOps {
     // codebook — the row appended to the code index
     "sim_ivf_serve_insert" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id % 4 <> 3
-         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |$serveECentsDuck,
          |assigned AS (
          |  SELECT vec_id, nrm, cent_id AS cell FROM (
          |    SELECT e.vec_id, e.nrm, cents.cent_id,
@@ -5117,13 +5129,7 @@ object LlmOps {
     // corpus assignment (tombstones = vec_id % 5 = 0) + compact-at-0.8
     "sim_ivf_serve_delete" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id % 4 <> 3
-         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |$serveECentsDuck,
          |corpus AS (
          |  SELECT vec_id, cent_id AS cell FROM (
          |    SELECT e.vec_id, cents.cent_id,
@@ -5143,13 +5149,7 @@ object LlmOps {
     // the decision query), compact cells drop tombstones, others keep them
     "sim_ivf_compact" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id % 4 <> 3
-         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |$serveECentsDuck,
          |corpus AS (
          |  SELECT vec_id, cent_id AS cell, (vec_id % 5 = 0) AS tomb0 FROM (
          |    SELECT e.vec_id, cents.cent_id,
@@ -5172,13 +5172,7 @@ object LlmOps {
     // arrivals assigned to the frozen centroids) + the two drift signals
     "sim_ivf_retrain" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id % 4 <> 3
-         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |$serveECentsDuck,
          |assign AS (
          |  SELECT vec_id, cell, ins FROM (
          |    SELECT e.vec_id, cents.cent_id AS cell,
@@ -5209,13 +5203,7 @@ object LlmOps {
     // every member re-assigned; before/after occupancy + skew both ways
     "sim_ivf_retrain_exec" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id % 4 <> 3
-         |  ORDER BY vec_id LIMIT (SELECT k FROM params)),
+         |$serveECentsDuck,
          |members AS (
          |  SELECT vec_id, embedding, nrm, cell FROM (
          |    SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id AS cell,
@@ -5225,8 +5213,7 @@ object LlmOps {
          |    FROM e CROSS JOIN cents)
          |  WHERE ark = 1),
          |sums AS (
-         |  SELECT cell, [${(1 to 64).map(i =>
-             s"SUM(CAST(round(CAST(embedding[$i] AS DOUBLE) * $KmQuant) AS BIGINT))").mkString(", ")}] AS svec
+         |  SELECT cell, $kmSumsVecDuck
          |  FROM members GROUP BY cell),
          |cn AS (SELECT cell AS ncell, svec, ${dot("svec", "svec", 1)} AS snrm FROM sums),
          |after0 AS (
@@ -5393,8 +5380,7 @@ object LlmOps {
          |m0 AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE ark = 1),
          |${(1 to KmRounds).map { r =>
              val sums = s"""cents$r AS (
-               |  SELECT cell, [${(1 to 64).map(i =>
-                   s"SUM(CAST(round(CAST(embedding[$i] AS DOUBLE) * $KmQuant) AS BIGINT))").mkString(", ")}] AS svec
+               |  SELECT cell, $kmSumsVecDuck
                |  FROM m${r - 1} GROUP BY cell),
                |cn$r AS (SELECT cell, svec, ${dot("svec", "svec", 1)} AS snrm FROM cents$r)""".stripMargin
              val nextMembers = s""",

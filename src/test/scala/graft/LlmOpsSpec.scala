@@ -1316,7 +1316,6 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("re-train execution: members conserved through the Lloyd round, drifted census matches the decision") {
-    import org.apache.spark.sql.functions.col
     val real = "/root/testdata/sf0.001"
     val rows = LlmOps.simIvfRetrainExec(spark, real).collect()
     assert(rows.nonEmpty)
@@ -1325,12 +1324,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_before")).sum == n)
     assert(rows.map(_.getAs[Long]("n_after")).sum == n,
       "the Lloyd re-assignment lost or duplicated members")
-    // the drifted (before) census must agree with the decision query
+    // the drifted (before) census must agree with the decision query —
+    // same counts AND the same cell set, both directions
     val decide = LlmOps.simIvfRetrain(spark, real).collect()
       .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_total")).toMap
-    rows.filter(_.getAs[Long]("n_before") > 0).foreach { r =>
-      assert(decide(r.getAs[Long]("cell")) == r.getAs[Long]("n_before"),
-        s"drifted census disagrees with the decision on cell ${r.getAs[Long]("cell")}")
+    val before = rows.filter(_.getAs[Long]("n_before") > 0)
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_before")).toMap
+    assert(decide.keySet == before.keySet,
+      s"census cell sets disagree: decision-only ${decide.keySet -- before.keySet}, " +
+        s"exec-only ${before.keySet -- decide.keySet}")
+    before.foreach { case (cell, nb) =>
+      assert(decide(cell) == nb,
+        s"drifted census disagrees with the decision on cell $cell")
     }
     // skew globals: one value per side, the decision's max*cells/total form
     val k = rows.length.toLong
