@@ -731,13 +731,20 @@ object LlmOps {
     jp
   }
 
+  /** The Jaccard-0.8 near-duplicate DROP set (distinct higher doc_id of
+    * each qualifying pair) over the memoized pair table — ONE definition
+    * shared by [[ddDedupKeep]], [[txtCleanCorpus]], and
+    * [[txtCurationFunnel]]; [[nearDropsDuck]] is its mirror. */
+  private def nearDropSet(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("ib")).distinct()
+
   /** The dedup ACTION: emit the kept corpus after dropping near-duplicates
     * (greedy keep-lowest-id: any doc that is the higher id of a pair with
     * Jaccard >= 0.8 is dropped). Anti-join — no doc² anywhere. */
   def ddDedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val drops = jaccardPairs(spark, dir)
-      .filter(col("jaccard") >= 0.8)
-      .select(col("ib")).distinct()
+    val drops = nearDropSet(spark, dir)
     Tables.documents(spark, dir)
       .join(drops, col("doc_id") === col("ib"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -2483,13 +2490,58 @@ object LlmOps {
     val exactKeep = docs
       .groupBy(md5(col("text")).as("xfp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val nearDrops = jaccardPairs(spark, dir)
-      .filter(col("jaccard") >= 0.8).select(col("ib")).distinct()
+    val nearDrops = nearDropSet(spark, dir)
     docs.join(passes, Seq("doc_id"), "left_semi")
       .join(exactKeep, Seq("doc_id"), "left_semi")
       .join(nearDrops, col("doc_id") === col("ib"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+  }
+
+  /** CURATION FUNNEL — the per-stage loss accounting for the clean-corpus
+    * chain ([[txtCleanCorpus]] emits the survivors; this emits the REPORT
+    * a pipeline dashboard shows): how many docs enter, survive, and drop
+    * at each gate — quality (Gopher), exact dedup (min-id per md5 text
+    * group), near-dup (the Jaccard-0.8 drop set) — each stage measured on
+    * the previous stage's survivors, plus every stage's kept fraction of
+    * the RAW corpus. The no-silent-drops rule applied to curation itself:
+    * ingestion has ingest_quarantine, the LSH probe has
+    * dd_incremental_capped, this is the same contract for the filter
+    * chain. Plan: three left joins onto the doc_id spine produce per-doc
+    * stage flags in one pass over the corpus (the drop set rides the
+    * memoized jaccard pairs), folded to ONE map-side-combinable row of
+    * four conditional counts, then a 4-row stack() unpivot (the
+    * txt_classifier_sweep shape) — constant output at any corpus size. */
+  def txtCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val passes = txtGopher(spark, dir).filter(col("passes"))
+      .select(col("doc_id"), lit(1L).as("f_q"))
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("xfp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("f_x"))
+    val nearDrops = nearDropSet(spark, dir).withColumn("f_n", lit(1L))
+    val counts = docs.select(col("doc_id"))
+      .join(passes, Seq("doc_id"), "left")
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nearDrops, col("doc_id") === col("ib"), "left")
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("f_q") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f_q") === 1L && col("f_x") === 1L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("f_q") === 1L && col("f_x") === 1L && col("f_n").isNull, 1L)
+          .otherwise(0L)).as("n3"))
+    counts.select(
+      expr("""stack(4,
+        0L, 'raw',            n0, n0,
+        1L, 'quality_gopher', n0, n1,
+        2L, 'exact_dedup',    n1, n2,
+        3L, 'near_dedup',     n2, n3) AS (stage_id, stage, n_in, n_kept)"""),
+      col("n0"))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+      .withColumn("kept_frac", col("n_kept") / col("n0"))
+      .select(col("stage_id"), col("stage"), col("n_in"), col("n_kept"),
+        col("n_dropped"), col("kept_frac"))
+      .orderBy(col("stage_id"))
   }
 
   /** Deterministic training-shard assignment — the EXPORT stage: every doc
@@ -3637,6 +3689,7 @@ object LlmOps {
     "dd_contamination" -> ((s: SparkSession, d: String) => ddContamination(s, d)),
     "dd_contamination8" -> ddContamination8 _,
     "txt_clean_corpus" -> txtCleanCorpus _,
+    "txt_curation_funnel" -> txtCurationFunnel _,
     "txt_shards" -> txtShards _,
     "txt_split" -> txtSplit _,
     "txt_mixture" -> txtMixture _,
@@ -3717,6 +3770,53 @@ object LlmOps {
        |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
        |  FROM e WHERE vec_id % 4 <> 3
        |  ORDER BY vec_id LIMIT (SELECT k FROM params))""".stripMargin
+
+  /** Gopher quality-stat CTE chain (per -> pr -> bg -> bc -> top) over
+    * `base`, ONE definition shared by the txt_gopher mirror, the
+    * clean-corpus quality gate, and the curation funnel;
+    * [[gopherPassPredDuck]] is the matching pass predicate over the
+    * `pr`/`top` columns. */
+  private def gopherStatsDuck: String =
+    s"""per AS (
+       |  SELECT doc_id, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lns
+       |  FROM base),
+       |pr AS (
+       |  SELECT doc_id, n_words, toks,
+       |    CAST(len(lns) AS BIGINT) AS n_lines,
+       |    CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS n_dup,
+       |    CAST(len(list_filter(lns, l -> substr(l, 1, 2) IN ('- ', '* '))) AS BIGINT) AS n_bullet,
+       |    CAST(coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0) AS BIGINT) AS sum_wl,
+       |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams
+       |  FROM per),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS b
+       |  FROM per),
+       |bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+       |top AS (SELECT doc_id, max(n) AS top_n FROM bc GROUP BY doc_id)""".stripMargin
+
+  /** The Gopher pass predicate over [[gopherStatsDuck]]'s `pr` columns +
+    * `top_n` — the five thresholds in one place for every mirror that
+    * gates on quality. */
+  private def gopherPassPredDuck: String =
+    """n_words >= 5 AND n_words <= 100000
+      |    AND sum_wl / nullif(n_words, 0) BETWEEN 2.0 AND 12.0
+      |    AND n_dup / nullif(n_lines, 0) <= 0.5
+      |    AND top_n / nullif(n_bigrams, 0) <= 0.3
+      |    AND n_bullet / nullif(n_lines, 0) <= 0.5""".stripMargin
+
+  /** Jaccard-0.8 near-duplicate DROP set over [[shinglePairsDuck]]'s
+    * `pairs`/`sizes` (the higher doc_id of each qualifying pair) —
+    * [[nearDropSet]]'s mirror, shared by dd_dedup_keep, the clean-corpus
+    * gate, and the curation funnel. */
+  private def nearDropsDuck: String =
+    """drops AS (
+      |  SELECT DISTINCT ib FROM pairs
+      |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+      |  WHERE common / (sa.n + sb.n - common) >= 0.8)""".stripMargin
 
   private def shinglePairsDuck: String =
     s"""sh0 AS (
@@ -4012,10 +4112,7 @@ object LlmOps {
 
     "dd_dedup_keep" ->
       s"""WITH $baseDuck, $shinglePairsDuck,
-         |drops AS (
-         |  SELECT DISTINCT ib FROM pairs
-         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-         |  WHERE common / (sa.n + sb.n - common) >= 0.8)
+         |$nearDropsDuck
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.ib = doc_id)
          |ORDER BY doc_id""".stripMargin,
@@ -4065,36 +4162,13 @@ object LlmOps {
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "txt_gopher" ->
-      s"""WITH $baseDuck, per AS (
-         |  SELECT doc_id, toks,
-         |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lns
-         |  FROM base),
-         |pr AS (
-         |  SELECT doc_id, n_words, toks,
-         |    CAST(len(lns) AS BIGINT) AS n_lines,
-         |    CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS n_dup,
-         |    CAST(len(list_filter(lns, l -> substr(l, 1, 2) IN ('- ', '* '))) AS BIGINT) AS n_bullet,
-         |    CAST(coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0) AS BIGINT) AS sum_wl,
-         |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams
-         |  FROM per),
-         |bg AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-         |      i -> toks[i] || ' ' || toks[i + 1])) AS b
-         |  FROM per),
-         |bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
-         |top AS (SELECT doc_id, max(n) AS top_n FROM bc GROUP BY doc_id)
+      s"""WITH $baseDuck, $gopherStatsDuck
          |SELECT pr.doc_id, n_words, n_lines,
          |  n_dup / nullif(n_lines, 0) AS dup_line_frac,
          |  n_bullet / nullif(n_lines, 0) AS bullet_frac,
          |  sum_wl / nullif(n_words, 0) AS mean_word_len,
          |  top_n / nullif(n_bigrams, 0) AS top_bigram_frac,
-         |  (n_words >= 5 AND n_words <= 100000
-         |    AND sum_wl / nullif(n_words, 0) BETWEEN 2.0 AND 12.0
-         |    AND n_dup / nullif(n_lines, 0) <= 0.5
-         |    AND top_n / nullif(n_bigrams, 0) <= 0.3
-         |    AND n_bullet / nullif(n_lines, 0) <= 0.5) AS passes
+         |  ($gopherPassPredDuck) AS passes
          |FROM pr LEFT JOIN top ON pr.doc_id = top.doc_id
          |ORDER BY pr.doc_id""".stripMargin,
 
@@ -4465,61 +4539,52 @@ object LlmOps {
         |ORDER BY lang, rk""".stripMargin,
 
     "txt_clean_corpus" ->
-      s"""WITH $baseDuck, per AS (
-         |  SELECT doc_id, toks,
-         |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lns
-         |  FROM base),
-         |pr AS (
-         |  SELECT doc_id, n_words, toks,
-         |    CAST(len(lns) AS BIGINT) AS n_lines,
-         |    CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS n_dup,
-         |    CAST(len(list_filter(lns, l -> substr(l, 1, 2) IN ('- ', '* '))) AS BIGINT) AS n_bullet,
-         |    CAST(coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0) AS BIGINT) AS sum_wl,
-         |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams
-         |  FROM per),
-         |bg AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-         |      i -> toks[i] || ' ' || toks[i + 1])) AS b
-         |  FROM per),
-         |bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
-         |top AS (SELECT doc_id, max(n) AS top_n FROM bc GROUP BY doc_id),
+      s"""WITH $baseDuck, $gopherStatsDuck,
          |g AS (
          |  SELECT pr.doc_id FROM pr LEFT JOIN top ON pr.doc_id = top.doc_id
-         |  WHERE n_words >= 5 AND n_words <= 100000
-         |    AND sum_wl / nullif(n_words, 0) BETWEEN 2.0 AND 12.0
-         |    AND n_dup / nullif(n_lines, 0) <= 0.5
-         |    AND top_n / nullif(n_bigrams, 0) <= 0.3
-         |    AND n_bullet / nullif(n_lines, 0) <= 0.5),
+         |  WHERE $gopherPassPredDuck),
          |ex AS (SELECT md5(text) AS xfp, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
-         |sh0 AS (
-         |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
-         |  FROM base),
-         |sh AS (
-         |  SELECT doc_id, lang, bkt, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |rare AS (
-         |  SELECT s, lang, bkt FROM sh GROUP BY s, lang, bkt
-         |  HAVING count(*) <= $StopShingleCap),
-         |capped AS (
-         |  SELECT sh.* FROM sh SEMI JOIN rare
-         |    ON sh.s = rare.s AND sh.lang = rare.lang AND sh.bkt = rare.bkt),
-         |pairs AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
-         |  FROM capped a JOIN capped b
-         |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |drops AS (
-         |  SELECT DISTINCT ib FROM pairs
-         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-         |  WHERE common / (sa.n + sb.n - common) >= 0.8)
+         |$shinglePairsDuck,
+         |$nearDropsDuck
          |SELECT d.doc_id, d.lang, d.source, d.n_chars
          |FROM documents d
          |SEMI JOIN g ON g.doc_id = d.doc_id
          |SEMI JOIN ex ON ex.keep_id = d.doc_id
          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.ib = d.doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the curation chain's per-stage loss report: raw -> gopher quality ->
+    // exact dedup -> near-dup, each stage counted on the previous stage's
+    // survivors; kept_frac is each stage's share of the RAW corpus
+    "txt_curation_funnel" ->
+      s"""WITH $baseDuck, $gopherStatsDuck,
+         |g AS (
+         |  SELECT pr.doc_id FROM pr LEFT JOIN top ON pr.doc_id = top.doc_id
+         |  WHERE $gopherPassPredDuck),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |$shinglePairsDuck,
+         |$nearDropsDuck,
+         |flags AS (
+         |  SELECT d.doc_id,
+         |    (g.doc_id IS NOT NULL) AS f_q,
+         |    (ex.doc_id IS NOT NULL) AS f_x,
+         |    (dr.ib IS NOT NULL) AS f_n
+         |  FROM documents d
+         |  LEFT JOIN g ON g.doc_id = d.doc_id
+         |  LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |  LEFT JOIN drops dr ON dr.ib = d.doc_id),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(count(*) FILTER (WHERE f_q) AS BIGINT) AS n1,
+         |    CAST(count(*) FILTER (WHERE f_q AND f_x) AS BIGINT) AS n2,
+         |    CAST(count(*) FILTER (WHERE f_q AND f_x AND NOT f_n) AS BIGINT) AS n3
+         |  FROM flags)
+         |SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
+         |  n0 AS n_in, n0 AS n_kept, n0 - n0 AS n_dropped, n0 / n0 AS kept_frac FROM c
+         |UNION ALL SELECT 1, 'quality_gopher', n0, n1, n0 - n1, n1 / n0 FROM c
+         |UNION ALL SELECT 2, 'exact_dedup', n1, n2, n1 - n2, n2 / n0 FROM c
+         |UNION ALL SELECT 3, 'near_dedup', n2, n3, n2 - n3, n3 / n0 FROM c
+         |ORDER BY stage_id""".stripMargin,
 
     "txt_shards" ->
       s"""WITH $baseDuck, s AS (

@@ -234,6 +234,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(frac == deployed.toDouble / 5.0)
   }
 
+  test("curation funnel: each gate drops exactly its planted victim, final stage equals the clean corpus") {
+    import spark.implicits._
+    // one victim per gate: doc 1 fails gopher (1 word), doc 2 is an exact
+    // duplicate of doc 0 (min-id 0 keeps), doc 3 is doc 0's near-dup in
+    // the same (lang, length-bucket) block (higher id drops), docs 0/4
+    // survive everything
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val keepA = base + " the"
+    val nearDup = base + " zzzzzzzzzz"
+    val keepB = "one two three four five six seven eight nine ten eleven twelve!"
+    val docs = Seq(
+      Doc(0, keepA, "en", "s0", keepA.length),
+      Doc(1, "x", "en", "s1", 1L),
+      Doc(2, keepA, "en", "s2", keepA.length),
+      Doc(3, nearDup, "en", "s3", nearDup.length),
+      Doc(4, keepB, "en", "s4", keepB.length))
+    val d = java.nio.file.Files.createTempDirectory("funnel").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtCurationFunnel(spark, d).collect()
+    assert(rows.map(r => (r.getAs[Long]("stage_id"), r.getAs[String]("stage"),
+      r.getAs[Long]("n_in"), r.getAs[Long]("n_kept"))).toSeq == Seq(
+      (0L, "raw", 5L, 5L),
+      (1L, "quality_gopher", 5L, 4L),
+      (2L, "exact_dedup", 4L, 3L),
+      (3L, "near_dedup", 3L, 2L)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_kept"))
+      assert(r.getAs[Double]("kept_frac") == r.getAs[Long]("n_kept").toDouble / 5.0)
+    }
+    // the funnel's tail IS the clean corpus: same chain, same verdicts
+    assert(rows.last.getAs[Long]("n_kept") == LlmOps.txtCleanCorpus(spark, d).count())
+    // and the two reports agree on the shared crafted corpus too
+    val shared = LlmOps.txtCurationFunnel(spark, dir).collect()
+    assert(shared.map(_.getAs[Long]("n_in")).head ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(shared.last.getAs[Long]("n_kept") == LlmOps.txtCleanCorpus(spark, dir).count())
+    // funnel chaining: each stage starts from the previous stage's survivors
+    shared.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_kept"))
+    }
+  }
+
   test("quality-ranked dedup keep: the better-scoring cluster member wins over the lower id") {
     import spark.implicits._
     // docs 0 and 1 are near-dups (10 of 12 shingles shared, Jaccard 0.833)
