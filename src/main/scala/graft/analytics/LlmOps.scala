@@ -2484,15 +2484,21 @@ object LlmOps {
     * side reuses the memoized checkpointed pairs table, so running this
     * after any dd_* query adds only the joins. Demonstrates that the
     * operator set composes into the end-to-end corpus-cleaning job. */
+  /** Exact-dedup canonical flag: true iff the row's doc_id is the min of
+    * its identical-text (md5) group — ONE definition of the
+    * canonicalization for [[txtCleanCorpus]] and [[txtCurationFunnel]],
+    * in window form (the q39 lesson: a window over the dedup key rides
+    * the same scan/shuffle instead of a separate groupBy + join-back). */
+  private def exactKeepFlag: Column =
+    col("doc_id") === min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+
   def txtCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val passes = txtGopher(spark, dir).filter(col("passes")).select(col("doc_id"))
-    val exactKeep = docs
-      .groupBy(md5(col("text")).as("xfp")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
     val nearDrops = nearDropSet(spark, dir)
-    docs.join(passes, Seq("doc_id"), "left_semi")
-      .join(exactKeep, Seq("doc_id"), "left_semi")
+    docs.withColumn("f_x", exactKeepFlag)
+      .filter(col("f_x"))
+      .join(passes, Seq("doc_id"), "left_semi")
       .join(nearDrops, col("doc_id") === col("ib"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
@@ -2507,29 +2513,28 @@ object LlmOps {
     * the RAW corpus. The no-silent-drops rule applied to curation itself:
     * ingestion has ingest_quarantine, the LSH probe has
     * dd_incremental_capped, this is the same contract for the filter
-    * chain. Plan: three left joins onto the doc_id spine produce per-doc
-    * stage flags in one pass over the corpus (the drop set rides the
-    * memoized jaccard pairs), folded to ONE map-side-combinable row of
-    * four conditional counts, then a 4-row stack() unpivot (the
-    * txt_classifier_sweep shape) — constant output at any corpus size. */
+    * chain. Plan: the doc_id spine carries the exact-dedup verdict as a
+    * window over the same scan ([[exactKeepFlag]] — no separate groupBy +
+    * join-back), the quality and near-dup verdicts arrive as two left
+    * joins (the drop set rides the memoized jaccard pairs; the gopher
+    * stat chain is its own scan by nature), and everything folds to ONE
+    * map-side-combinable row of four conditional counts, then a 4-row
+    * stack() unpivot (the txt_classifier_sweep shape) — constant output
+    * at any corpus size. count(when(...)) not sum(when(...)): count is
+    * 0 on an empty corpus, matching the Duck FILTER semantics. */
   def txtCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val passes = txtGopher(spark, dir).filter(col("passes"))
       .select(col("doc_id"), lit(1L).as("f_q"))
-    val exactKeep = docs
-      .groupBy(md5(col("text")).as("xfp")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), lit(1L).as("f_x"))
     val nearDrops = nearDropSet(spark, dir).withColumn("f_n", lit(1L))
-    val counts = docs.select(col("doc_id"))
+    val counts = docs.select(col("doc_id"), exactKeepFlag.as("f_x"))
       .join(passes, Seq("doc_id"), "left")
-      .join(exactKeep, Seq("doc_id"), "left")
       .join(nearDrops, col("doc_id") === col("ib"), "left")
       .agg(
         count(lit(1)).as("n0"),
-        sum(when(col("f_q") === 1L, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("f_q") === 1L && col("f_x") === 1L, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("f_q") === 1L && col("f_x") === 1L && col("f_n").isNull, 1L)
-          .otherwise(0L)).as("n3"))
+        count(when(col("f_q") === 1L, 1)).as("n1"),
+        count(when(col("f_q") === 1L && col("f_x"), 1)).as("n2"),
+        count(when(col("f_q") === 1L && col("f_x") && col("f_n").isNull, 1)).as("n3"))
     counts.select(
       expr("""stack(4,
         0L, 'raw',            n0, n0,
@@ -3740,19 +3745,6 @@ object LlmOps {
   private val baseDuck =
     s"base AS (SELECT doc_id, lang, source, n_chars, text, $toksDuck AS toks FROM documents)"
 
-  /** (lang, length-bucket)-blocked shingle→candidate-pair CTE chain
-    * (sh0→sh→sizes→rare→capped→pairs, undirected `a.doc_id < b.doc_id`)
-    * shared by the Jaccard-family mirrors (dd_ngram_jaccard, dd_dedup_keep,
-    * dd_dedup_keep_best, dd_cluster). ONE site for the blocking scheme,
-    * [[StopShingleCap]], and the first-4-md5-bytes shingle hash — a drifted
-    * copy in any one mirror would silently break only that query's parity. */
-  /** The serve lifecycle's frozen base, ONE definition for the e/cents
-    * CTE pair that every serve-index mirror (serve, serve_pq, insert,
-    * delete, compact, retrain, retrain_exec) opens with: embeddings with
-    * norms, and the corpus-only centroid table — the k lowest-id
-    * non-held-out (vec_id % 4 <> 3) vectors. Twin of [[serveCentroids]]
-    * on the Spark side; edits to the frozen-index definition happen here
-    * or nowhere. */
   /** The quantized Lloyd centroid update's component list, ONE definition
     * for every Duck mirror that re-trains centroids ([[kmCentroids]]'
     * cross-engine twin): 64 per-dimension sums of round(x * KmQuant) as
@@ -3762,6 +3754,13 @@ object LlmOps {
     s"[${(1 to 64).map(i =>
       s"SUM(CAST(round(CAST(embedding[$i] AS DOUBLE) * $KmQuant) AS BIGINT))").mkString(", ")}] AS svec"
 
+  /** The serve lifecycle's frozen base, ONE definition for the e/cents
+    * CTE pair that every serve-index mirror (serve, serve_pq, insert,
+    * delete, compact, retrain, retrain_exec) opens with: embeddings with
+    * norms, and the corpus-only centroid table — the k lowest-id
+    * non-held-out (vec_id % 4 <> 3) vectors. Twin of [[serveCentroids]]
+    * on the Spark side; edits to the frozen-index definition happen here
+    * or nowhere. */
   private def serveECentsDuck: String =
     s"""e AS (
        |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
@@ -3818,6 +3817,19 @@ object LlmOps {
       |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
       |  WHERE common / (sa.n + sb.n - common) >= 0.8)""".stripMargin
 
+  /** Exact-dedup canonical keeper set (min doc_id per identical-text md5
+    * group) — [[exactKeepFlag]]'s mirror, ONE definition of the
+    * canonicalization shared by txt_clean_corpus and the curation
+    * funnel. */
+  private def exactKeepDuck: String =
+    "ex AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))"
+
+  /** (lang, length-bucket)-blocked shingle→candidate-pair CTE chain
+    * (sh0→sh→sizes→rare→capped→pairs, undirected `a.doc_id < b.doc_id`)
+    * shared by the Jaccard-family mirrors (dd_ngram_jaccard, dd_dedup_keep,
+    * dd_dedup_keep_best, dd_cluster). ONE site for the blocking scheme,
+    * [[StopShingleCap]], and the first-4-md5-bytes shingle hash — a drifted
+    * copy in any one mirror would silently break only that query's parity. */
   private def shinglePairsDuck: String =
     s"""sh0 AS (
        |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
@@ -4543,7 +4555,7 @@ object LlmOps {
          |g AS (
          |  SELECT pr.doc_id FROM pr LEFT JOIN top ON pr.doc_id = top.doc_id
          |  WHERE $gopherPassPredDuck),
-         |ex AS (SELECT md5(text) AS xfp, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+         |$exactKeepDuck,
          |$shinglePairsDuck,
          |$nearDropsDuck
          |SELECT d.doc_id, d.lang, d.source, d.n_chars
@@ -4561,17 +4573,17 @@ object LlmOps {
          |g AS (
          |  SELECT pr.doc_id FROM pr LEFT JOIN top ON pr.doc_id = top.doc_id
          |  WHERE $gopherPassPredDuck),
-         |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |$exactKeepDuck,
          |$shinglePairsDuck,
          |$nearDropsDuck,
          |flags AS (
          |  SELECT d.doc_id,
          |    (g.doc_id IS NOT NULL) AS f_q,
-         |    (ex.doc_id IS NOT NULL) AS f_x,
+         |    (ex.keep_id IS NOT NULL) AS f_x,
          |    (dr.ib IS NOT NULL) AS f_n
          |  FROM documents d
          |  LEFT JOIN g ON g.doc_id = d.doc_id
-         |  LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |  LEFT JOIN ex ON ex.keep_id = d.doc_id
          |  LEFT JOIN drops dr ON dr.ib = d.doc_id),
          |c AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n0,
