@@ -2778,6 +2778,52 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** ANN recall census — the acceptance metric every approximate index
+    * ships with, promoted from a spec-only probe (LlmOpsSpec's recall
+    * checks) to the oracle-checked surface, the [[ingestQuarantine]]
+    * precedent applied to index quality: per-query recall@5 of the IVF
+    * index at nprobe=1 ([[simIvf]]) and nprobe=2 ([[simIvfNprobe2]])
+    * against the exact brute-force top-5 ([[simTopkCosine]]) on the
+    * capped query sample. Composes the three oracle-checked queries
+    * verbatim — the recall readout cannot drift from what the index
+    * actually serves — and emits the recall-vs-nprobe curve a deployment
+    * tunes its probe width with. `hits_*` are exact BIGINT overlap
+    * counts; `recall_*` is the single int/int IEEE division.
+    *
+    * Scale shape: truth is the SimQueryCap-bounded broadcast brute-force
+    * pass — the one irreducible exact pass ANY recall measurement pays,
+    * linear in N with a hard-capped broadcast side (production recall
+    * monitoring samples its query set for exactly this reason). Both IVF
+    * sides read the memoized assignment table; each is LEFT-SEMI-pruned
+    * to the capped sample against a broadcast 256-row qid list BEFORE
+    * the overlap joins, so the frames being overlap-joined carry ≤
+    * 5·SimQueryCap rows a side and broadcast. One map-side-combinable
+    * count pair per qid closes it — constant output size at any N. */
+  def simIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    // the capped query sample, recomputed directly (a limit-256 scan) so
+    // the truth subtree is not evaluated twice just to list its qids
+    val qids = Tables.embeddings(spark, dir)
+      .filter(expr("vec_id % 50 = 0"))
+      .orderBy(col("vec_id")).limit(SimQueryCap)
+      .select(col("vec_id"))
+    def cappedTop(df: DataFrame, q: String, c: String): DataFrame =
+      df.select(col("qid").as(q), col("cid").as(c))
+        .join(broadcast(qids), col(q) === col("vec_id"), "left_semi")
+    val truth = simTopkCosine(spark, dir).select(col("qid"), col("cid"))
+    val np1 = broadcast(cappedTop(simIvf(spark, dir), "q1", "c1"))
+    val np2 = broadcast(cappedTop(simIvfNprobe2(spark, dir), "q2", "c2"))
+    truth
+      .join(np1, col("qid") === col("q1") && col("cid") === col("c1"), "left")
+      .join(np2, col("qid") === col("q2") && col("cid") === col("c2"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("c1")).as("hits_np1"), count(col("c2")).as("hits_np2"))
+      .withColumn("recall_np1", col("hits_np1") / lit(5))
+      .withColumn("recall_np2", col("hits_np2") / lit(5))
+      .select(col("qid"), col("hits_np1"), col("recall_np1"),
+        col("hits_np2"), col("recall_np2"))
+      .orderBy(col("qid"))
+  }
+
   /** TWO-LEVEL (hierarchical) IVF — the production shape past ~10M
     * vectors, where a flat quantizer's own N·k assignment re-quadratizes
     * (see [[ivfK]]'s Scaladoc): level 1 assigns every vector to one of
@@ -3733,6 +3779,7 @@ object LlmOps {
     "sim_ivf_filtered" -> simIvfFiltered _,
     "sim_ivf_filtered_pq" -> simIvfFilteredPq _,
     "sim_ivf_nprobe2" -> simIvfNprobe2 _,
+    "sim_ivf_recall" -> simIvfRecall _,
     "sim_ivf2" -> simIvf2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
     "sim_ivf_pq" -> simIvfPq _,
@@ -3939,6 +3986,30 @@ object LlmOps {
        |  FROM clf_f)""".stripMargin
   }
 
+  /** The shared first-k IVF quantizer chain (e → cents → ass → cell),
+    * DuckDB text — ONE definition for every oracle that assigns the FULL
+    * corpus against the first-k centroids (the [[ivfAssignTable]] mirror):
+    * sim_ivf, sim_ivf_nprobe2, sim_ivf_recall, dd_semdedup, and the PQ
+    * family via [[ivfPqPairsDuckN]]. Requires `params` ([[paramsDuck]]) in
+    * scope. The serve-path oracles keep their own chains — their corpus
+    * filter (%4<>3) and centroid rule differ. Declared BEFORE
+    * [[ivfPqPairsDuck]], whose init-time call interpolates it. */
+  private val ivfCellChainDuck: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+       |  FROM e WHERE vec_id < (SELECT k FROM params)),
+       |ass AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
+       |               cents.cent_id) AS ark
+       |  FROM e CROSS JOIN cents),
+       |cell AS (
+       |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1)""".stripMargin
+
   /** Shared CTE body of the IVF-PQ oracles (everything through the ADC
     * `pairs`), mirroring [[ivfPqAdcPairs]]: coarse cells as in sim_ivf; the
     * PQ codebook is the first [[PqCodes]] vectors' subvectors (one UNION
@@ -3953,20 +4024,7 @@ object LlmOps {
     * first-`nCodes` selection and the ADC lookup stride becomes `nCodes`,
     * exactly mirroring [[ivfPqAdcPairsWith]]. */
   private def ivfPqPairsDuckN(nCodes: Int): String =
-    s"""e AS (
-       |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-       |  FROM embeddings),
-       |cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-       |  FROM e WHERE vec_id < (SELECT k FROM params)),
-       |ass AS (
-       |  SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
-       |               cents.cent_id) AS ark
-       |  FROM e CROSS JOIN cents),
-       |cell AS (
-       |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1),
+    s"""$ivfCellChainDuck,
        |cb16 AS (SELECT vec_id, embedding FROM e WHERE vec_id < $nCodes),
        |enc AS (
        |${(0 until PqM).map { s =>
@@ -4947,20 +5005,7 @@ object LlmOps {
 
     "sim_ivf" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id < (SELECT k FROM params)),
-         |ass AS (
-         |  SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
-         |               cents.cent_id) AS ark
-         |  FROM e CROSS JOIN cents),
-         |cell AS (
-         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1),
+         |$ivfCellChainDuck,
          |pairs AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
@@ -5356,20 +5401,7 @@ object LlmOps {
     // same quantizer CTEs; queries probe their rank-1 AND rank-2 cells
     "sim_ivf_nprobe2" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id < (SELECT k FROM params)),
-         |ass AS (
-         |  SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
-         |               cents.cent_id) AS ark
-         |  FROM e CROSS JOIN cents),
-         |cell AS (
-         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1),
+         |$ivfCellChainDuck,
          |q2 AS (
          |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass
          |  WHERE ark <= 2 AND vec_id % 50 = 0),
@@ -5384,6 +5416,49 @@ object LlmOps {
          |  FROM pairs)
          |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // recall census: brute-force truth on the capped sample vs the IVF
+    // top-5 at nprobe=1 (cell) and nprobe=2 (ark<=2); per-qid overlap
+    // counts and the int/int recall division
+    "sim_ivf_recall" ->
+      s"""WITH $paramsDuck,
+         |$ivfCellChainDuck,
+         |q AS (
+         |  SELECT vec_id, embedding, nrm FROM e
+         |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $SimQueryCap),
+         |truth AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) DESC,
+         |                 c.vec_id) AS rk
+         |    FROM q JOIN e c ON q.vec_id <> c.vec_id)
+         |  WHERE rk <= 5),
+         |np1 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT a.vec_id AS qid, c.vec_id AS cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY (${dot("a.embedding", "c.embedding", 1)}) / sqrt(a.nrm * c.nrm) DESC,
+         |                 c.vec_id) AS rk
+         |    FROM cell a JOIN cell c
+         |      ON a.cell = c.cell AND a.vec_id % 50 = 0 AND a.vec_id <> c.vec_id)
+         |  WHERE rk <= 5),
+         |np2 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT a.vec_id AS qid, c.vec_id AS cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY (${dot("a.embedding", "c.embedding", 1)}) / sqrt(a.nrm * c.nrm) DESC,
+         |                 c.vec_id) AS rk
+         |    FROM (SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark <= 2) a
+         |      JOIN cell c ON a.cell = c.cell AND a.vec_id % 50 = 0 AND a.vec_id <> c.vec_id)
+         |  WHERE rk <= 5)
+         |SELECT t.qid,
+         |  count(n1.cid) AS hits_np1, count(n1.cid) / 5 AS recall_np1,
+         |  count(n2.cid) AS hits_np2, count(n2.cid) / 5 AS recall_np2
+         |FROM truth t
+         |LEFT JOIN np1 n1 ON t.qid = n1.qid AND t.cid = n1.cid
+         |LEFT JOIN np2 n2 ON t.qid = n2.qid AND t.cid = n2.cid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
 
     // TWO-LEVEL IVF: nested deterministic quantizers — level-1 first-kc
     // centroids, level-2 the kc lowest-id members of each cell; queries
@@ -5590,20 +5665,7 @@ object LlmOps {
     // same quantizer CTEs as sim_ivf; low-id in-cluster max cosine + verdict
     "dd_semdedup" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id < (SELECT k FROM params)),
-         |ass AS (
-         |  SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY (${dot("e.embedding", "cents.cemb", 1)}) / sqrt(e.nrm * cents.cnrm) DESC,
-         |               cents.cent_id) AS ark
-         |  FROM e CROSS JOIN cents),
-         |cell AS (
-         |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1),
+         |$ivfCellChainDuck,
          |low AS (
          |  SELECT a.vec_id,
          |    max((${dot("a.embedding", "b.embedding", 1)}) / sqrt(a.nrm * b.nrm)) AS max_cos_lower

@@ -461,6 +461,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(twoRecall >= one)
   }
 
+  test("recall census recounts the overlap of the three composed queries; nprobe=2 never loses") {
+    val real = "/root/testdata/sf0.001"
+    def pairs(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val truth = pairs(LlmOps.simTopkCosine(spark, real).collect())
+    val np1 = pairs(LlmOps.simIvf(spark, real).collect())
+    val np2 = pairs(LlmOps.simIvfNprobe2(spark, real).collect())
+    val census = LlmOps.simIvfRecall(spark, real).collect()
+    // one row per capped query, in qid order
+    assert(census.map(_.getAs[Long]("qid")).toSeq == truth.map(_._1).toSeq.distinct.sorted)
+    census.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val t = truth.filter(_._1 == qid)
+      val h1 = r.getAs[Long]("hits_np1")
+      val h2 = r.getAs[Long]("hits_np2")
+      // the census row IS the overlap count of the composed queries
+      assert(h1 == t.count(np1), s"qid=$qid hits_np1 $h1 != recount ${t.count(np1)}")
+      assert(h2 == t.count(np2), s"qid=$qid hits_np2 $h2 != recount ${t.count(np2)}")
+      assert(h1 >= 0 && h1 <= 5 && h2 >= 0 && h2 <= 5)
+      // widening the probe can only add candidates: nprobe=2 never loses
+      assert(h2 >= h1, s"qid=$qid nprobe=2 hits $h2 < nprobe=1 hits $h1")
+      assert(r.getAs[Double]("recall_np1") == h1.toDouble / 5)
+      assert(r.getAs[Double]("recall_np2") == h2.toDouble / 5)
+    }
+    val mean2 = census.map(_.getAs[Double]("recall_np2")).sum / census.length
+    info(f"census mean recall@5: nprobe=2 $mean2%.2f over ${census.length} queries")
+  }
+
   test("k-means-refined IVF: cosines agree with brute force; cells are more balanced than first-k init") {
     val real = "/root/testdata/sf0.001"
     val brute = LlmOps.simTopkCosine(spark, real).collect()
