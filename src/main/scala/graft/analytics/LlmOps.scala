@@ -992,6 +992,34 @@ object LlmOps {
       Window.partitionBy(col("lang"))
         .orderBy(col("n_toks").desc, col("doc_id"), col("chunk_idx")))
 
+  /** Packer-selection census — the report that decides between the two
+    * packing strategies: per (strategy, lang shard), sequence count, chunk
+    * and token totals, the largest packed sequence, and the fill rate
+    * (tokens per 64-token budget slot, ONE int/int IEEE division). Both
+    * strategies pack the same chunks, so token totals agree line-for-line
+    * and the comparison isolates to n_seqs/fill — exactly the readout a
+    * pipeline uses to pick its packer per corpus. Composes [[txtPack]] and
+    * [[txtPackFfd]] verbatim (the [[simIvfRecall]] consistency rule: the
+    * report cannot drift from what the packers emit); evaluating both
+    * packings is the inherent price of comparing them — each side costs
+    * its own floor, and the per-seq frames this aggregates are already
+    * k-rows-per-shard small. */
+  def txtPackReport(spark: SparkSession, dir: String): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_chunks")).as("n_chunks"),
+          sum(col("n_toks_total")).as("n_toks"),
+          max(col("n_toks_total")).as("max_seq_toks"))
+        .withColumn("strategy", lit(tag))
+    side(txtPack(spark, dir), "arrival")
+      .unionByName(side(txtPackFfd(spark, dir), "length_desc"))
+      .withColumn("fill", col("n_toks") / (col("n_seqs") * lit(64)))
+      .select(col("strategy"), col("lang"), col("n_seqs"), col("n_chunks"),
+        col("n_toks"), col("max_seq_toks"), col("fill"))
+      .orderBy(col("strategy"), col("lang"))
+  }
+
   /** Shared chunk-size derivation + running-total packing under the given
     * per-shard window order (see [[txtPack]] for the scheme). */
   private def packBySequence(spark: SparkSession, dir: String,
@@ -3729,6 +3757,7 @@ object LlmOps {
     "txt_chunks" -> txtChunks _,
     "txt_pack" -> txtPack _,
     "txt_pack_ffd" -> txtPackFfd _,
+    "txt_pack_report" -> txtPackReport _,
     "txt_scrub" -> txtScrub _,
     "txt_gopher" -> txtGopher _,
     "dd_lines" -> ddLines _,
@@ -3985,6 +4014,34 @@ object LlmOps {
        |      / nullif(n_toks, 0) AS score
        |  FROM clf_f)""".stripMargin
   }
+
+  /** The shared chunk-derivation + running-total packing chain (c → x →
+    * r → packed), DuckDB text, parameterized over the per-shard window
+    * order — ONE definition for txt_pack (arrival order), txt_pack_ffd
+    * (length-descending), and both sides of txt_pack_report. Requires
+    * `base` ([[baseDuck]]) in scope; `sfx` disambiguates CTE names when
+    * two instantiations share one WITH. Mirrors [[packBySequence]]. */
+  private def packSeqDuck(order: String, sfx: String): String =
+    s"""c$sfx AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(range(0, greatest(CAST(ceil(len(toks) / 32.0) AS INT), 1)),
+       |      i -> least(greatest(len(toks) - i * 32, 0), 32)) AS sizes
+       |  FROM base),
+       |x$sfx AS (
+       |  SELECT doc_id, lang,
+       |    unnest(range(0, len(sizes))) AS chunk_idx,
+       |    unnest(sizes) AS n_toks
+       |  FROM c$sfx),
+       |r$sfx AS (
+       |  SELECT lang, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY lang ORDER BY $order
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM x$sfx),
+       |packed$sfx AS (
+       |  SELECT lang, CAST((cum - n_toks) // 64 AS BIGINT) AS seq_id,
+       |    count(*) AS n_chunks, CAST(sum(n_toks) AS BIGINT) AS n_toks_total
+       |  FROM r$sfx
+       |  GROUP BY lang, (cum - n_toks) // 64)""".stripMargin
 
   /** The shared first-k IVF quantizer chain (e → cents → ass → cell),
     * DuckDB text — ONE definition for every oracle that assigns the FULL
@@ -4539,50 +4596,39 @@ object LlmOps {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "txt_pack" ->
-      s"""WITH $baseDuck, c AS (
-         |  SELECT doc_id, lang,
-         |    list_transform(range(0, greatest(CAST(ceil(len(toks) / 32.0) AS INT), 1)),
-         |      i -> least(greatest(len(toks) - i * 32, 0), 32)) AS sizes
-         |  FROM base),
-         |x AS (
-         |  SELECT doc_id, lang,
-         |    unnest(range(0, len(sizes))) AS chunk_idx,
-         |    unnest(sizes) AS n_toks
-         |  FROM c),
-         |r AS (
-         |  SELECT lang, n_toks,
-         |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
-         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM x)
-         |SELECT lang, CAST((cum - n_toks) // 64 AS BIGINT) AS seq_id,
-         |  count(*) AS n_chunks, CAST(sum(n_toks) AS BIGINT) AS n_toks_total
-         |FROM r
-         |GROUP BY lang, (cum - n_toks) // 64
-         |ORDER BY lang, seq_id""".stripMargin,
+      s"""WITH $baseDuck,
+         |${packSeqDuck("doc_id, chunk_idx", "")}
+         |SELECT lang, seq_id, n_chunks, n_toks_total
+         |FROM packed ORDER BY lang, seq_id""".stripMargin,
 
     // txt_pack with the per-shard window re-ordered length-descending
     "txt_pack_ffd" ->
-      s"""WITH $baseDuck, c AS (
-         |  SELECT doc_id, lang,
-         |    list_transform(range(0, greatest(CAST(ceil(len(toks) / 32.0) AS INT), 1)),
-         |      i -> least(greatest(len(toks) - i * 32, 0), 32)) AS sizes
-         |  FROM base),
-         |x AS (
-         |  SELECT doc_id, lang,
-         |    unnest(range(0, len(sizes))) AS chunk_idx,
-         |    unnest(sizes) AS n_toks
-         |  FROM c),
-         |r AS (
-         |  SELECT lang, n_toks,
-         |    sum(n_toks) OVER (PARTITION BY lang
-         |                      ORDER BY n_toks DESC, doc_id, chunk_idx
-         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM x)
-         |SELECT lang, CAST((cum - n_toks) // 64 AS BIGINT) AS seq_id,
-         |  count(*) AS n_chunks, CAST(sum(n_toks) AS BIGINT) AS n_toks_total
-         |FROM r
-         |GROUP BY lang, (cum - n_toks) // 64
-         |ORDER BY lang, seq_id""".stripMargin,
+      s"""WITH $baseDuck,
+         |${packSeqDuck("n_toks DESC, doc_id, chunk_idx", "")}
+         |SELECT lang, seq_id, n_chunks, n_toks_total
+         |FROM packed ORDER BY lang, seq_id""".stripMargin,
+
+    // both packings aggregated per (strategy, lang): the packer-selection
+    // report — token totals agree by construction, n_seqs/fill decide
+    "txt_pack_report" ->
+      s"""WITH $baseDuck,
+         |${packSeqDuck("doc_id, chunk_idx", "a")},
+         |${packSeqDuck("n_toks DESC, doc_id, chunk_idx", "d")}
+         |SELECT * FROM (
+         |  SELECT 'arrival' AS strategy, lang, count(*) AS n_seqs,
+         |    CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |    CAST(sum(n_toks_total) AS BIGINT) AS n_toks,
+         |    max(n_toks_total) AS max_seq_toks,
+         |    CAST(sum(n_toks_total) AS BIGINT) / (count(*) * 64) AS fill
+         |  FROM packeda GROUP BY lang
+         |  UNION ALL
+         |  SELECT 'length_desc' AS strategy, lang, count(*) AS n_seqs,
+         |    CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |    CAST(sum(n_toks_total) AS BIGINT) AS n_toks,
+         |    max(n_toks_total) AS max_seq_toks,
+         |    CAST(sum(n_toks_total) AS BIGINT) / (count(*) * 64) AS fill
+         |  FROM packedd GROUP BY lang)
+         |ORDER BY strategy, lang""".stripMargin,
 
     "txt_chunks" ->
       s"""WITH $baseDuck, c AS (

@@ -26,4 +26,31 @@ class PackingSpec extends SparkSpec {
     val (rv1, rffd) = (fillRate(v1), fillRate(ffd))
     assert(rffd >= rv1, f"ffd fill $rffd%.4f < v1 fill $rv1%.4f")
   }
+
+  test("pack report recounts both composed packers; token mass agrees across strategies") {
+    val dir = "/root/testdata/sf0.001"
+    val report = LlmOps.txtPackReport(spark, dir).collect()
+    val packers = Map(
+      "arrival" -> LlmOps.txtPack(spark, dir).collect(),
+      "length_desc" -> LlmOps.txtPackFfd(spark, dir).collect())
+    assert(report.map(r => (r.getAs[String]("strategy"), r.getAs[String]("lang"))).distinct.length
+      == report.length)
+    report.foreach { r =>
+      val rows = packers(r.getAs[String]("strategy"))
+        .filter(_.getAs[String]("lang") == r.getAs[String]("lang"))
+      val nSeqs = r.getAs[Long]("n_seqs")
+      assert(nSeqs == rows.length.toLong)
+      assert(r.getAs[Long]("n_chunks") == rows.map(_.getAs[Long]("n_chunks")).sum)
+      assert(r.getAs[Long]("n_toks") == rows.map(_.getAs[Long]("n_toks_total")).sum)
+      assert(r.getAs[Long]("max_seq_toks") == rows.map(_.getAs[Long]("n_toks_total")).max)
+      assert(r.getAs[Double]("fill") == r.getAs[Long]("n_toks").toDouble / (nSeqs * 64))
+    }
+    // both strategies pack the same chunks: per-lang token mass is equal,
+    // so the report isolates the comparison to n_seqs/fill
+    report.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      assert(rows.map(_.getAs[Long]("n_toks")).distinct.length == 1,
+        s"token mass disagrees across strategies for lang=$lang")
+      assert(rows.map(_.getAs[Long]("n_chunks")).distinct.length == 1)
+    }
+  }
 }
