@@ -2827,28 +2827,51 @@ object LlmOps {
     * the overlap joins, so the frames being overlap-joined carry ≤
     * 5·SimQueryCap rows a side and broadcast. One map-side-combinable
     * count pair per qid closes it — constant output size at any N. */
-  def simIvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    // the capped query sample, recomputed directly (a limit-256 scan) so
-    // the truth subtree is not evaluated twice just to list its qids
+  def simIvfRecall(spark: SparkSession, dir: String): DataFrame =
+    recallCensusOver(spark, dir,
+      Seq("np1" -> simIvf(spark, dir), "np2" -> simIvfNprobe2(spark, dir)))
+
+  /** [[simIvfRecall]]'s LSH-family sibling: recall@5 of the hyperplane
+    * index at probing radius 0 ([[simAnnLsh]], home bucket only), radius 1
+    * ([[simAnnMultiprobe]], home + 1-bit flips), and radius 2
+    * ([[simAnnProbe2]]) against the same brute-force truth — the
+    * recall-vs-probe-radius curve, the LSH analogue of the IVF nprobe
+    * knob. Same kernel, same scale shape, same cannot-drift composition
+    * of the three oracle-checked queries. */
+  def simAnnRecall(spark: SparkSession, dir: String): DataFrame =
+    recallCensusOver(spark, dir,
+      Seq("r0" -> simAnnLsh(spark, dir), "r1" -> simAnnMultiprobe(spark, dir),
+        "r2" -> simAnnProbe2(spark, dir)))
+
+  /** Shared recall-census kernel of [[simIvfRecall]] / [[simAnnRecall]]:
+    * per capped-sample query, the overlap of each approximate side's
+    * (qid, cid) top-5 with the brute-force truth, as `hits_<sfx>` BIGINT
+    * counts and `recall_<sfx>` int/int divisions. Each side is
+    * LEFT-SEMI-pruned to the capped sample against a broadcast 256-row
+    * qid list BEFORE the overlap joins (the raw sides cover every 50th
+    * vector — N/10 rows at scale), so the joined frames stay ≤
+    * 5·SimQueryCap rows and broadcast. The qid list is recomputed
+    * directly (a limit-256 scan) rather than distinct-ing truth, which
+    * would evaluate the brute-force subtree twice. */
+  private def recallCensusOver(spark: SparkSession, dir: String,
+      sides: Seq[(String, DataFrame)]): DataFrame = {
     val qids = Tables.embeddings(spark, dir)
       .filter(expr("vec_id % 50 = 0"))
       .orderBy(col("vec_id")).limit(SimQueryCap)
       .select(col("vec_id"))
-    def cappedTop(df: DataFrame, q: String, c: String): DataFrame =
-      df.select(col("qid").as(q), col("cid").as(c))
-        .join(broadcast(qids), col(q) === col("vec_id"), "left_semi")
     val truth = simTopkCosine(spark, dir).select(col("qid"), col("cid"))
-    val np1 = broadcast(cappedTop(simIvf(spark, dir), "q1", "c1"))
-    val np2 = broadcast(cappedTop(simIvfNprobe2(spark, dir), "q2", "c2"))
-    truth
-      .join(np1, col("qid") === col("q1") && col("cid") === col("c1"), "left")
-      .join(np2, col("qid") === col("q2") && col("cid") === col("c2"), "left")
-      .groupBy(col("qid"))
-      .agg(count(col("c1")).as("hits_np1"), count(col("c2")).as("hits_np2"))
-      .withColumn("recall_np1", col("hits_np1") / lit(5))
-      .withColumn("recall_np2", col("hits_np2") / lit(5))
-      .select(col("qid"), col("hits_np1"), col("recall_np1"),
-        col("hits_np2"), col("recall_np2"))
+    val joined = sides.foldLeft(truth) { case (acc, (sfx, df)) =>
+      val pruned = df.select(col("qid").as(s"q_$sfx"), col("cid").as(s"c_$sfx"))
+        .join(broadcast(qids), col(s"q_$sfx") === col("vec_id"), "left_semi")
+      acc.join(broadcast(pruned),
+        col("qid") === col(s"q_$sfx") && col("cid") === col(s"c_$sfx"), "left")
+    }
+    val hits = sides.map { case (sfx, _) => count(col(s"c_$sfx")).as(s"hits_$sfx") }
+    sides.foldLeft(joined.groupBy(col("qid")).agg(hits.head, hits.tail: _*)) {
+      case (acc, (sfx, _)) => acc.withColumn(s"recall_$sfx", col(s"hits_$sfx") / lit(5))
+    }
+      .select(col("qid") +: sides.flatMap { case (sfx, _) =>
+        Seq(col(s"hits_$sfx"), col(s"recall_$sfx")) }: _*)
       .orderBy(col("qid"))
   }
 
@@ -3797,6 +3820,7 @@ object LlmOps {
     "sim_ann_lsh" -> simAnnLsh _,
     "sim_ann_multiprobe" -> simAnnMultiprobe _,
     "sim_ann_probe2" -> simAnnProbe2 _,
+    "sim_ann_recall" -> simAnnRecall _,
     "sim_ivf" -> simIvf _,
     "sim_ivf_serve" -> simIvfServe _,
     "sim_ivf_serve_pq" -> simIvfServePq _,
@@ -4066,6 +4090,62 @@ object LlmOps {
        |  FROM e CROSS JOIN cents),
        |cell AS (
        |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1)""".stripMargin
+
+  /** The bucketed embedding table (vec_id, embedding, nrm, bucket),
+    * DuckDB text — ONE definition for the three hyperplane-LSH oracles
+    * and the LSH recall census (the [[annBucketTable]] mirror). Requires
+    * `params` in scope. */
+  private val annEDuck: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding,
+       |    ${dot("embedding", "embedding", 1)} AS nrm,
+       |    ${bucketExpr("embedding", 1)} AS bucket
+       |  FROM embeddings)""".stripMargin
+
+  /** Brute-force truth (q → truth): the capped query sample's exact
+    * top-5 as (qid, cid) — shared by both recall-census oracles. Requires
+    * an `e` CTE with (vec_id, embedding, nrm) in scope. */
+  private val bruteTruthDuck: String =
+    s"""q AS (
+       |  SELECT vec_id, embedding, nrm FROM e
+       |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $SimQueryCap),
+       |truth AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) DESC,
+       |                 c.vec_id) AS rk
+       |    FROM q JOIN e c ON q.vec_id <> c.vec_id)
+       |  WHERE rk <= 5)""".stripMargin
+
+  /** The three LSH probing radii as (qid, qe, qn, probe) sources over the
+    * bucketed `e` — radius 0 probes the home bucket, radius 1 adds the
+    * 1-bit flips, radius 2 the [[probe2Masks]] set; each sliced to the
+    * dir's plane count exactly as the base oracles do. */
+  private val annQHomeDuck: String =
+    "SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket AS probe " +
+      "FROM e WHERE vec_id % 50 = 0"
+  private val annQMultiDuck: String =
+    "SELECT vec_id AS qid, embedding AS qe, nrm AS qn, " +
+      s"unnest(([bucket${(0 until MaxPlanes).map(p => s", xor(bucket, ${1 << p})").mkString}])[1:1+(SELECT pl FROM params)]) AS probe " +
+      "FROM e WHERE vec_id % 50 = 0"
+  private val annQProbe2Duck: String =
+    "SELECT vec_id AS qid, embedding AS qe, nrm AS qn, " +
+      s"unnest(([${probe2Masks(MaxPlanes).map(m => if (m == 0) "bucket" else s"xor(bucket, $m)").mkString(", ")}])[1:(SELECT 1 + pl + (pl*(pl-1))//2 FROM params)]) AS probe " +
+      "FROM e WHERE vec_id % 50 = 0"
+
+  /** Exact-ranked LSH candidates for one probing radius (`ranked$sfx`),
+    * generic over the probe source — ONE definition for the three base
+    * oracles (sfx = "", full output) and the recall census (suffixed,
+    * rk<=5 projected). */
+  private def annRankedDuck(sfx: String, qSrc: String): String =
+    s"""ranked$sfx AS (
+       |  SELECT qid, cid, cos_exact,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
+       |  FROM (
+       |    SELECT q.qid, c.vec_id AS cid,
+       |      (${dot("q.qe", "c.embedding", 1)}) / sqrt(q.qn * c.nrm) AS cos_exact
+       |    FROM ($qSrc) q JOIN e c ON q.probe = c.bucket AND q.qid <> c.vec_id))""".stripMargin
 
   /** Shared CTE body of the IVF-PQ oracles (everything through the ADC
     * `pairs`), mirroring [[ivfPqAdcPairs]]: coarse cells as in sim_ivf; the
@@ -5011,41 +5091,15 @@ object LlmOps {
 
     "sim_ann_multiprobe" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding,
-         |    ${dot("embedding", "embedding", 1)} AS nrm,
-         |    ${bucketExpr("embedding", 1)} AS bucket
-         |  FROM embeddings),
-         |q AS (
-         |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
-         |    unnest(([bucket${(0 until MaxPlanes).map(p => s", xor(bucket, ${1 << p})").mkString}])[1:1+(SELECT pl FROM params)]) AS probe
-         |  FROM e WHERE vec_id % 50 = 0),
-         |pairs AS (
-         |  SELECT q.qid, c.vec_id AS cid,
-         |    (${dot("q.qe", "c.embedding", 1)}) / sqrt(q.qn * c.nrm) AS cos_exact
-         |  FROM q JOIN e c ON q.probe = c.bucket AND q.qid <> c.vec_id),
-         |ranked AS (
-         |  SELECT qid, cid, cos_exact,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
-         |  FROM pairs)
+         |$annEDuck,
+         |${annRankedDuck("", annQMultiDuck)}
          |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding,
-         |    ${dot("embedding", "embedding", 1)} AS nrm,
-         |    ${bucketExpr("embedding", 1)} AS bucket
-         |  FROM embeddings),
-         |pairs AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-         |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
-         |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
-         |ranked AS (
-         |  SELECT qid, cid, cos_exact,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
-         |  FROM pairs)
+         |$annEDuck,
+         |${annRankedDuck("", annQHomeDuck)}
          |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
@@ -5469,17 +5523,7 @@ object LlmOps {
     "sim_ivf_recall" ->
       s"""WITH $paramsDuck,
          |$ivfCellChainDuck,
-         |q AS (
-         |  SELECT vec_id, embedding, nrm FROM e
-         |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $SimQueryCap),
-         |truth AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT q.vec_id AS qid, c.vec_id AS cid,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) DESC,
-         |                 c.vec_id) AS rk
-         |    FROM q JOIN e c ON q.vec_id <> c.vec_id)
-         |  WHERE rk <= 5),
+         |$bruteTruthDuck,
          |np1 AS (
          |  SELECT qid, cid FROM (
          |    SELECT a.vec_id AS qid, c.vec_id AS cid,
@@ -5663,25 +5707,31 @@ object LlmOps {
     // (the list is ordered by highest set bit, so that slice is exact)
     "sim_ann_probe2" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding,
-         |    ${dot("embedding", "embedding", 1)} AS nrm,
-         |    ${bucketExpr("embedding", 1)} AS bucket
-         |  FROM embeddings),
-         |q AS (
-         |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
-         |    unnest(([${probe2Masks(MaxPlanes).map(m => if (m == 0) "bucket" else s"xor(bucket, $m)").mkString(", ")}])[1:(SELECT 1 + pl + (pl*(pl-1))//2 FROM params)]) AS probe
-         |  FROM e WHERE vec_id % 50 = 0),
-         |pairs AS (
-         |  SELECT q.qid, c.vec_id AS cid,
-         |    (${dot("q.qe", "c.embedding", 1)}) / sqrt(q.qn * c.nrm) AS cos_exact
-         |  FROM q JOIN e c ON q.probe = c.bucket AND q.qid <> c.vec_id),
-         |ranked AS (
-         |  SELECT qid, cid, cos_exact,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, cid) AS rk
-         |  FROM pairs)
+         |$annEDuck,
+         |${annRankedDuck("", annQProbe2Duck)}
          |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // LSH recall census: brute-force truth vs the three probing radii
+    "sim_ann_recall" ->
+      s"""WITH $paramsDuck,
+         |$annEDuck,
+         |$bruteTruthDuck,
+         |${annRankedDuck("r0", annQHomeDuck)},
+         |${annRankedDuck("r1", annQMultiDuck)},
+         |${annRankedDuck("r2", annQProbe2Duck)}
+         |SELECT t.qid,
+         |  count(a0.cid) AS hits_r0, count(a0.cid) / 5 AS recall_r0,
+         |  count(a1.cid) AS hits_r1, count(a1.cid) / 5 AS recall_r1,
+         |  count(a2.cid) AS hits_r2, count(a2.cid) / 5 AS recall_r2
+         |FROM truth t
+         |LEFT JOIN (SELECT qid, cid FROM rankedr0 WHERE rk <= 5) a0
+         |  ON t.qid = a0.qid AND t.cid = a0.cid
+         |LEFT JOIN (SELECT qid, cid FROM rankedr1 WHERE rk <= 5) a1
+         |  ON t.qid = a1.qid AND t.cid = a1.cid
+         |LEFT JOIN (SELECT qid, cid FROM rankedr2 WHERE rk <= 5) a2
+         |  ON t.qid = a2.qid AND t.cid = a2.cid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

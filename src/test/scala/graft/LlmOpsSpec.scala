@@ -489,6 +489,34 @@ class LlmOpsSpec extends SparkSpec {
     info(f"census mean recall@5: nprobe=2 $mean2%.2f over ${census.length} queries")
   }
 
+  test("LSH recall census recounts the three probing radii; wider radius never loses") {
+    val real = "/root/testdata/sf0.001"
+    def pairs(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val truth = pairs(LlmOps.simTopkCosine(spark, real).collect())
+    val radii = Seq(
+      "r0" -> pairs(LlmOps.simAnnLsh(spark, real).collect()),
+      "r1" -> pairs(LlmOps.simAnnMultiprobe(spark, real).collect()),
+      "r2" -> pairs(LlmOps.simAnnProbe2(spark, real).collect()))
+    val census = LlmOps.simAnnRecall(spark, real).collect()
+    assert(census.map(_.getAs[Long]("qid")).toSeq == truth.map(_._1).toSeq.distinct.sorted)
+    census.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val t = truth.filter(_._1 == qid)
+      val hits = radii.map { case (sfx, set) =>
+        val h = r.getAs[Long](s"hits_$sfx")
+        assert(h == t.count(set), s"qid=$qid hits_$sfx $h != recount ${t.count(set)}")
+        assert(r.getAs[Double](s"recall_$sfx") == h.toDouble / 5)
+        h
+      }
+      // each radius widens the candidate set: recall is monotone in radius
+      assert(hits == hits.sorted, s"qid=$qid recall not monotone in radius: $hits")
+    }
+    val means = radii.map { case (sfx, _) =>
+      f"$sfx ${census.map(_.getAs[Double](s"recall_$sfx")).sum / census.length}%.2f" }
+    info(s"census mean recall@5 by radius: ${means.mkString(", ")}")
+  }
+
   test("k-means-refined IVF: cosines agree with brute force; cells are more balanced than first-k init") {
     val real = "/root/testdata/sf0.001"
     val brute = LlmOps.simTopkCosine(spark, real).collect()

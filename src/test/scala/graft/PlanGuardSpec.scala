@@ -43,9 +43,9 @@ class PlanGuardSpec extends SparkSpec {
       "sim_ivf_filtered_pq", "dd_semdedup",
       // brute-force baseline: the query side is hard-capped at 256 rows
       // (SimQueryCap) before broadcasting against the corpus scan
-      // (sim_ivf_recall composes it as the truth side, plus the IVF
-      // centroid broadcasts)
-      "sim_topk_cosine", "sim_ivf_recall",
+      // (the recall censuses compose it as their truth side, plus the
+      // IVF centroid broadcasts on the ivf one)
+      "sim_topk_cosine", "sim_ivf_recall", "sim_ann_recall",
       // scalar/total broadcasts: a 1-row aggregate (corpus total, CMS
       // sketch, the BPE argmax merge) crossJoined onto a bounded table
       // or the token stream
