@@ -818,6 +818,31 @@ object LlmOps {
     result
   }
 
+  /** Duplication-structure histogram — the dedup dashboard readout (the
+    * cluster-size distribution papers like Lee et al. 2022 report): one
+    * row per duplicate-cluster size with the cluster and document counts
+    * at that size, INCLUDING the size-1 row for documents in no near-dup
+    * cluster (each its own singleton cluster, keyed by a negative
+    * pseudo-label so it cannot collide with real labels = min doc ids).
+    * Composes [[ddCluster]] verbatim (the census-from-checked-queries
+    * rule); the label frame is near-dup-membership-bounded, so it
+    * BROADCASTS onto the one documents scan, and the histogram is a
+    * constant-size aggregate at any corpus size. Every row satisfies
+    * n_docs = cluster_size · n_clusters by construction — the spec pins
+    * it. */
+  def ddClusterHist(spark: SparkSession, dir: String): DataFrame = {
+    val cl = ddCluster(spark, dir)
+      .select(col("doc_id").as("cd"), col("cluster_id"), col("cluster_size"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(cl), col("doc_id") === col("cd"), "left")
+      .withColumn("sz", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("cl", coalesce(col("cluster_id"), -col("doc_id") - lit(1L)))
+      .groupBy(col("sz"))
+      .agg(countDistinct(col("cl")).as("n_clusters"), count(lit(1)).as("n_docs"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** The connected-components engine behind [[ddCluster]], over an
     * arbitrary undirected (a, b) edge set. Returns a THUNK minting fresh
     * (d, lbl) label frames (each call re-wraps the checkpointed state with
@@ -3768,6 +3793,7 @@ object LlmOps {
     "dd_dedup_keep" -> ddDedupKeep _,
     "dd_dedup_keep_best" -> ddDedupKeepBest _,
     "dd_cluster" -> ddCluster _,
+    "dd_cluster_hist" -> ddClusterHist _,
     "txt_tfidf" -> txtTfidf _,
     "txt_balance" -> txtBalance _,
     "txt_vocab_coverage" -> txtVocabCoverage _,
@@ -4349,6 +4375,21 @@ object LlmOps {
          |SELECT doc_id, lbl.cluster_id, cluster_size
          |FROM lbl JOIN csz ON lbl.cluster_id = csz.cluster_id
          |ORDER BY doc_id""".stripMargin,
+
+    // dd_cluster folded to the size histogram, singletons as size-1 rows
+    "dd_cluster_hist" ->
+      s"""WITH RECURSIVE $baseDuck, $shinglePairsDuck, $ccClosureDuck,
+         |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id),
+         |ext AS (
+         |  SELECT d.doc_id,
+         |    coalesce(csz.cluster_size, 1) AS sz,
+         |    coalesce(lbl.cluster_id, -d.doc_id - 1) AS cl
+         |  FROM documents d
+         |  LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+         |  LEFT JOIN csz ON lbl.cluster_id = csz.cluster_id)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  count(DISTINCT cl) AS n_clusters, count(*) AS n_docs
+         |FROM ext GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     "txt_tfidf" ->
       s"""WITH $baseDuck, tok AS (

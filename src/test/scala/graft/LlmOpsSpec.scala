@@ -122,6 +122,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.toSet == Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)), rows.mkString(","))
   }
 
+  test("cluster histogram: singletons at size 1, the dup triple at size 3, mass conserved") {
+    // {0,1,2} is one size-3 cluster; 3 and 4 are singletons
+    val hist = LlmOps.ddClusterHist(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))
+    assert(hist.toSeq == Seq((1L, 2L, 2L), (3L, 1L, 3L)), hist.mkString(","))
+    // every row: n_docs = cluster_size * n_clusters; total mass = corpus size
+    hist.foreach { case (sz, nc, nd) => assert(nd == sz * nc) }
+    assert(hist.map(_._3).sum == 5L)
+  }
+
   test("tfidf: corpus-wide terms score below document-specific terms") {
     val rows = LlmOps.txtTfidf(spark, dir).collect()
     // top term of the unrelated doc 3 must be one of its own rare tokens
