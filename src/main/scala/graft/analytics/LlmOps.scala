@@ -1516,6 +1516,50 @@ object LlmOps {
       .limit(200)
   }
 
+  /** Banding-accuracy census of the production 16×4 LSH geometry — the
+    * MEASURED S-curve a dedup deployment validates its band choice with
+    * (P(candidate | J); Leskovec/Rajaraman/Ullman MMDS ch. 3 give the
+    * theoretical 1−(1−J⁴)¹⁶): exact same-block pairs from the memoized
+    * [[jaccardPairs]] truth, binned by true Jaccard into twentieths via
+    * INTEGER arithmetic (`(20·common) div union` — no float binning to
+    * drift cross-engine), each bin counting its truth pairs and how many
+    * of them [[ddMinhashWidePairs]]' capped banded candidate generation
+    * retrieves; recall is the single int/int IEEE division. The truth
+    * universe is overlap-POSITIVE pairs (≥ 1 shared shingle): zero-overlap
+    * pairs never materialize a pair-table row in either engine, and the
+    * J≈0 end is not what a band geometry is tuned on. Retrieval is
+    * counted at candidate GENERATION (band-bucket collision, before
+    * est_sim verification): candidate recall is the property the band
+    * geometry controls — verification only filters. The census universe
+    * is the blocked truth (same lang, same length bucket); cross-block
+    * banded candidates have no exact Jaccard and are out of scope,
+    * exactly as production measures this curve on a blocked ground-truth
+    * sample.
+    *
+    * Scale shape: truth is the block-bounded checkpointed pair table
+    * (never doc²); the candidate side is the same capped band self-join
+    * the pairs query already bounds (bands × buckets × cap²/2); one
+    * pair-keyed left join between two bounded tables folds to ≤ 21 rows
+    * of (bin, counts) — constant output at any corpus size. */
+  def ddMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardPairs(spark, dir)
+      .select(col("ia"), col("ib"),
+        expr("(20 * common) div (na + nb - common)").as("bin"))
+    val bands = cappedWideBands(minhashWideSig(spark, dir))
+    val cand = bands.toDF("ca", "band", "bh")
+      .join(bands.toDF("cb", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("ca") < col("cb"))
+      .select(col("ca"), col("cb")).distinct()
+    truth.join(cand, col("ia") === col("ca") && col("ib") === col("cb"), "left")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("ca")).as("n_retrieved"))
+      .withColumn("j_lo_pct", col("bin") * lit(5L))
+      .withColumn("recall", col("n_retrieved") / col("n_pairs"))
+      .select(col("bin"), col("j_lo_pct"), col("n_pairs"), col("n_retrieved"),
+        col("recall"))
+      .orderBy(col("bin"))
+  }
+
   /** 16-bit SimHash over the distinct word set (md5-derived 16-bit token
     * hashes, per-bit majority vote). */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -2868,6 +2912,19 @@ object LlmOps {
       Seq("r0" -> simAnnLsh(spark, dir), "r1" -> simAnnMultiprobe(spark, dir),
         "r2" -> simAnnProbe2(spark, dir)))
 
+  /** The recall census extended to the COMPRESSED serving family: recall@5
+    * of the IVF-PQ ADC scan at the 16-code yardstick width ([[simIvfPq]])
+    * and the production 8-bit width ([[simIvfPq256]]) against the same
+    * brute-force truth — the recall-vs-code-width curve that prices PQ's
+    * memory saving in accuracy. Both sides share [[simIvf]]'s coarse
+    * cells, so the census isolates QUANTIZATION loss: any gap below the
+    * flat index's nprobe=1 recall ([[simIvfRecall]]) is what the 16× /
+    * 128× compression costs, per query. Same kernel, same scale shape,
+    * same cannot-drift composition of two oracle-checked queries. */
+  def simPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallCensusOver(spark, dir,
+      Seq("pq16" -> simIvfPq(spark, dir), "pq256" -> simIvfPq256(spark, dir)))
+
   /** Shared recall-census kernel of [[simIvfRecall]] / [[simAnnRecall]]:
     * per capped-sample query, the overlap of each approximate side's
     * (qid, cid) top-5 with the brute-force truth, as `hits_<sfx>` BIGINT
@@ -3829,6 +3886,7 @@ object LlmOps {
     "dd_minhash_wide" -> ddMinhashWide _,
     "dd_minhash_wide128" -> ddMinhashWide128 _,
     "dd_minhash_wide_pairs" -> ddMinhashWidePairs _,
+    "dd_minhash_recall" -> ddMinhashRecall _,
     "dd_incremental_near" -> ddIncrementalNear _,
     "dd_incremental_capped" -> ddIncrementalCapped _,
     "ingest_quarantine" -> ingestQuarantine _,
@@ -3863,6 +3921,7 @@ object LlmOps {
     "sim_ivf_kmeans" -> simIvfKmeans _,
     "sim_ivf_pq" -> simIvfPq _,
     "sim_ivf_pq256" -> simIvfPq256 _,
+    "sim_pq_recall" -> simPqRecall _,
     "sim_ivf_pq_rerank" -> simIvfPqRerank _,
     "mm_meta" -> mmMeta _)
 
@@ -3991,21 +4050,46 @@ object LlmOps {
       |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
       |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)""".stripMargin
 
-  /** Wide-MinHash signature CTE stack (sh→h→sig) over `base` — the 16
-    * seeded "w&lt;d&gt;:" md5 digests sliced into the 64-perm signature
-    * ([[minhashWideSliceCols]]) — shared by the three wide-LSH mirrors
-    * (dd_minhash_wide_pairs, dd_incremental_near, dd_incremental_capped).
+  /** Wide-MinHash signature CTE stack (sh→h→sig, `sfx`-suffixed) over
+    * `base` — the 16 seeded "w&lt;d&gt;:" md5 digests sliced into the
+    * 64-perm signature ([[minhashWideSliceCols]]) — shared by the three
+    * wide-LSH mirrors (dd_minhash_wide_pairs, dd_incremental_near,
+    * dd_incremental_capped) and, suffixed "_w", by the banding-recall
+    * census (whose WITH also hosts [[shinglePairsDuck]]'s colliding `sh`).
     * ONE site for the digest-family/slicing scheme on the Duck side,
     * matching the Spark side's single memoized [[minhashWideSig]] table. */
-  private def wideSigStackDuck: String =
-    s"""sh AS (
+  private def wideSigStackDuck(sfx: String = ""): String =
+    s"""sh$sfx AS (
        |  SELECT doc_id, unnest($shinglesDuck) AS s FROM base),
-       |h AS (
+       |h$sfx AS (
        |  SELECT doc_id, ${(0 until 16).map(d => s"md5('w$d:' || s) AS h$d").mkString(", ")}
-       |  FROM sh),
-       |sig AS (
+       |  FROM sh$sfx),
+       |sig$sfx AS (
        |  SELECT doc_id, $minhashWideSliceCols
-       |  FROM h GROUP BY doc_id)""".stripMargin
+       |  FROM h$sfx GROUP BY doc_id)""".stripMargin
+
+  /** The [[cappedWideBands]] mirror (bands0→bands, keep-smallest-doc_ids
+    * row_number cap) over a suffixed `sig` CTE — ONE site for the
+    * per-(band, bucket) cap on the Duck side, shared by the banded-pairs
+    * mirror and the banding-recall census. */
+  private def cappedBandsDuck(sfx: String, cap: Int = SimhashBucketCap): String =
+    s"""bands0$sfx AS (
+       |  ${wideBandsDuckBranches("", s"sig$sfx")}),
+       |bands$sfx AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh,
+       |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+       |    FROM bands0$sfx)
+       |  WHERE rn <= $cap)""".stripMargin
+
+  /** The banded candidate set (distinct undirected band-bucket
+    * collisions) over [[cappedBandsDuck]]'s output — the generation step
+    * whose recall the census measures, shared with the pairs mirror. */
+  private def bandCandDuck(sfx: String): String =
+    s"""cand$sfx AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM bands$sfx a JOIN bands$sfx b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
 
   /** 64-slice signature-agreement estimate over `sig` aliases sa/sb —
     * the wide-MinHash est_sim expression shared by the banded-pairs and
@@ -4188,39 +4272,47 @@ object LlmOps {
     * exactly mirroring [[ivfPqAdcPairsWith]]. */
   private def ivfPqPairsDuckN(nCodes: Int): String =
     s"""$ivfCellChainDuck,
-       |cb16 AS (SELECT vec_id, embedding FROM e WHERE vec_id < $nCodes),
-       |enc AS (
+       |${pqChainDuck(nCodes, "")}""".stripMargin
+
+  /** The PQ encode + ADC chain alone (cb→enc→enc_rk→codes→qpart→qtab→
+    * pairs, every CTE `sfx`-suffixed), generic over code width and
+    * WITHOUT the cell chain — so the code-width recall census can
+    * instantiate TWO widths over one shared [[ivfCellChainDuck]].
+    * Requires `e`/`cell` in scope. */
+  private def pqChainDuck(nCodes: Int, sfx: String): String =
+    s"""cb$sfx AS (SELECT vec_id, embedding FROM e WHERE vec_id < $nCodes),
+       |enc$sfx AS (
        |${(0 until PqM).map { s =>
            val b = s * PqSub + 1
            s"""  SELECT e.vec_id, $s AS s, c.vec_id AS code,
               |    (${pqDot("c.embedding", "c.embedding", b)}) - 2 * (${pqDot("e.embedding", "c.embedding", b)}) AS d
-              |  FROM e CROSS JOIN cb16 c""".stripMargin
+              |  FROM e CROSS JOIN cb$sfx c""".stripMargin
          }.mkString("\n  UNION ALL\n")}),
-       |enc_rk AS (
+       |enc_rk$sfx AS (
        |  SELECT vec_id, s, code,
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code) AS erk
-       |  FROM enc),
-       |codes AS (
+       |  FROM enc$sfx),
+       |codes$sfx AS (
        |  SELECT vec_id, list(code ORDER BY s) AS codes
-       |  FROM enc_rk WHERE erk = 1 GROUP BY vec_id),
-       |qpart AS (
+       |  FROM enc_rk$sfx WHERE erk = 1 GROUP BY vec_id),
+       |qpart$sfx AS (
        |${(0 until PqM).map { s =>
            val b = s * PqSub + 1
            s"""  SELECT q.vec_id AS qid, $s AS s, c.vec_id AS code,
               |    (${pqDot("q.embedding", "c.embedding", b)}) AS part
-              |  FROM e q CROSS JOIN cb16 c WHERE q.vec_id % 50 = 0""".stripMargin
+              |  FROM e q CROSS JOIN cb$sfx c WHERE q.vec_id % 50 = 0""".stripMargin
          }.mkString("\n  UNION ALL\n")}),
-       |qtab AS (
+       |qtab$sfx AS (
        |  SELECT qid, list(part ORDER BY s, code) AS qtab
-       |  FROM qpart GROUP BY qid),
-       |pairs AS (
+       |  FROM qpart$sfx GROUP BY qid),
+       |pairs$sfx AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
        |    (${(0 until PqM).map(s => s"(t.qtab[($s * $nCodes + k2.codes[${s + 1}]) + 1])").mkString(" + ")})
        |      / sqrt(q.nrm * c.nrm) AS cos_adc
        |  FROM cell q JOIN cell c
        |    ON q.cell = c.cell AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
-       |  JOIN qtab t ON t.qid = q.vec_id
-       |  JOIN codes k2 ON k2.vec_id = c.vec_id)""".stripMargin
+       |  JOIN qtab$sfx t ON t.qid = q.vec_id
+       |  JOIN codes$sfx k2 ON k2.vec_id = c.vec_id)""".stripMargin
 
   val duckdb: Map[String, String] = Map(
     "txt_top_terms" ->
@@ -4884,29 +4976,39 @@ object LlmOps {
     // production-width LSH: 16 bands x 4 rows over the 64-slice signature,
     // per-(band, bucket) cap mirrored from the Spark side
     "dd_minhash_wide_pairs" ->
-      s"""WITH $baseDuck, $wideSigStackDuck,
-         |bands0 AS (
-         |  ${wideBandsDuckBranches("")}),
-         |bands AS (
-         |  SELECT doc_id, band, bh FROM (
-         |    SELECT doc_id, band, bh,
-         |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
-         |    FROM bands0)
-         |  WHERE rn <= $SimhashBucketCap),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      s"""WITH $baseDuck, ${wideSigStackDuck()},
+         |${cappedBandsDuck("")},
+         |${bandCandDuck("")}
          |SELECT ia, ib,
          |  $wideEstSimDuck AS est_sim
          |FROM cand JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id
          |ORDER BY est_sim DESC, ia, ib LIMIT 200""".stripMargin,
 
+    // banding-accuracy census: exact blocked pairs binned by true Jaccard
+    // twentieth (INTEGER floor div — no float binning), each bin counting
+    // how many of its truth pairs the capped 16x4 banded candidate
+    // generation retrieves; the measured S-curve of the band geometry
+    "dd_minhash_recall" ->
+      s"""WITH $baseDuck, $shinglePairsDuck,
+         |${wideSigStackDuck("_w")},
+         |${cappedBandsDuck("_w")},
+         |${bandCandDuck("_w")},
+         |truth AS (
+         |  SELECT p.ia, p.ib,
+         |    (20 * common) // (sa.n + sb.n - common) AS bin
+         |  FROM pairs p JOIN sizes sa ON p.ia = sa.doc_id
+         |    JOIN sizes sb ON p.ib = sb.doc_id)
+         |SELECT bin, bin * 5 AS j_lo_pct,
+         |  count(*) AS n_pairs, count(c.ia) AS n_retrieved,
+         |  count(c.ia) / count(*) AS recall
+         |FROM truth t LEFT JOIN cand_w c ON t.ia = c.ia AND t.ib = c.ib
+         |GROUP BY bin ORDER BY bin""".stripMargin,
+
     // incremental near-dup: the batch (>= split) LSH-probed against the
     // corpus (< split) through the wide signature; corpus-side bucket cap
     // (the probe's wider one) mirrored
     "dd_incremental_near" ->
-      s"""WITH $baseDuck, $wideSigStackDuck,
+      s"""WITH $baseDuck, ${wideSigStackDuck()},
          |cb0 AS (
          |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
          |cb AS (
@@ -4939,7 +5041,7 @@ object LlmOps {
     // cap accounting for the incremental probe: what the corpus-side
     // bucket cap cut (pinned to zero on the synthetic corpora)
     "dd_incremental_capped" ->
-      s"""WITH $baseDuck, $wideSigStackDuck,
+      s"""WITH $baseDuck, ${wideSigStackDuck()},
          |cb0 AS (
          |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
          |buckets AS (
@@ -5718,6 +5820,35 @@ object LlmOps {
          |SELECT qid, rk, cid, cos_adc
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
+    // code-width recall census: brute-force truth on the capped sample vs
+    // the ADC top-5 at the 16-code yardstick and the production 8-bit
+    // width — two pqChainDuck instantiations over ONE shared cell chain
+    "sim_pq_recall" ->
+      s"""WITH $paramsDuck,
+         |$ivfCellChainDuck,
+         |${pqChainDuck(PqCodes, "_16")},
+         |${pqChainDuck(PqCodesProd, "_256")},
+         |$bruteTruthDuck,
+         |top_16 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS rk
+         |    FROM pairs_16)
+         |  WHERE rk <= 5),
+         |top_256 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS rk
+         |    FROM pairs_256)
+         |  WHERE rk <= 5)
+         |SELECT t.qid,
+         |  count(p16.cid) AS hits_pq16, count(p16.cid) / 5 AS recall_pq16,
+         |  count(p256.cid) AS hits_pq256, count(p256.cid) / 5 AS recall_pq256
+         |FROM truth t
+         |LEFT JOIN top_16 p16 ON t.qid = p16.qid AND t.cid = p16.cid
+         |LEFT JOIN top_256 p256 ON t.qid = p256.qid AND t.cid = p256.cid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+
     // IVF-PQ + exact re-rank: ADC shortlist (top PqRerankDepth per query,
     // (cos_adc, cid) order), then full-precision cosine on just those
     // pairs decides the emitted top-5 — mirrors simIvfPqRerank exactly
@@ -5834,12 +5965,12 @@ object LlmOps {
       .mkString(", ")
 
   /** The [[wideBands]] geometry as DuckDB SQL — one UNION ALL branch per
-    * band over a CTE named `sig`, with `pred` appended as a WHERE clause
+    * band over the named sig CTE, with `pred` appended as a WHERE clause
     * (empty for the whole table). The single mirror of the Spark-side
     * band hash composition. */
-  private def wideBandsDuckBranches(pred: String): String =
+  private def wideBandsDuckBranches(pred: String, sigName: String = "sig"): String =
     (0 until MinhashWideBands).map(bd =>
-      s"SELECT doc_id, $bd AS band, md5(mh${4 * bd} || mh${4 * bd + 1} || mh${4 * bd + 2} || mh${4 * bd + 3}) AS bh FROM sig$pred")
+      s"SELECT doc_id, $bd AS band, md5(mh${4 * bd} || mh${4 * bd + 1} || mh${4 * bd + 2} || mh${4 * bd + 3}) AS bh FROM $sigName$pred")
       .mkString("\n  UNION ALL ")
 
   private def minhashWideSigDuck: String = minhashWideSigDuckN(64)

@@ -85,6 +85,46 @@ class LlmOpsSpec extends SparkSpec {
         Set(r.getAs[Long]("ia"), r.getAs[Long]("ib")).exists(_ < 3L)))
   }
 
+  test("banding-recall census: integer Jaccard bins, exact-dup bin fully retrieved, recounts vs the candidate set") {
+    val census = LlmOps.ddMinhashRecall(spark, dir).collect()
+    // truth universe = blocked pairs with >= 1 shared shingle (pairs with
+    // zero overlap never materialize a row in the pair table — doc 3
+    // shares no shingle with 0/1/2, doc 4 has no block partner), so the
+    // fixture truth is exactly the 3 pairs the >= 0.2 reporting query
+    // scores: (0,1) at J = 1 and (0,2)/(1,2) one word off
+    val scored = LlmOps.ddNgramJaccard(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("ia"), r.getAs[Long]("ib")), r.getAs[Double]("jaccard")))
+    assert(scored.length == 3)
+    // bin from the exact jaccard double is safe here: no fixture pair sits
+    // on a 1/20 boundary except J = 1.0, which is exact in both engines
+    val truthBins = scored.map { case (p, j) => p -> math.floor(20 * j).toLong }.toMap
+    val expected = truthBins.groupBy(_._2).map { case (b, m) => b -> m.keys.toSet }
+    assert(census.map(_.getAs[Long]("bin")).toSet == expected.keySet)
+    // retrieval recounts against the banded candidate set the pairs query
+    // emits (the census counts generation-time candidates — same set, the
+    // fixture is far below the 200-row limit)
+    val cand = LlmOps.ddMinhashWidePairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    census.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val t = expected(bin)
+      assert(r.getAs[Long]("n_pairs") == t.size, s"bin=$bin n_pairs != ${t.size}")
+      assert(r.getAs[Long]("n_retrieved") == t.count(cand.contains),
+        s"bin=$bin n_retrieved != candidate-set recount")
+      assert(r.getAs[Long]("n_retrieved") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("j_lo_pct") == bin * 5)
+      assert(r.getAs[Double]("recall") ==
+        r.getAs[Long]("n_retrieved").toDouble / r.getAs[Long]("n_pairs"))
+    }
+    // identical docs agree on every slice, so the J = 1 pair collides in
+    // all 16 bands: the top bin is fully retrieved
+    val top = census.find(_.getAs[Long]("bin") == 20L).get
+    assert(top.getAs[Long]("n_pairs") == 1 && top.getAs[Double]("recall") == 1.0)
+    info(census.sortBy(_.getAs[Long]("bin")).map(r =>
+      s"bin ${r.getAs[Long]("bin")}: ${r.getAs[Long]("n_retrieved")}/${r.getAs[Long]("n_pairs")}")
+      .mkString("S-curve: ", ", ", ""))
+  }
+
   test("incremental near-dup: arriving re-crawls and near-dups are dropped against the corpus, fresh docs kept") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
@@ -525,6 +565,36 @@ class LlmOpsSpec extends SparkSpec {
     val means = radii.map { case (sfx, _) =>
       f"$sfx ${census.map(_.getAs[Double](s"recall_$sfx")).sum / census.length}%.2f" }
     info(s"census mean recall@5 by radius: ${means.mkString(", ")}")
+  }
+
+  test("PQ recall census recounts both code widths; production width never trails in aggregate") {
+    val real = "/root/testdata/sf0.001"
+    def pairs(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val truth = pairs(LlmOps.simTopkCosine(spark, real).collect())
+    val widths = Seq(
+      "pq16" -> pairs(LlmOps.simIvfPq(spark, real).collect()),
+      "pq256" -> pairs(LlmOps.simIvfPq256(spark, real).collect()))
+    val census = LlmOps.simPqRecall(spark, real).collect()
+    assert(census.map(_.getAs[Long]("qid")).toSeq == truth.map(_._1).toSeq.distinct.sorted)
+    census.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val t = truth.filter(_._1 == qid)
+      widths.foreach { case (sfx, set) =>
+        val h = r.getAs[Long](s"hits_$sfx")
+        assert(h == t.count(set), s"qid=$qid hits_$sfx $h != recount ${t.count(set)}")
+        assert(h >= 0 && h <= 5)
+        assert(r.getAs[Double](s"recall_$sfx") == h.toDouble / 5)
+      }
+    }
+    // aggregate, not per-query: a coarser code can luckily outrank on one
+    // query, but over the sample the 16x finer quantization must not lose
+    // (the same data-pinned property the pq256 spec above asserts)
+    val tot16 = census.map(_.getAs[Long]("hits_pq16")).sum
+    val tot256 = census.map(_.getAs[Long]("hits_pq256")).sum
+    info(f"census recall@5: pq256 ${tot256.toDouble / (5 * census.length)}%.2f " +
+      f"vs pq16 ${tot16.toDouble / (5 * census.length)}%.2f over ${census.length} queries")
+    assert(tot256 >= tot16, s"production width lost hits in aggregate: $tot256 < $tot16")
   }
 
   test("k-means-refined IVF: cosines agree with brute force; cells are more balanced than first-k init") {

@@ -45,7 +45,7 @@ class PlanGuardSpec extends SparkSpec {
       // (SimQueryCap) before broadcasting against the corpus scan
       // (the recall censuses compose it as their truth side, plus the
       // IVF centroid broadcasts on the ivf one)
-      "sim_topk_cosine", "sim_ivf_recall", "sim_ann_recall",
+      "sim_topk_cosine", "sim_ivf_recall", "sim_ann_recall", "sim_pq_recall",
       // scalar/total broadcasts: a 1-row aggregate (corpus total, CMS
       // sketch, the BPE argmax merge) crossJoined onto a bounded table
       // or the token stream
