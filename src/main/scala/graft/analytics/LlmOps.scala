@@ -1486,12 +1486,19 @@ object LlmOps {
       .map(j => when(sig.getItem(j) === col(s"mh$j"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / MinhashWidePerms.toDouble
 
+  /** Matching-slice COUNT for a candidate joined to the signature as
+    * `a`/`b` — the integer numerator of the Jaccard estimate, exposed
+    * separately so the calibration census can aggregate it exactly
+    * (BIGINT sums, no double accumulation). */
+  private def wideMatches: Column =
+    (0 until MinhashWidePerms)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+
   /** est_sim for a candidate joined to the signature as `a`/`b`:
     * matching slices / [[MinhashWidePerms]]. */
   private def wideEstSim: Column =
-    (0 until MinhashWidePerms)
-      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / MinhashWidePerms.toDouble
+    wideMatches.cast("double") / MinhashWidePerms.toDouble
 
   /** Wide MinHash-LSH candidate pairs: [[MinhashWideBands]] bands × 4 rows;
     * est_sim = matching minhashes / 64. Same banded no-doc² shape as
@@ -1504,11 +1511,7 @@ object LlmOps {
     * cluster lands in one bucket per band. */
   def ddMinhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashWideSig(spark, dir)
-    val bands = cappedWideBands(sig)
-    val cand = bands.toDF("ia", "band", "bh")
-      .join(bands.toDF("ib", "band2", "bh2"),
-        col("band") === col("band2") && col("bh") === col("bh2") && col("ia") < col("ib"))
-      .select(col("ia"), col("ib")).distinct()
+    val cand = wideBandCandidates(spark, dir).toDF("ia", "ib")
     cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
       .join(sig.as("b"), col("ib") === col("b.doc_id"))
       .select(col("ia"), col("ib"), wideEstSim.as("est_sim"))
@@ -1542,14 +1545,8 @@ object LlmOps {
     * pair-keyed left join between two bounded tables folds to ≤ 21 rows
     * of (bin, counts) — constant output at any corpus size. */
   def ddMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val truth = jaccardPairs(spark, dir)
-      .select(col("ia"), col("ib"),
-        expr("(20 * common) div (na + nb - common)").as("bin"))
-    val bands = cappedWideBands(minhashWideSig(spark, dir))
-    val cand = bands.toDF("ca", "band", "bh")
-      .join(bands.toDF("cb", "band2", "bh2"),
-        col("band") === col("band2") && col("bh") === col("bh2") && col("ca") < col("cb"))
-      .select(col("ca"), col("cb")).distinct()
+    val truth = jaccardBins(spark, dir)
+    val cand = wideBandCandidates(spark, dir)
     truth.join(cand, col("ia") === col("ca") && col("ib") === col("cb"), "left")
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_pairs"), count(col("ca")).as("n_retrieved"))
@@ -1558,6 +1555,52 @@ object LlmOps {
       .select(col("bin"), col("j_lo_pct"), col("n_pairs"), col("n_retrieved"),
         col("recall"))
       .orderBy(col("bin"))
+  }
+
+  /** MinHash ESTIMATOR calibration census — Broder's unbiasedness theorem
+    * (E[est_sim] = J for min-wise independent permutations) made
+    * measurable on the production signature: over banded candidates that
+    * HAVE blocked exact truth, per true-Jaccard twentieth (the same
+    * integer binning as [[ddMinhashRecall]]): pair count, total matching
+    * slices as a BIGINT sum of the integer est_sim numerators (no double
+    * accumulation to drift with partition order), and the mean estimate
+    * `avg_est = sum_matches / (64·n_pairs)` as ONE int/int IEEE division.
+    * Read against the bin's true-J range [bin/20, (bin+1)/20), this is
+    * the estimator's bias readout — the companion to the recall census:
+    * that one validates the BANDING, this one validates the ESTIMATE the
+    * surviving candidates are verified with. Same bounded join shape
+    * (candidates ∩ truth, both pair-bounded), ≤ 21 output rows. */
+  def ddMinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashWideSig(spark, dir)
+    wideBandCandidates(spark, dir)
+      .join(jaccardBins(spark, dir),
+        col("ia") === col("ca") && col("ib") === col("cb"))
+      .join(sig.as("a"), col("ca") === col("a.doc_id"))
+      .join(sig.as("b"), col("cb") === col("b.doc_id"))
+      .select(col("bin"), wideMatches.as("matches"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("matches")).as("sum_matches"))
+      .withColumn("avg_est", col("sum_matches") / (lit(64L) * col("n_pairs")))
+      .orderBy(col("bin"))
+  }
+
+  /** Blocked exact-truth pairs with their integer Jaccard twentieth —
+    * `(20·common) div union` on BIGINTs (the no-float-binning rule) —
+    * shared by the recall and calibration censuses. */
+  private def jaccardBins(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+      .select(col("ia"), col("ib"),
+        expr("(20 * common) div (na + nb - common)").as("bin"))
+
+  /** The banded candidate set (distinct ca &lt; cb band-bucket collisions
+    * over the capped 16×4 bands) — the generation step shared by the
+    * pairs query and both censuses; [[bandCandDuck]]'s Spark twin. */
+  private def wideBandCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bands = cappedWideBands(minhashWideSig(spark, dir))
+    bands.toDF("ca", "band", "bh")
+      .join(bands.toDF("cb", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("ca") < col("cb"))
+      .select(col("ca"), col("cb")).distinct()
   }
 
   /** 16-bit SimHash over the distinct word set (md5-derived 16-bit token
@@ -3887,6 +3930,7 @@ object LlmOps {
     "dd_minhash_wide128" -> ddMinhashWide128 _,
     "dd_minhash_wide_pairs" -> ddMinhashWidePairs _,
     "dd_minhash_recall" -> ddMinhashRecall _,
+    "dd_minhash_calibration" -> ddMinhashCalibration _,
     "dd_incremental_near" -> ddIncrementalNear _,
     "dd_incremental_capped" -> ddIncrementalCapped _,
     "ingest_quarantine" -> ingestQuarantine _,
@@ -4091,11 +4135,28 @@ object LlmOps {
        |  FROM bands$sfx a JOIN bands$sfx b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** 64-slice signature-agreement COUNT over `sig` aliases sa/sb — the
+    * integer est_sim numerator, exposed separately for the calibration
+    * census's exact BIGINT sums ([[wideMatches]]'s mirror). */
+  private def wideMatchesDuck: String =
+    s"(${(0 until 64).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")})"
+
   /** 64-slice signature-agreement estimate over `sig` aliases sa/sb —
     * the wide-MinHash est_sim expression shared by the banded-pairs and
     * incremental-probe mirrors. */
   private def wideEstSimDuck: String =
-    s"(${(0 until 64).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) / 64.0"
+    s"$wideMatchesDuck / 64.0"
+
+  /** Blocked truth pairs with their integer Jaccard twentieth
+    * (`(20·common) // union`) over [[shinglePairsDuck]]'s `pairs`/`sizes`
+    * — [[jaccardBins]]' mirror, shared by the recall and calibration
+    * census oracles. */
+  private def jaccardBinsDuck: String =
+    """truth AS (
+      |  SELECT p.ia, p.ib,
+      |    (20 * common) // (sa.n + sb.n - common) AS bin
+      |  FROM pairs p JOIN sizes sa ON p.ia = sa.doc_id
+      |    JOIN sizes sb ON p.ib = sb.doc_id)""".stripMargin
 
   /** The k-round BPE training CTE chain (tok→p1→t1→m1→…→pk→tk→mk) over
     * `base` — round r's census (p_r), 1-row argmax (t_r, columns mp/n),
@@ -4993,15 +5054,27 @@ object LlmOps {
          |${wideSigStackDuck("_w")},
          |${cappedBandsDuck("_w")},
          |${bandCandDuck("_w")},
-         |truth AS (
-         |  SELECT p.ia, p.ib,
-         |    (20 * common) // (sa.n + sb.n - common) AS bin
-         |  FROM pairs p JOIN sizes sa ON p.ia = sa.doc_id
-         |    JOIN sizes sb ON p.ib = sb.doc_id)
+         |$jaccardBinsDuck
          |SELECT bin, bin * 5 AS j_lo_pct,
          |  count(*) AS n_pairs, count(c.ia) AS n_retrieved,
          |  count(c.ia) / count(*) AS recall
          |FROM truth t LEFT JOIN cand_w c ON t.ia = c.ia AND t.ib = c.ib
+         |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // estimator calibration: over banded candidates WITH blocked truth,
+    // per true-Jaccard twentieth — exact BIGINT slice-match sums and the
+    // mean estimate as one int/int division (Broder E[est] = J, measured)
+    "dd_minhash_calibration" ->
+      s"""WITH $baseDuck, $shinglePairsDuck,
+         |${wideSigStackDuck("_w")},
+         |${cappedBandsDuck("_w")},
+         |${bandCandDuck("_w")},
+         |$jaccardBinsDuck
+         |SELECT bin, count(*) AS n_pairs,
+         |  CAST(sum($wideMatchesDuck) AS BIGINT) AS sum_matches,
+         |  CAST(sum($wideMatchesDuck) AS BIGINT) / (64 * count(*)) AS avg_est
+         |FROM cand_w c JOIN truth t ON c.ia = t.ia AND c.ib = t.ib
+         |  JOIN sig_w sa ON c.ia = sa.doc_id JOIN sig_w sb ON c.ib = sb.doc_id
          |GROUP BY bin ORDER BY bin""".stripMargin,
 
     // incremental near-dup: the batch (>= split) LSH-probed against the

@@ -125,6 +125,32 @@ class LlmOpsSpec extends SparkSpec {
       .mkString("S-curve: ", ", ", ""))
   }
 
+  test("calibration census: exact BIGINT slice sums recount against the pairs query's estimates") {
+    val census = LlmOps.ddMinhashCalibration(spark, dir).collect()
+    val est = LlmOps.ddMinhashWidePairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")) -> r.getAs[Double]("est_sim")).toMap
+    val scored = LlmOps.ddNgramJaccard(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("ia"), r.getAs[Long]("ib")), r.getAs[Double]("jaccard")))
+    val truthBins = scored.map { case (p, j) => p -> math.floor(20 * j).toLong }.toMap
+    // the census universe is candidates ∩ truth; est_sim = matches/64
+    // exactly, so matches = round(est·64) recounts the BIGINT sums
+    census.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val inBin = truthBins.filter(_._2 == bin).keys.filter(est.contains).toSeq
+      assert(r.getAs[Long]("n_pairs") == inBin.size, s"bin=$bin n_pairs != ${inBin.size}")
+      val sumMatches = inBin.map(p => math.round(est(p) * 64)).sum
+      assert(r.getAs[Long]("sum_matches") == sumMatches,
+        s"bin=$bin sum_matches != est-recount $sumMatches")
+      assert(r.getAs[Double]("avg_est") == sumMatches.toDouble / (64 * inBin.size))
+    }
+    // identical docs: every slice agrees, the estimator is exact at J = 1
+    val top = census.find(_.getAs[Long]("bin") == 20L).get
+    assert(top.getAs[Long]("sum_matches") == 64 && top.getAs[Double]("avg_est") == 1.0)
+    info(census.sortBy(_.getAs[Long]("bin")).map(r =>
+      f"bin ${r.getAs[Long]("bin")}: avg_est ${r.getAs[Double]("avg_est")}%.3f")
+      .mkString("calibration: ", ", ", ""))
+  }
+
   test("incremental near-dup: arriving re-crawls and near-dups are dropped against the corpus, fresh docs kept") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
