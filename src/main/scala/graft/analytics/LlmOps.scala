@@ -3102,6 +3102,28 @@ object LlmOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Quantizer-BALANCE census — the Lloyd refinement's actual claim
+    * ([[simIvfKmeans]]' Scaladoc: balance, not recall) promoted from a
+    * spec observation to the oracle-checked surface: per quantizer
+    * (first-k init vs k-means-refined), one row per distinct cell
+    * occupancy with the number of cells at that occupancy. This is the
+    * histogram an index operator watches for hot cells — in IVF a hot
+    * cell IS a hot scan (query cost = probed cells' member count), and
+    * occupancy skew is also exactly what [[simIvfRetrain]]'s drift
+    * signal summarizes to one number. Reads both MEMOIZED assignment
+    * tables (embedding column pruned at the scan) as k-row
+    * map-side-combinable aggregates; output ≤ k rows per quantizer at
+    * any N. */
+  def simIvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    def hist(assign: DataFrame, name: String): DataFrame =
+      assign.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+        .groupBy(col("occ")).agg(count(lit(1)).as("n_cells"))
+        .select(lit(name).as("quantizer"), col("occ"), col("n_cells"))
+    hist(ivfAssignTable(spark, dir).filter(col("ark") === 1), "first_k")
+      .unionAll(hist(ivfKmeansAssignTable(spark, dir), "kmeans"))
+      .orderBy(col("quantizer"), col("occ"))
+  }
+
   /** How many sampled Lloyd rounds [[simIvfKmeans]]'s quantizer trains for
     * — the production recipe is "a few rounds to near-convergence", not
     * one. The Spark builder stops EARLY at the exact fixed point (zero
@@ -3963,6 +3985,7 @@ object LlmOps {
     "sim_ivf_recall" -> simIvfRecall _,
     "sim_ivf2" -> simIvf2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
+    "sim_ivf_balance" -> simIvfBalance _,
     "sim_ivf_pq" -> simIvfPq _,
     "sim_ivf_pq256" -> simIvfPq256 _,
     "sim_pq_recall" -> simPqRecall _,
@@ -4247,9 +4270,7 @@ object LlmOps {
     * filter (%4<>3) and centroid rule differ. Declared BEFORE
     * [[ivfPqPairsDuck]], whose init-time call interpolates it. */
   private val ivfCellChainDuck: String =
-    s"""e AS (
-       |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-       |  FROM embeddings),
+    s"""${eNrmDuck},
        |cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
        |  FROM e WHERE vec_id < (SELECT k FROM params)),
@@ -4261,6 +4282,55 @@ object LlmOps {
        |  FROM e CROSS JOIN cents),
        |cell AS (
        |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM ass WHERE ark = 1)""".stripMargin
+
+  /** The norm-carrying embedding CTE (`e`) — the opener shared by
+    * [[ivfCellChainDuck]] and the k-means mirror (both quantizer chains
+    * must read the identical base when one query hosts both). */
+  private def eNrmDuck: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  /** The k-means-refined quantizer chain (cents0→a0→m0→ rounds →a1→cell1),
+    * DuckDB text, requiring `e`/`params` in scope — [[ivfKmeansAssignment]]'s
+    * mirror (sampled Lloyd rounds, integer-quantized component sums),
+    * hoisted out of the sim_ivf_kmeans entry so the balance census reads
+    * the SAME chain. The static SQL unrolls all [[KmRounds]] rounds; the
+    * Spark builder's fixed-point early stop is result-identical. */
+  private def kmCellChainDuck: String =
+    s"""cents0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+       |  FROM e WHERE vec_id < (SELECT k FROM params)),
+       |a0 AS (
+       |  SELECT e.vec_id, e.embedding, cents0.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY (${dot("e.embedding", "cents0.cemb", 1)}) / sqrt(e.nrm * cents0.cnrm) DESC,
+       |               cents0.cent_id) AS ark
+       |  FROM e CROSS JOIN cents0 WHERE e.vec_id % 5 = 0),
+       |m0 AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE ark = 1),
+       |${(1 to KmRounds).map { r =>
+           val sums = s"""cents$r AS (
+             |  SELECT cell, $kmSumsVecDuck
+             |  FROM m${r - 1} GROUP BY cell),
+             |cn$r AS (SELECT cell, svec, ${dot("svec", "svec", 1)} AS snrm FROM cents$r)""".stripMargin
+           val nextMembers = s""",
+             |m$r AS (
+             |  SELECT vec_id, embedding, cell FROM (
+             |    SELECT e.vec_id, e.embedding, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY (${dot("e.embedding", "c.svec", 1)}) / sqrt(e.nrm * c.snrm) DESC,
+             |                 c.cell) AS ark
+             |    FROM e CROSS JOIN cn$r c WHERE e.vec_id % 5 = 0)
+             |  WHERE ark = 1)""".stripMargin
+           sums + (if (r < KmRounds) nextMembers else "")
+         }.mkString(",\n")},
+       |a1 AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY (${dot("e.embedding", "c.svec", 1)}) / sqrt(e.nrm * c.snrm) DESC,
+       |               c.cell) AS ark
+       |  FROM e CROSS JOIN cn$KmRounds c),
+       |cell1 AS (SELECT vec_id, embedding, nrm, cell FROM a1 WHERE ark = 1)""".stripMargin
 
   /** The bucketed embedding table (vec_id, embedding, nrm, bucket),
     * DuckDB text — ONE definition for the three hyperplane-LSH oracles
@@ -5823,42 +5893,8 @@ object LlmOps {
     // Spark folds.
     "sim_ivf_kmeans" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |cents0 AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM e WHERE vec_id < (SELECT k FROM params)),
-         |a0 AS (
-         |  SELECT e.vec_id, e.embedding, cents0.cent_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY (${dot("e.embedding", "cents0.cemb", 1)}) / sqrt(e.nrm * cents0.cnrm) DESC,
-         |               cents0.cent_id) AS ark
-         |  FROM e CROSS JOIN cents0 WHERE e.vec_id % 5 = 0),
-         |m0 AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE ark = 1),
-         |${(1 to KmRounds).map { r =>
-             val sums = s"""cents$r AS (
-               |  SELECT cell, $kmSumsVecDuck
-               |  FROM m${r - 1} GROUP BY cell),
-               |cn$r AS (SELECT cell, svec, ${dot("svec", "svec", 1)} AS snrm FROM cents$r)""".stripMargin
-             val nextMembers = s""",
-               |m$r AS (
-               |  SELECT vec_id, embedding, cell FROM (
-               |    SELECT e.vec_id, e.embedding, c.cell,
-               |      row_number() OVER (PARTITION BY e.vec_id
-               |        ORDER BY (${dot("e.embedding", "c.svec", 1)}) / sqrt(e.nrm * c.snrm) DESC,
-               |                 c.cell) AS ark
-               |    FROM e CROSS JOIN cn$r c WHERE e.vec_id % 5 = 0)
-               |  WHERE ark = 1)""".stripMargin
-             sums + (if (r < KmRounds) nextMembers else "")
-           }.mkString(",\n")},
-         |a1 AS (
-         |  SELECT e.vec_id, e.embedding, e.nrm, c.cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY (${dot("e.embedding", "c.svec", 1)}) / sqrt(e.nrm * c.snrm) DESC,
-         |               c.cell) AS ark
-         |  FROM e CROSS JOIN cn$KmRounds c),
-         |cell1 AS (SELECT vec_id, embedding, nrm, cell FROM a1 WHERE ark = 1),
+         |$eNrmDuck,
+         |$kmCellChainDuck,
          |pairs AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |    (${dot("q.embedding", "c.embedding", 1)}) / sqrt(q.nrm * c.nrm) AS cos_exact
@@ -5870,6 +5906,23 @@ object LlmOps {
          |  FROM pairs)
          |SELECT qid, rk, cid, cos_exact AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // quantizer-balance census: per-cell occupancy histograms of the
+    // first-k and k-means-refined assignments, reading the two hoisted
+    // quantizer chains over ONE shared e base
+    "sim_ivf_balance" ->
+      s"""WITH $paramsDuck,
+         |$ivfCellChainDuck,
+         |$kmCellChainDuck,
+         |occ_f AS (SELECT cell, count(*) AS occ FROM cell GROUP BY cell),
+         |occ_k AS (SELECT cell, count(*) AS occ FROM cell1 GROUP BY cell)
+         |SELECT quantizer, occ, n_cells FROM (
+         |  SELECT 'first_k' AS quantizer, occ, count(*) AS n_cells
+         |  FROM occ_f GROUP BY occ
+         |  UNION ALL
+         |  SELECT 'kmeans' AS quantizer, occ, count(*) AS n_cells
+         |  FROM occ_k GROUP BY occ)
+         |ORDER BY quantizer, occ""".stripMargin,
 
     // IVF-PQ/ADC: shared CTE body in ivfPqPairsDuck (see its Scaladoc)
     "sim_ivf_pq" ->

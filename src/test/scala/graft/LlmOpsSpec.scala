@@ -649,6 +649,22 @@ class LlmOpsSpec extends SparkSpec {
       "k-means IVF lost more than 20% of query coverage")
   }
 
+  test("balance census: occupancy histograms conserve the corpus for both quantizers") {
+    val real = "/root/testdata/sf0.001"
+    val census = LlmOps.simIvfBalance(spark, real).collect()
+    val n = spark.read.parquet(s"$real/embeddings.parquet").count()
+    val byQ = census.groupBy(_.getAs[String]("quantizer"))
+    assert(byQ.keySet == Set("first_k", "kmeans"))
+    byQ.foreach { case (q, rows) =>
+      // every vector lands in exactly one cell: the histogram's mass is N
+      val mass = rows.map(r => r.getAs[Long]("occ") * r.getAs[Long]("n_cells")).sum
+      assert(mass == n, s"$q histogram mass $mass != corpus $n")
+      rows.foreach(r => assert(r.getAs[Long]("occ") >= 1 && r.getAs[Long]("n_cells") >= 1))
+    }
+    def maxOcc(q: String) = byQ(q).map(_.getAs[Long]("occ")).max
+    info(s"max cell occupancy: first_k ${maxOcc("first_k")}, kmeans ${maxOcc("kmeans")}")
+  }
+
   test("two-level IVF: exact cosines where pairs overlap brute force; dense ranks per query") {
     val real = "/root/testdata/sf0.001"
     val brute = LlmOps.simTopkCosine(spark, real).collect()

@@ -36,6 +36,7 @@ class PlanGuardSpec extends SparkSpec {
       // serve/compact/delete paths inherit the same lineage through the
       // memoized assignment state)
       "sim_ivf", "sim_ivf2", "sim_ivf_nprobe2", "sim_ivf_kmeans",
+      "sim_ivf_balance",
       "sim_ivf_pq", "sim_ivf_pq256", "sim_ivf_pq_rerank",
       "sim_ivf_serve", "sim_ivf_serve_pq", "sim_ivf_serve_insert",
       "sim_ivf_serve_delete", "sim_ivf_compact", "sim_ivf_retrain",
