@@ -1580,7 +1580,8 @@ object LlmOps {
       .select(col("bin"), wideMatches.as("matches"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("matches")).as("sum_matches"))
-      .withColumn("avg_est", col("sum_matches") / (lit(64L) * col("n_pairs")))
+      .withColumn("avg_est",
+        col("sum_matches") / (lit(MinhashWidePerms.toLong) * col("n_pairs")))
       .orderBy(col("bin"))
   }
 
@@ -4139,7 +4140,7 @@ object LlmOps {
     * row_number cap) over a suffixed `sig` CTE — ONE site for the
     * per-(band, bucket) cap on the Duck side, shared by the banded-pairs
     * mirror and the banding-recall census. */
-  private def cappedBandsDuck(sfx: String, cap: Int = SimhashBucketCap): String =
+  private def cappedBandsDuck(sfx: String): String =
     s"""bands0$sfx AS (
        |  ${wideBandsDuckBranches("", s"sig$sfx")}),
        |bands$sfx AS (
@@ -4147,7 +4148,7 @@ object LlmOps {
        |    SELECT doc_id, band, bh,
        |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
        |    FROM bands0$sfx)
-       |  WHERE rn <= $cap)""".stripMargin
+       |  WHERE rn <= $SimhashBucketCap)""".stripMargin
 
   /** The banded candidate set (distinct undirected band-bucket
     * collisions) over [[cappedBandsDuck]]'s output — the generation step
@@ -4162,13 +4163,13 @@ object LlmOps {
     * integer est_sim numerator, exposed separately for the calibration
     * census's exact BIGINT sums ([[wideMatches]]'s mirror). */
   private def wideMatchesDuck: String =
-    s"(${(0 until 64).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")})"
+    s"(${(0 until MinhashWidePerms).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")})"
 
   /** 64-slice signature-agreement estimate over `sig` aliases sa/sb —
     * the wide-MinHash est_sim expression shared by the banded-pairs and
     * incremental-probe mirrors. */
   private def wideEstSimDuck: String =
-    s"$wideMatchesDuck / 64.0"
+    s"$wideMatchesDuck / $MinhashWidePerms.0"
 
   /** Blocked truth pairs with their integer Jaccard twentieth
     * (`(20·common) // union`) over [[shinglePairsDuck]]'s `pairs`/`sizes`
@@ -5142,7 +5143,7 @@ object LlmOps {
          |$jaccardBinsDuck
          |SELECT bin, count(*) AS n_pairs,
          |  CAST(sum($wideMatchesDuck) AS BIGINT) AS sum_matches,
-         |  CAST(sum($wideMatchesDuck) AS BIGINT) / (64 * count(*)) AS avg_est
+         |  CAST(sum($wideMatchesDuck) AS BIGINT) / ($MinhashWidePerms * count(*)) AS avg_est
          |FROM cand_w c JOIN truth t ON c.ia = t.ia AND c.ib = t.ib
          |  JOIN sig_w sa ON c.ia = sa.doc_id JOIN sig_w sb ON c.ib = sb.doc_id
          |GROUP BY bin ORDER BY bin""".stripMargin,
