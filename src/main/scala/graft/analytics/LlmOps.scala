@@ -618,6 +618,7 @@ object LlmOps {
     "minhash_sig" -> (() => { minhashSig(spark, dir).count(); () }),
     "minhash_wide_sig" -> (() => { minhashWideSig(spark, dir).count(); () }),
     "minhash_wide128_sig" -> (() => { minhashWide128Sig(spark, dir).count(); () }),
+    "band_candidates" -> (() => { wideBandCandidates(spark, dir).count(); () }),
     "bpe_merges" -> (() => { bpeMergeTable(spark, dir).count(); () }),
     "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }),
     "topk_cosine" -> (() => { bruteTruthTable(spark, dir).count(); () }),
@@ -1596,14 +1597,20 @@ object LlmOps {
 
   /** The banded candidate set (distinct ca &lt; cb band-bucket collisions
     * over the capped 16×4 bands) — the generation step shared by the
-    * pairs query and both censuses; [[bandCandDuck]]'s Spark twin. */
-  private def wideBandCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val bands = cappedWideBands(minhashWideSig(spark, dir))
-    bands.toDF("ca", "band", "bh")
-      .join(bands.toDF("cb", "band2", "bh2"),
-        col("band") === col("band2") && col("bh") === col("bh2") && col("ca") < col("cb"))
-      .select(col("ca"), col("cb")).distinct()
-  }
+    * pairs query and both censuses; [[bandCandDuck]]'s Spark twin.
+    * MEMOIZED like the signature table it derives from: all three
+    * consumers re-ran the band stack + capped self-join (~5 s apiece at
+    * sf2), and the distinct pair set is cap-bounded (never doc²) so the
+    * cache is small at any scale — the same shared-state move as
+    * [[bruteTruthTable]]. */
+  private def wideBandCandidates(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "band_candidates") {
+      val bands = cappedWideBands(minhashWideSig(spark, dir))
+      bands.toDF("ca", "band", "bh")
+        .join(bands.toDF("cb", "band2", "bh2"),
+          col("band") === col("band2") && col("bh") === col("bh2") && col("ca") < col("cb"))
+        .select(col("ca"), col("cb")).distinct()
+    }
 
   /** 16-bit SimHash over the distinct word set (md5-derived 16-bit token
     * hashes, per-bit majority vote). */
