@@ -531,6 +531,96 @@ object LlmOps {
       .orderBy(col("containment").desc, col("ia"), col("ib"))
       .limit(200)
 
+  // --------------------------------------------------------- URL-stage dedup
+
+  /** Synthetic crawl URL for a document, derived IN-QUERY: the driver's
+    * documents schema carries no url column, so the cheapest first gate of
+    * a web-corpus pipeline (RefinedWeb §3.2 and CCNet both dedup by
+    * normalized URL BEFORE any content hash) is rehearsed on a
+    * deterministic URL synthesized from doc_id — one SQL fragment, valid
+    * VERBATIM in both engines (BIGINT-safe integer arithmetic, `||`
+    * concat, and regexes written with `[.]`/`[?]` character classes so no
+    * backslash ever hits the two dialects' different string-literal
+    * escaping). Page identity `pid` is doc_id, except doc_id ≡ 5 (mod 13)
+    * re-crawls its predecessor's page (~7.7% planted duplicates — host and
+    * path derive from pid, so the two fetches share a page); the MESSY
+    * presentation derives from doc_id, so the two fetches of one page
+    * differ in scheme (http/https), `www.` prefix, host case, trailing
+    * slash, `?utm_...` tracking query, and `#fragment` — exactly the noise
+    * URL normalization must erase. Hosts are geometrically hot (host 0
+    * carries ~50% of all URLs via the pid%1024 bucket CASE) so the
+    * per-host census sees a genuinely skewed key. */
+  private val urlPidSql = "CASE WHEN doc_id % 13 = 5 THEN doc_id - 1 ELSE doc_id END"
+  private val urlRawSql: String = {
+    val hid = "(CASE WHEN pid % 1024 < 512 THEN 0 WHEN pid % 1024 < 768 THEN 1" +
+      " WHEN pid % 1024 < 896 THEN 2 WHEN pid % 1024 < 960 THEN 3" +
+      " WHEN pid % 1024 < 992 THEN 4 WHEN pid % 1024 < 1008 THEN 5" +
+      " WHEN pid % 1024 < 1016 THEN 6 WHEN pid % 1024 < 1020 THEN 7" +
+      " WHEN pid % 1024 < 1022 THEN 8 ELSE 9 END)"
+    val host = s"('h' || CAST($hid AS STRING) || '.example.com')"
+    s"(CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END || '://' || " +
+      s"CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END || " +
+      s"CASE WHEN doc_id % 8 = 3 THEN upper($host) ELSE $host END || " +
+      s"'/p/' || CAST(pid AS STRING) || " +
+      s"CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || " +
+      s"CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&ref=rss' ELSE '' END || " +
+      s"CASE WHEN doc_id % 9 = 2 THEN '#top' ELSE '' END)"
+  }
+  /** URL NORMALIZATION — the operator under test: lowercase, strip scheme,
+    * `www.`, fragment, query string, trailing slash (in that order; the
+    * fragment strip precedes the query strip because `#...` follows
+    * `?...` in a URL). Anchored single-occurrence patterns, so Spark's
+    * replace-all and DuckDB's replace-first semantics coincide. */
+  private val urlNormSql =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "lower(url), '^https?://', ''), '^www[.]', ''), '#.*$', ''), '[?].*$', ''), '/$', '')"
+
+  /** Shared derivation: doc_id → (doc_id, url, url_norm). Spec-visible so
+    * the planted twins' RAW urls can be asserted messy. */
+  private[graft] def urlNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"$urlPidSql AS pid")
+      .selectExpr("doc_id", s"$urlRawSql AS url")
+      .selectExpr("doc_id", "url", s"$urlNormSql AS url_norm")
+
+  /** The Duck CTE chain matching [[urlNormalized]] — fragments verbatim. */
+  private val urlNormDuck =
+    s"""p AS (SELECT doc_id, $urlPidSql AS pid FROM documents),
+       |u AS (SELECT doc_id, $urlRawSql AS url FROM p),
+       |n AS (SELECT doc_id, url, $urlNormSql AS url_norm FROM u)""".stripMargin
+
+  /** URL-STAGE exact dedup — one row per normalized URL with the kept
+    * fetch (min doc_id, crawl-frontier convention) and the duplicate
+    * count. Scale shape: a single hash aggregation keyed by the FULL
+    * normalized URL — near-uniform key (the hot HOST is not a hot URL),
+    * map-side combinable, shuffle bounded by the distinct-URL count; the
+    * per-row derivation is pure codegen'd string/integer work in the scan
+    * projection. This is the gate that runs before any content
+    * fingerprint at 100 TB: it needs no text read at all (a real crawl
+    * would run it on the URL manifest alone). */
+  def ddUrl(spark: SparkSession, dir: String): DataFrame =
+    urlNormalized(spark, dir)
+      .groupBy(col("url_norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .withColumn("n_dropped", col("n_docs") - lit(1L))
+      .orderBy(col("url_norm"))
+
+  /** Per-HOST crawl census — the dashboard row a frontier operator reads:
+    * fetches, distinct pages, and re-crawled fetches per normalized host.
+    * The host key is deliberately skewed (host 0 ≈ 50% of fetches); the
+    * distinct count plans as Spark's two-phase expand aggregation —
+    * partial aggregation on (host, url_norm) first — so the hot host
+    * never concentrates raw rows on one reducer. Constant-size output
+    * (10 hosts here; O(hosts) in general). */
+  def ddUrlHosts(spark: SparkSession, dir: String): DataFrame =
+    urlNormalized(spark, dir)
+      .select(split_part(col("url_norm"), lit("/"), lit(1)).as("host"), col("url_norm"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_norm")).as("n_pages"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_pages"))
+      .orderBy(col("host"))
+
   /** The thresholded containment pair table — memoized on the family's
     * fingerprint spine and prewarmed as explicitly-timed state (see
     * [[stateBuilders]]), like the jaccard pairs it parallels. */
@@ -762,12 +852,17 @@ object LlmOps {
     * (all-BIGINT numerator, one IEEE division — rank order is exact in
     * both engines); within each cluster the winner is rank 1 by
     * (score DESC NULLS LAST, doc_id). Scale shape: the cluster LABEL set
-    * is edge-bounded (only near-dup members, a tiny fraction of any
-    * corpus), so it broadcasts into the scoring scan to rank members, and
-    * the final kept-corpus assembly is broadcast anti-join(losers) +
-    * broadcast left-join(winners) over a second scan — the full corpus is
-    * never shuffled, the exact property that makes the min-id
-    * [[ddDedupKeep]] scalable, kept here. */
+    * is edge-bounded (only near-dup members, a small fraction of a
+    * typical corpus), so the label/loser/winner joins normally broadcast
+    * into the two corpus scans and the full corpus is never shuffled —
+    * the property that makes the min-id [[ddDedupKeep]] scalable, kept
+    * here. The broadcast is NOT hinted, though: "near-dup-membership-
+    * bounded" is data-dependent, not structurally capped like the
+    * centroid/total broadcasts elsewhere, and a duplicate-heavy corpus
+    * (a mirror-farm crawl can be mostly duplicates) would make a forced
+    * broadcast approach corpus size and OOM the driver. AQE sees the
+    * runtime size and picks broadcast when small, shuffle join when
+    * not — degraded to a shuffle, never to a failure. */
   def ddDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val edges = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
       .select(col("ia").as("a"), col("ib").as("b"))
@@ -777,13 +872,13 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("score"))
     val wBest = Window.partitionBy(col("cluster_id"))
       .orderBy(col("score").desc_nulls_last, col("doc_id"))
-    val ranked = scored.join(broadcast(lbl), Seq("doc_id"))
+    val ranked = scored.join(lbl, Seq("doc_id"))
       .withColumn("rk", row_number().over(wBest))
     val losers = ranked.filter(col("rk") > 1).select(col("doc_id"))
     val winners = ranked.filter(col("rk") === 1).select(col("doc_id"), col("cluster_id"))
     scored
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
-      .join(broadcast(winners), Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(winners, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("cluster_id"), col("score"))
       .orderBy(col("doc_id"))
@@ -827,16 +922,20 @@ object LlmOps {
     * cluster (each its own singleton cluster, keyed by a negative
     * pseudo-label so it cannot collide with real labels = min doc ids).
     * Composes [[ddCluster]] verbatim (the census-from-checked-queries
-    * rule); the label frame is near-dup-membership-bounded, so it
-    * BROADCASTS onto the one documents scan, and the histogram is a
-    * constant-size aggregate at any corpus size. Every row satisfies
+    * rule); the label frame is near-dup-membership-bounded — small on a
+    * typical corpus, but data-dependent, so the join is left UNHINTED
+    * and AQE broadcasts it only when the runtime size allows (a
+    * duplicate-heavy corpus degrades to a shuffle join instead of a
+    * driver OOM; same reasoning as [[ddDedupKeepBest]]) — and the
+    * histogram is a constant-size aggregate at any corpus size. Every
+    * row satisfies
     * n_docs = cluster_size · n_clusters by construction — the spec pins
     * it. */
   def ddClusterHist(spark: SparkSession, dir: String): DataFrame = {
     val cl = ddCluster(spark, dir)
       .select(col("doc_id").as("cd"), col("cluster_id"), col("cluster_size"))
     Tables.documents(spark, dir).select(col("doc_id"))
-      .join(broadcast(cl), col("doc_id") === col("cd"), "left")
+      .join(cl, col("doc_id") === col("cd"), "left")
       .withColumn("sz", coalesce(col("cluster_size"), lit(1L)))
       .withColumn("cl", coalesce(col("cluster_id"), -col("doc_id") - lit(1L)))
       .groupBy(col("sz"))
@@ -1172,7 +1271,10 @@ object LlmOps {
   /** INGESTION-HEALTH census — promotes [[graft.sources.JsonlDocs]]'s
     * quarantine accounting to the oracle-checked surface: a JSONL feed is
     * derived in-plan from the documents table with DETERMINISTIC planted
-    * damage (doc_id % 10 = 3 → line truncated mid-object; % 10 = 5 → the
+    * damage (doc_id % 10 = 3 → line truncated INSIDE the first field's
+    * KEY, so the prefix `{"doc` contains no complete field and no parser
+    * version — not even a partial-result parser in the SPARK-33134
+    * lineage — can recover doc_id or text from it; % 10 = 5 → the
     * required doc_id field absent; % 10 = 7 → the required text field
     * absent), pushed through the REAL permissive parser (`from_json` over
     * [[graft.sources.JsonlDocs.schema]]) and the REAL admission/reason
@@ -1191,7 +1293,10 @@ object LlmOps {
     val noText = "to_json(named_struct('doc_id', doc_id, 'lang', lang, 'source', source))"
     Tables.documents(spark, dir)
       .select(
-        when(col("doc_id") % 10 === 3, expr(s"substr($full, 1, length($full) - 5)"))
+        // tear point: 5 chars keeps `{"doc` — inside the first KEY, so the
+        // torn classification cannot depend on how much of a VALUE a
+        // future partial-result parser chooses to salvage
+        when(col("doc_id") % 10 === 3, expr(s"substr($full, 1, 5)"))
           .when(col("doc_id") % 10 === 5, expr(noId))
           .when(col("doc_id") % 10 === 7, expr(noText))
           .otherwise(expr(full)).as("value"))
@@ -3931,6 +4036,8 @@ object LlmOps {
     "dd_exact" -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_containment" -> ddContainment _,
+    "dd_url" -> ddUrl _,
+    "dd_url_hosts" -> ddUrlHosts _,
     "dd_dedup_keep" -> ddDedupKeep _,
     "dd_dedup_keep_best" -> ddDedupKeepBest _,
     "dd_cluster" -> ddCluster _,
@@ -4552,6 +4659,21 @@ object LlmOps {
     "dd_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    // the url derivation + normalization fragments are shared VERBATIM
+    // with the Spark side (urlPidSql/urlRawSql/urlNormSql)
+    "dd_url" ->
+      s"""WITH $urlNormDuck
+         |SELECT url_norm, min(doc_id) AS keep_id,
+         |  count(*) AS n_docs, CAST(count(*) - 1 AS BIGINT) AS n_dropped
+         |FROM n GROUP BY url_norm ORDER BY url_norm""".stripMargin,
+
+    "dd_url_hosts" ->
+      s"""WITH $urlNormDuck
+         |SELECT split_part(url_norm, '/', 1) AS host,
+         |  count(*) AS n_docs, count(DISTINCT url_norm) AS n_pages,
+         |  CAST(count(*) - count(DISTINCT url_norm) AS BIGINT) AS n_dup_docs
+         |FROM n GROUP BY 1 ORDER BY host""".stripMargin,
 
     "dd_ngram_jaccard" ->
       s"""WITH $baseDuck, $shinglePairsDuck

@@ -12,9 +12,17 @@ import org.apache.spark.sql.types._
   * derived output frees nothing) — repeated reads in a long-lived session
   * would accumulate cached text scans until a blanket
   * `spark.catalog.clearCache()`. Call `release()` once both outputs are
-  * consumed (or wrap consumption in [[JsonlDocs.withRead]]). */
-final case class JsonlRead(docs: DataFrame, quarantine: DataFrame,
-                           private val parsed: DataFrame) {
+  * consumed (or wrap consumption in [[JsonlDocs.withRead]]).
+  *
+  * Deliberately a PLAIN final class, not a case class: this is a resource
+  * handle, and the case-class machinery would leak the private cached
+  * plan through the generated `copy()`/`apply`/`unapply` and fold it into
+  * equality — a clone could outlive `release()` and re-expose the freed
+  * cache. With no generated members the handle cannot be duplicated past
+  * its release point. */
+final class JsonlRead private[sources] (val docs: DataFrame,
+                                        val quarantine: DataFrame,
+                                        parsed: DataFrame) {
   def release(blocking: Boolean = false): Unit = { parsed.unpersist(blocking); () }
 }
 
@@ -83,7 +91,7 @@ object JsonlDocs {
         length(col("j.text")).cast("long").as("n_chars"))
     val quarantine = parsed.filter(!okCol(col("j")))
       .select(col("value").as("raw_line"), reasonCol(col("j")).as("reason"))
-    JsonlRead(docs, quarantine, parsed)
+    new JsonlRead(docs, quarantine, parsed)
   }
 
   /** Loan-pattern read: hands the two frames to `body` and releases the

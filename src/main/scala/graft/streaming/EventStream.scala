@@ -289,7 +289,17 @@ object EventStream {
     * aggregation. Verdicts are per-doc and depend only on the corpus
     * state, so they are IDENTICAL however the batch is micro-batched —
     * EventStreamSpec pins the accumulated sink equal to the
-    * oracle-checked batch probe on the same split. State is never
+    * oracle-checked batch probe on the same split.
+    *
+    * PRECONDITION — distinct arrivals: the reducer collapses duplicates
+    * only WITHIN a micro-batch (no cross-batch state is kept), so a
+    * doc_id that re-arrives in a LATER micro-batch emits a second
+    * verdict, where the batch twin emits exactly one row per doc. The
+    * "identical however micro-batched" claim therefore holds for any
+    * micro-batching of DISTINCT arrivals; a deployment whose upstream
+    * can re-deliver should key its sink by doc_id (idempotent upsert) or
+    * front this with [[dedupe]] keyed on doc_id within the watermark.
+    * State is never
     * stored (the group exists only to reduce within the micro-batch);
     * per arriving doc the work is ≤ bands × cap candidates regardless
     * of corpus size — the batch probe's bound, kept in-stream. */

@@ -1604,4 +1604,39 @@ class LlmOpsSpec extends SparkSpec {
     // from one legitimate tie-break shift must still pass
     assert(recall >= 0.30, f"filtered recall $recall%.2f below the 0.30 floor")
   }
+
+  test("url dedup: scheme/www/case/slash/query/fragment twins collapse to one page; host census balances") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("urldedup").toString
+    (0L until 40L).map(i => Doc(i, s"doc $i", "en", "s", 6)).toDF()
+      .write.parquet(s"$d/documents.parquet")
+    // raw derivation: the planted re-crawl (doc 5 re-fetches doc 4's page)
+    // differs from the canonical fetch in EXACTLY the noise normalization
+    // must erase — www. prefix on one side, trailing slash + utm query on
+    // the other — and a case-mangled fetch (doc 3: %8==3) normalizes too
+    val raw = LlmOps.urlNormalized(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(raw(4L).getAs[String]("url") == "https://www.h0.example.com/p/4")
+    assert(raw(5L).getAs[String]("url") == "https://h0.example.com/p/4/?utm_source=feed&ref=rss")
+    assert(raw(3L).getAs[String]("url") == "http://H0.EXAMPLE.COM/p/3")
+    assert(raw(2L).getAs[String]("url").endsWith("#top"))
+    val urls = LlmOps.ddUrl(spark, d).collect()
+    // 40 fetches, 3 planted re-crawls (5→4, 18→17, 31→30) → 37 pages
+    assert(urls.length == 37)
+    assert(urls.map(_.getAs[Long]("n_docs")).sum == 40)
+    val dups = urls.filter(_.getAs[Long]("n_docs") == 2)
+    assert(dups.map(_.getAs[Long]("keep_id")).toSet == Set(4L, 17L, 30L))
+    assert(dups.forall(_.getAs[Long]("n_dropped") == 1L))
+    // normalized form carries none of the erased noise
+    assert(urls.forall { r =>
+      val u = r.getAs[String]("url_norm")
+      !u.contains("://") && !u.startsWith("www.") && !u.contains("?") &&
+        !u.contains("#") && !u.endsWith("/") && u == u.toLowerCase
+    })
+    val hosts = LlmOps.ddUrlHosts(spark, d).collect()
+    assert(hosts.map(_.getAs[Long]("n_docs")).sum == 40)
+    assert(hosts.map(_.getAs[Long]("n_dup_docs")).sum == 3)
+    assert(hosts.forall(r =>
+      r.getAs[Long]("n_docs") == r.getAs[Long]("n_pages") + r.getAs[Long]("n_dup_docs")))
+  }
 }
