@@ -2738,6 +2738,67 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BENCHMARK-side contamination census — [[ddContamination8]] reports
+    * which CORPUS docs share passages with the benchmark; the number a
+    * model card reports is the inverse: per benchmark ITEM, is it leaked
+    * into the training corpus, and what fraction of the suite is
+    * contaminated overall. Same 8-token passage fingerprints, same
+    * excerpt construction (20-token excerpts of docs ≡ 7 mod 89), same
+    * broadcast semi-join direction — the tiny benchmark side broadcasts
+    * onto the one corpus window table; only the final fold points the
+    * other way (groupBy bench item instead of corpus doc). An item is
+    * LEAKED when a corpus doc OTHER than its own excerpt source shares a
+    * window (the source doc matches trivially — that is provenance, not
+    * contamination). Output: one row per benchmark item (items whose
+    * excerpt is too short for any 8-token window stay present with
+    * n_windows = 0), plus a TOTAL row keyed bench_id = -1 carrying the
+    * model-card number — contaminated_frac = leaked items / items, one
+    * int/int IEEE division. Constant-size output (the benchmark is). */
+  def ddContaminationRate(spark: SparkSession, dir: String): DataFrame = {
+    val bw = Tables.documents(spark, dir)
+      .filter(expr("doc_id % 89 = 7"))
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("excerpt", expr("array_join(slice(toks, 5, 20), ' ')"))
+      .select(col("doc_id").as("bench_id"), explode_outer(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.PassageHash(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("excerpt")), 8))).as("bw"))
+      .filter(col("bw").isNotNull)
+      .distinct()
+    val ext = passageWindows(spark, dir, 8)
+      .join(broadcast(bw), col("w") === col("bw"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("bw")).as("n_ext_windows"),
+        countDistinct(col("doc_id")).as("n_ext_docs"))
+      .withColumnRenamed("bench_id", "eb")
+    val wcount = bw.groupBy(col("bench_id"))
+      .agg(countDistinct(col("bw")).as("nw"))
+      .withColumnRenamed("bench_id", "wb")
+    val perItem = Tables.documents(spark, dir)
+      .filter(expr("doc_id % 89 = 7")).select(col("doc_id").as("bench_id"))
+      .join(wcount, col("bench_id") === col("wb"), "left")
+      .join(ext, col("bench_id") === col("eb"), "left")
+      .select(col("bench_id"),
+        coalesce(col("nw"), lit(0L)).as("n_windows"),
+        coalesce(col("n_ext_windows"), lit(0L)).as("n_ext_windows"),
+        coalesce(col("n_ext_docs"), lit(0L)).as("n_ext_docs"))
+      .withColumn("leaked", col("n_ext_windows") > 0)
+    val total = perItem.agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_windows")).as("tw"),
+        sum(col("n_ext_windows")).as("tew"),
+        sum(col("n_ext_docs")).as("ted"),
+        count(when(col("leaked"), 1)).as("n_leaked"))
+      .select(lit(-1L).as("bench_id"), col("tw").as("n_windows"),
+        col("tew").as("n_ext_windows"), col("ted").as("n_ext_docs"),
+        (col("n_leaked") > 0).as("leaked"),
+        (col("n_leaked") / col("n_items")).as("contaminated_frac"))
+    perItem.withColumn("contaminated_frac", lit(null).cast("double"))
+      .unionByName(total)
+      .orderBy(col("bench_id"))
+  }
+
   /** The composed CLEANING PIPELINE — what a training-data run actually
     * executes, as one operator: a doc survives iff it (a) passes the
     * Gopher-style quality filter, (b) is the canonical copy of its exact-
@@ -2881,6 +2942,51 @@ object LlmOps {
       .filter(col("draw") < col("rate"))
       .select(col("doc_id"), col("source"), col("lang"), col("draw"), col("rate"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Training budget = [[DataBudgetEpochs]] × the corpus's total token
+    * count — proportional to corpus size so the planner exercises the
+    * same repeat structure at every SF. */
+  private[graft] val DataBudgetEpochs = 2L
+
+  /** TOKEN-BUDGET / EPOCH PLANNER — the data-constrained-scaling readout a
+    * training run starts from (Muennighoff et al. 2023, arXiv:2305.16264:
+    * when the budget wants more tokens from a source than it has, the
+    * source REPEATS). Inputs are the same censuses the pipeline already
+    * ships: per-source available tokens ([[txtShards]]'s token sums, keyed
+    * by source) and the [[txtMixture]] weight convention (even-numbered
+    * sources weight 3, odd weight 1 — the 75/25 keep-rate as integer
+    * weights). The global budget is allocated across sources proportional
+    * to weight by INTEGER floor division, then each source's demand is
+    * decomposed against its supply: full_epochs = requested div available,
+    * rem_toks the partial-epoch remainder, must_repeat the flag a curation
+    * run alerts on. All-BIGINT arithmetic (one floor-div chain, no
+    * floats), so the row set is hash-exact in both engines. Plan shape:
+    * one map-side-combinable scan aggregation to the O(sources) census,
+    * then window totals over that k-row frame — constant output at any
+    * corpus size. */
+  def txtDataBudget(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("avail_toks"))
+      .withColumn("weight", expr(
+        "CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 " +
+          "THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END"))
+      .withColumn("budget_toks",
+        lit(DataBudgetEpochs) * sum(col("avail_toks")).over(wAll))
+      .withColumn("w_total", sum(col("weight")).over(wAll))
+      .withColumn("requested_toks", expr("(budget_toks * weight) div w_total"))
+      .withColumn("full_epochs", expr("requested_toks div avail_toks"))
+      .withColumn("rem_toks", expr("requested_toks % avail_toks"))
+      .withColumn("must_repeat", col("requested_toks") > col("avail_toks"))
+      .select(col("source"), col("weight"), col("n_docs"), col("avail_toks"),
+        col("budget_toks"), col("requested_toks"), col("full_epochs"),
+        col("rem_toks"), col("must_repeat"))
+      .orderBy(col("source"))
   }
 
   /** Cross-modal enrichment join: text rows ⋈ their embedding vectors
@@ -4065,11 +4171,13 @@ object LlmOps {
     "txt_top_terms_cms" -> txtTopTermsCms _,
     "dd_contamination" -> ((s: SparkSession, d: String) => ddContamination(s, d)),
     "dd_contamination8" -> ddContamination8 _,
+    "dd_contamination_rate" -> ddContaminationRate _,
     "txt_clean_corpus" -> txtCleanCorpus _,
     "txt_curation_funnel" -> txtCurationFunnel _,
     "txt_shards" -> txtShards _,
     "txt_split" -> txtSplit _,
     "txt_mixture" -> txtMixture _,
+    "txt_data_budget" -> txtDataBudget _,
     "mm_join" -> mmJoin _,
     "mm_frame_sample" -> mmFrameSample _,
     "dd_minhash_sig" -> ddMinhashSig _,
@@ -4831,6 +4939,45 @@ object LlmOps {
          |FROM w0 JOIN bench ON w0.w = bench.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // benchmark-side fold of the same passage semi-join; total row keyed
+    // bench_id = -1 carries contaminated_frac (int/int division)
+    "dd_contamination_rate" ->
+      s"""WITH $baseDuck, w0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 16))) AS w
+         |  FROM base),
+         |bx AS (
+         |  SELECT doc_id AS bench_id, list_slice(toks, 5, 24) AS et
+         |  FROM base WHERE doc_id % 89 = 7),
+         |bwt AS (
+         |  SELECT DISTINCT bench_id,
+         |    unnest(list_transform(range(1, greatest(len(et) - 7, 0) + 1),
+         |      i -> substr(md5(array_to_string(list_slice(et, i, i + 7), ' ')), 1, 16))) AS bw
+         |  FROM bx),
+         |ext AS (
+         |  SELECT bench_id, count(DISTINCT bw) AS n_ext_windows,
+         |    count(DISTINCT doc_id) AS n_ext_docs
+         |  FROM w0 JOIN bwt ON w0.w = bwt.bw WHERE w0.doc_id <> bwt.bench_id
+         |  GROUP BY bench_id),
+         |per AS (
+         |  SELECT b.bench_id, COALESCE(c.nw, 0) AS n_windows,
+         |    COALESCE(e.n_ext_windows, 0) AS n_ext_windows,
+         |    COALESCE(e.n_ext_docs, 0) AS n_ext_docs,
+         |    COALESCE(e.n_ext_windows, 0) > 0 AS leaked
+         |  FROM (SELECT bench_id FROM bx) b
+         |  LEFT JOIN (SELECT bench_id, count(DISTINCT bw) AS nw FROM bwt GROUP BY bench_id) c
+         |    ON b.bench_id = c.bench_id
+         |  LEFT JOIN ext e ON b.bench_id = e.bench_id)
+         |SELECT bench_id, n_windows, n_ext_windows, n_ext_docs, leaked,
+         |  CAST(NULL AS DOUBLE) AS contaminated_frac FROM per
+         |UNION ALL
+         |SELECT -1, CAST(sum(n_windows) AS BIGINT),
+         |  CAST(sum(n_ext_windows) AS BIGINT), CAST(sum(n_ext_docs) AS BIGINT),
+         |  count(*) FILTER (WHERE leaked) > 0,
+         |  count(*) FILTER (WHERE leaked) / count(*) FROM per
+         |ORDER BY bench_id""".stripMargin,
+
     "dd_passages" ->
       s"""WITH $baseDuck, w0 AS (
          |  SELECT doc_id,
@@ -5222,6 +5369,28 @@ object LlmOps {
          |  FROM documents)
          |SELECT doc_id, source, lang, draw, rate
          |FROM m WHERE draw < rate ORDER BY doc_id""".stripMargin,
+
+    // all-BIGINT floor-div chain; weights = the txt_mixture parity
+    // convention as integers (even 3 / odd 1); budget = 2x total tokens
+    "txt_data_budget" ->
+      s"""WITH $baseDuck, persrc AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS avail_toks
+         |  FROM base GROUP BY source),
+         |w AS (
+         |  SELECT *, CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
+         |    THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS weight
+         |  FROM persrc),
+         |g AS (
+         |  SELECT *, $DataBudgetEpochs * CAST(sum(avail_toks) OVER () AS BIGINT) AS budget_toks,
+         |    CAST(sum(weight) OVER () AS BIGINT) AS w_total
+         |  FROM w)
+         |SELECT source, weight, n_docs, avail_toks, budget_toks,
+         |  (budget_toks * weight) // w_total AS requested_toks,
+         |  ((budget_toks * weight) // w_total) // avail_toks AS full_epochs,
+         |  ((budget_toks * weight) // w_total) % avail_toks AS rem_toks,
+         |  (budget_toks * weight) // w_total > avail_toks AS must_repeat
+         |FROM g ORDER BY source""".stripMargin,
 
     "mm_join" ->
       s"""SELECT d.doc_id, d.lang, d.n_chars, e.label,

@@ -1605,6 +1605,55 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.30, f"filtered recall $recall%.2f below the 0.30 floor")
   }
 
+  test("contamination rate: planted leak flags its item, clean item stays clean, total row carries the rate") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("contamrate").toString
+    val t = (1 to 30).map(i => s"t$i").mkString(" ")     // bench item 7 (7 % 89 = 7)
+    val u = (1 to 30).map(i => s"u$i").mkString(" ")     // bench item 96 (96 % 89 = 7), unique
+    val leak = (10 to 17).map(i => s"t$i").mkString(" ") // 8 consecutive tokens inside 7's excerpt (t5..t24)
+    Seq(Doc(7, t, "en", "s", t.length), Doc(96, u, "en", "s", u.length),
+        Doc(3, s"$leak x y z", "en", "s", 0),
+        Doc(4, "completely different words here", "en", "s", 0))
+      .toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.ddContaminationRate(spark, d).collect()
+      .map(r => r.getAs[Long]("bench_id") -> r).toMap
+    assert(rows.keySet == Set(-1L, 7L, 96L))
+    val b7 = rows(7L)
+    assert(b7.getAs[Long]("n_windows") == 13) // 20-token excerpt → 13 8-windows
+    assert(b7.getAs[Boolean]("leaked") && b7.getAs[Long]("n_ext_docs") == 1
+      && b7.getAs[Long]("n_ext_windows") == 1)
+    val b96 = rows(96L)
+    assert(!b96.getAs[Boolean]("leaked") && b96.getAs[Long]("n_ext_windows") == 0)
+    val tot = rows(-1L)
+    assert(tot.getAs[Boolean]("leaked") && tot.getAs[Double]("contaminated_frac") == 0.5)
+  }
+
+  test("data budget planner: over-weighted source must repeat; floor-div conservation holds") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("budget").toString
+    def txt(k: Int) = Seq.fill(k)("tok").mkString(" ")
+    // src0 (even → weight 3): 2×10 tokens = 20 available
+    // src1 (odd  → weight 1): 2×30 tokens = 60 available
+    // budget = 2×80 = 160, W = 4 → src0 requested 120 (6 full epochs,
+    // MUST repeat), src1 requested 40 (partial epoch, no repeat)
+    Seq(Doc(0, txt(10), "en", "src0", 0), Doc(1, txt(10), "en", "src0", 0),
+        Doc(2, txt(30), "en", "src1", 0), Doc(3, txt(30), "en", "src1", 0))
+      .toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtDataBudget(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val (s0, s1) = (rows("src0"), rows("src1"))
+    assert(s0.getAs[Long]("avail_toks") == 20 && s1.getAs[Long]("avail_toks") == 60)
+    assert(s0.getAs[Long]("budget_toks") == 160 && s0.getAs[Long]("weight") == 3)
+    assert(s0.getAs[Long]("requested_toks") == 120 && s0.getAs[Long]("full_epochs") == 6
+      && s0.getAs[Long]("rem_toks") == 0 && s0.getAs[Boolean]("must_repeat"))
+    assert(s1.getAs[Long]("requested_toks") == 40 && s1.getAs[Long]("full_epochs") == 0
+      && s1.getAs[Long]("rem_toks") == 40 && !s1.getAs[Boolean]("must_repeat"))
+    // floor-division never over-allocates, and leaves less than one
+    // weight-unit's worth of slack
+    val alloc = rows.values.map(_.getAs[Long]("requested_toks")).sum
+    assert(alloc <= 160 && 160 - alloc < 4)
+  }
+
   test("url dedup: scheme/www/case/slash/query/fragment twins collapse to one page; host census balances") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("urldedup").toString
