@@ -1286,8 +1286,12 @@ object LlmOps {
     * admit. (Implied conservation: the four counts sum to the corpus.)
     * Per-row work over one scan + a 4-row aggregate — an ingestion-health
     * dashboard query that stays free at any scale. */
-  def ingestQuarantine(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.JsonlDocs
+  /** The deterministic planted-damage JSONL feed behind
+    * [[ingestQuarantine]], exposed so the STREAMING quarantine twin's
+    * spec can replay the identical lines through
+    * [[graft.streaming.EventStream.quarantineCensus]]: one `value` column
+    * of raw lines, damaged by the doc_id % 10 rule above. */
+  private[graft] def plantedDamageLines(spark: SparkSession, dir: String): DataFrame = {
     val full = "to_json(named_struct('doc_id', doc_id, 'text', text, 'lang', lang, 'source', source))"
     val noId = "to_json(named_struct('text', text, 'lang', lang, 'source', source))"
     val noText = "to_json(named_struct('doc_id', doc_id, 'lang', lang, 'source', source))"
@@ -1300,6 +1304,11 @@ object LlmOps {
           .when(col("doc_id") % 10 === 5, expr(noId))
           .when(col("doc_id") % 10 === 7, expr(noText))
           .otherwise(expr(full)).as("value"))
+  }
+
+  def ingestQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JsonlDocs
+    plantedDamageLines(spark, dir)
       .withColumn("j", from_json(col("value"), JsonlDocs.schema))
       .select(
         when(JsonlDocs.okCol(col("j")), lit("ok"))

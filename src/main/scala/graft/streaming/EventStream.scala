@@ -335,4 +335,28 @@ object EventStream {
   /** Wire a streaming DataFrame to a memory sink for tests/demos. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** Streaming INGESTION-HEALTH twin — the in-stream counterpart of the
+    * oracle-checked batch `LlmOps.ingestQuarantine`: without it, a
+    * streaming pipeline ingesting permissive JSONL would drop torn lines
+    * SILENTLY (the one loss mode the batch quarantine exists to make
+    * measurable). Each raw line is classified with the SAME
+    * [[graft.sources.JsonlDocs]] admission predicate and reason
+    * classifier the batch path uses — a stateless per-row select, so the
+    * verdicts cannot drift between the two engines' ingestion — then the
+    * per-reason counts aggregate in COMPLETE output mode: the running
+    * state is the O(reasons) census itself (4 rows), bounded at any
+    * stream length, and every micro-batch's emitted table is the
+    * accumulated health readout a dashboard polls. EventStreamSpec pins
+    * the accumulated census over micro-batched planted damage equal to
+    * the batch oracle row set. */
+  def quarantineCensus(lines: DataFrame): DataFrame = {
+    import graft.sources.JsonlDocs
+    lines
+      .filter(trim(col("value")) =!= "")
+      .withColumn("j", from_json(col("value"), JsonlDocs.schema))
+      .select(when(JsonlDocs.okCol(col("j")), lit("ok"))
+        .otherwise(JsonlDocs.reasonCol(col("j"))).as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+  }
 }

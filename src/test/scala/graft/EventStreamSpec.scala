@@ -443,4 +443,33 @@ class EventStreamSpec extends SparkSpec {
         s"stream probe diverged from batch: missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming quarantine census equals the oracle-checked batch ingest_quarantine") {
+    // The ingestion-health-consistency contract: the same planted-damage
+    // JSONL lines, fed as a stream in 4 micro-batches, classified with
+    // the same JsonlDocs admission/reason classifiers, must accumulate
+    // to EXACTLY the batch census (complete-mode aggregation — the
+    // 4-row reason table IS the stream state).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val lines = graft.analytics.LlmOps.plantedDamageLines(spark, dir)
+      .as[String].collect().toSeq
+    val chunks = lines.grouped((lines.size + 3) / 4).toSeq
+    val input = MemoryStream[String]
+    val q = EventStream.toMemorySink(
+      EventStream.quarantineCensus(input.toDF().toDF("value")),
+      "quarantine_census", OutputMode.Complete())
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val got = spark.table("quarantine_census").collect()
+        .map(r => r.getAs[String]("reason") -> r.getAs[Long]("n")).toMap
+      val want = graft.analytics.LlmOps.ingestQuarantine(spark, dir).collect()
+        .map(r => r.getAs[String]("reason") -> r.getAs[Long]("n")).toMap
+      assert(want.keySet == Set("ok", "torn_json", "missing_doc_id", "missing_text"),
+        s"parity vacuous: batch census missing a damage reason: $want")
+      assert(got == want,
+        s"stream census $got diverged from batch $want")
+    } finally q.stop()
+  }
 }
