@@ -3675,7 +3675,7 @@ object LlmOps {
     * index has never seen it). Corpus vec_ids are not dense, so the code
     * id is the rank in vec_id order (0-based, identical in the oracle);
     * 16 rows, built inline and broadcast like [[pqCodebook]]. */
-  private def servePqCodebook(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def servePqCodebook(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("vec_id"))
     Tables.embeddings(spark, dir).filter(expr("vec_id % 4 <> 3"))
       .orderBy(col("vec_id")).limit(PqCodes)
@@ -3691,7 +3691,7 @@ object LlmOps {
     * [[ivfServeAssignTable]]): a deployed PQ index persists exactly this
     * row, and the ADC scan then reads ONE memoized table instead of
     * re-joining codes to the assignment on every query. */
-  private def servePqCodesTable(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def servePqCodesTable(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "ivf_serve_pq_codes") {
       pqEncode(Tables.embeddings(spark, dir).filter(expr("vec_id % 4 <> 3")),
           servePqCodebook(spark, dir))
@@ -3716,6 +3716,12 @@ object LlmOps {
   def simIvfServePq(spark: SparkSession, dir: String): DataFrame =
     servePqTop5(spark, dir, ServeNprobe, labelFiltered = false)
 
+  /** Plain (unfiltered, [[ServeNprobe]]) serving over a caller-supplied
+    * persisted codebook + code index — the spec-facing persistence seam. */
+  private[graft] def servePqServeOver(spark: SparkSession, dir: String,
+      cb: DataFrame, codeIndex: DataFrame): DataFrame =
+    servePqTop5Over(spark, dir, ServeNprobe, labelFiltered = false, cb, codeIndex)
+
   /** The shared two-stage ADC retrieval kernel behind [[simIvfServePq]]
     * and [[simIvfFilteredPq]] — ONE implementation of query quantization,
     * per-query ADC table, shortlist scan and exact re-rank, so a change
@@ -3726,11 +3732,21 @@ object LlmOps {
     * output; `nprobe` widens the probe (the filtered path's
     * selectivity compensation). */
   private def servePqTop5(spark: SparkSession, dir: String, nprobe: Int,
-                          labelFiltered: Boolean): DataFrame = {
+                          labelFiltered: Boolean): DataFrame =
+    servePqTop5Over(spark, dir, nprobe, labelFiltered,
+      servePqCodebook(spark, dir), servePqCodesTable(spark, dir))
+
+  /** Same kernel over a CALLER-SUPPLIED codebook + code index — the
+    * persistence seam: PartitionPruningSpec reads both back from parquet
+    * (codes cell-partitioned) and pins disk-served answers bitwise-equal
+    * to session-state serving, so a serve-path restart never retrains
+    * the quantizer. */
+  private[graft] def servePqTop5Over(spark: SparkSession, dir: String, nprobe: Int,
+                          labelFiltered: Boolean, cb: DataFrame,
+                          codeIndex: DataFrame): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val cents = serveCentroids(spark, dir)
-    val cb = servePqCodebook(spark, dir)
     // query-time quantization: nprobe nearest cells per held-out vector
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
     val q2 = e.filter(expr("vec_id % 200 = 3"))
@@ -3747,7 +3763,7 @@ object LlmOps {
       .withColumn("part", dotF(col("qsub"), col("cent")))
       .groupBy(col("qid"))
       .agg(expr("transform(array_sort(collect_list(struct(s, code, part))), p -> p.part)").as("qtab"))
-    val cands = servePqCodesTable(spark, dir)
+    val cands = codeIndex
       .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell").as("ccell"),
         col("label").as("clabel"), col("codes"))
     val adc = (0 until PqM)

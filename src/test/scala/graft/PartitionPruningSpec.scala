@@ -57,6 +57,41 @@ class PartitionPruningSpec extends SparkSpec {
       "persisted-index serving diverged from session-state serving")
   }
 
+  test("persisted PQ serve index: codebook + cell-partitioned codes read back and serve bitwise-identically") {
+    // The COMPRESSED index's persistence story: the flat serve index
+    // already round-trips (test above); without this seam a serve-path
+    // restart would RETRAIN the PQ quantizer (codebook + code table lived
+    // only in session memory). A deployed PQ index is two parquet
+    // artifacts — the 16x8-row codebook and the ~16 B/vector code table,
+    // the latter partitioned by cell so the serve-time ADC scan of a
+    // probed cell is a partition-pruned directory read, not an index
+    // scan.
+    import graft.analytics.LlmOps
+    val real = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("pqidx").toString
+    LlmOps.servePqCodebook(spark, real).write.parquet(s"$base/pq_codebook")
+    LlmOps.servePqCodesTable(spark, real)
+      .write.partitionBy("cell").parquet(s"$base/pq_codes")
+    val cbDisk = spark.read.parquet(s"$base/pq_codebook")
+    // partition-column directory names read back as int — restore long
+    val codesDisk = spark.read.parquet(s"$base/pq_codes")
+      .withColumn("cell", col("cell").cast("long"))
+    // a one-cell ADC scan prunes to that cell's directory
+    val oneCell = codesDisk.filter(col("cell") ===
+      codesDisk.select(min(col("cell"))).first().getLong(0))
+    val plan = oneCell.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"), plan)
+    // serving over the persisted artifacts equals session-state serving
+    // (float arrays, longs and code bytes round-trip parquet exactly, so
+    // ADC scores, shortlists and exact re-rank cosines are bitwise equal)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Int]("rk"), r.getAs[Long]("cid"), r.getAs[Double]("cos"))).toSet
+    val mem = LlmOps.simIvfServePq(spark, real).collect()
+    val fromDisk = LlmOps.servePqServeOver(spark, real, cbDisk, codesDisk).collect()
+    assert(mem.nonEmpty && key(mem) == key(fromDisk),
+      "persisted-PQ serving diverged from session-state serving")
+  }
+
   test("SQL surface: registered views + js_num answer a query end-to-end") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     graft.analytics.Tables.registerViews(spark, "/root/testdata/sf0.001")
