@@ -1,0 +1,1482 @@
+package graft.analytics
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (dd_*): exact/URL/Jaccard/containment,
+  * MinHash+LSH (8/64/128-perm), SimHash, clusters, passages, lines,
+  * contamination, embedding near-dup. Moved verbatim from LlmOps (round 15). */
+private[analytics] trait DedupOps {
+  this: OpsKernels with TxtOps with SimOps with IngestOps with LlmOracles =>
+
+
+  // ---------------------------------------------------------------- dedup
+
+
+  /** Exact dedup: hash-groupBy on content; emit canonical (min doc_id) per
+    * distinct text + multiplicity. One shuffle on the content hash. */
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+
+  /** N-gram Jaccard near-dup detection, blocked on (lang, length-bucket):
+    * shingle-join within blocks → common counts → |A∩B| / |A∪B|. */
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("ia"), col("ib"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("ia"), col("ib"))
+      .limit(200)
+
+
+  /** DIRECTED CONTAINMENT near-dup detection — the asymmetric companion
+    * to [[ddNgramJaccard]]: C(A→B) = |A∩B| / |A|, the fraction of A's
+    * shingles present in B (Broder's containment, vs resemblance).
+    * Symmetric Jaccard structurally misses subset duplication — a doc
+    * quoted whole inside a much longer one scores |A|/|B| ≈ 0 — and the
+    * jaccard family's (lang, length-bucket) blocking cannot even
+    * CANDIDATE a cross-length pair, so this query builds its own pairs:
+    * lang-blocked only, letting short meet long. What bounds the
+    * self-join without the length block is the [[StopShingleCap]] alone
+    * (fanout ≤ Σ df² with df ≤ cap — the identical argument, minus one
+    * blocking key), so the candidate set stays cap-bounded, never doc².
+    * Cost model, measured at sf2: the synthetic corpus draws from a
+    * CLOSED vocabulary, so typical shingle df grows with corpus size
+    * (~70 at 100k docs) and the Σ df² build genuinely processes ~245M
+    * join rows — DuckDB pays the same ~2 minutes for the oracle, and a
+    * lower cap is NOT a fix (at sf2 even the true subset pairs' shared
+    * shingles sit above df 20, so capping harder EMPTIES the answer —
+    * measured, not guessed). On an open-vocabulary web corpus the df
+    * mass inverts (most shingles near-unique) and the same plan is far
+    * cheaper; the cap is the worst-case guard either way. Prefix
+    * filtering (PPJoin) was evaluated and rejected: on this flat df
+    * distribution the rarest-half prefix still leaves ~105M candidates.
+    * Same kernel-hashed 8-byte join keys; pairs are DIRECTED (a ≠ b,
+    * both orders) because containment is. */
+  def ddContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(spark, dir)
+      .orderBy(col("containment").desc, col("ia"), col("ib"))
+      .limit(200)
+
+
+  // --------------------------------------------------------- URL-stage dedup
+
+
+  /** Synthetic crawl URL for a document, derived IN-QUERY: the driver's
+    * documents schema carries no url column, so the cheapest first gate of
+    * a web-corpus pipeline (RefinedWeb §3.2 and CCNet both dedup by
+    * normalized URL BEFORE any content hash) is rehearsed on a
+    * deterministic URL synthesized from doc_id — one SQL fragment, valid
+    * VERBATIM in both engines (BIGINT-safe integer arithmetic, `||`
+    * concat, and regexes written with `[.]`/`[?]` character classes so no
+    * backslash ever hits the two dialects' different string-literal
+    * escaping). Page identity `pid` is doc_id, except doc_id ≡ 5 (mod 13)
+    * re-crawls its predecessor's page (~7.7% planted duplicates — host and
+    * path derive from pid, so the two fetches share a page); the MESSY
+    * presentation derives from doc_id, so the two fetches of one page
+    * differ in scheme (http/https), `www.` prefix, host case, trailing
+    * slash, `?utm_...` tracking query, and `#fragment` — exactly the noise
+    * URL normalization must erase. Hosts are geometrically hot (host 0
+    * carries ~50% of all URLs via the pid%1024 bucket CASE) so the
+    * per-host census sees a genuinely skewed key. */
+  private[analytics] lazy val urlPidSql = "CASE WHEN doc_id % 13 = 5 THEN doc_id - 1 ELSE doc_id END"
+
+  private[analytics] lazy val urlRawSql: String = {
+    val hid = "(CASE WHEN pid % 1024 < 512 THEN 0 WHEN pid % 1024 < 768 THEN 1" +
+      " WHEN pid % 1024 < 896 THEN 2 WHEN pid % 1024 < 960 THEN 3" +
+      " WHEN pid % 1024 < 992 THEN 4 WHEN pid % 1024 < 1008 THEN 5" +
+      " WHEN pid % 1024 < 1016 THEN 6 WHEN pid % 1024 < 1020 THEN 7" +
+      " WHEN pid % 1024 < 1022 THEN 8 ELSE 9 END)"
+    val host = s"('h' || CAST($hid AS STRING) || '.example.com')"
+    s"(CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END || '://' || " +
+      s"CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END || " +
+      s"CASE WHEN doc_id % 8 = 3 THEN upper($host) ELSE $host END || " +
+      s"'/p/' || CAST(pid AS STRING) || " +
+      s"CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || " +
+      s"CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&ref=rss' ELSE '' END || " +
+      s"CASE WHEN doc_id % 9 = 2 THEN '#top' ELSE '' END)"
+  }
+
+  /** URL NORMALIZATION — the operator under test: lowercase, strip scheme,
+    * `www.`, fragment, query string, trailing slash (in that order; the
+    * fragment strip precedes the query strip because `#...` follows
+    * `?...` in a URL). Anchored single-occurrence patterns, so Spark's
+    * replace-all and DuckDB's replace-first semantics coincide. */
+  private[analytics] lazy val urlNormSql =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "lower(url), '^https?://', ''), '^www[.]', ''), '#.*$', ''), '[?].*$', ''), '/$', '')"
+
+
+  /** Shared derivation: doc_id → (doc_id, url, url_norm). Spec-visible so
+    * the planted twins' RAW urls can be asserted messy. */
+  private[graft] def urlNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"$urlPidSql AS pid")
+      .selectExpr("doc_id", s"$urlRawSql AS url")
+      .selectExpr("doc_id", "url", s"$urlNormSql AS url_norm")
+
+
+  /** URL-STAGE exact dedup — one row per normalized URL with the kept
+    * fetch (min doc_id, crawl-frontier convention) and the duplicate
+    * count. Scale shape: a single hash aggregation keyed by the FULL
+    * normalized URL — near-uniform key (the hot HOST is not a hot URL),
+    * map-side combinable, shuffle bounded by the distinct-URL count; the
+    * per-row derivation is pure codegen'd string/integer work in the scan
+    * projection. This is the gate that runs before any content
+    * fingerprint at 100 TB: it needs no text read at all (a real crawl
+    * would run it on the URL manifest alone). */
+  def ddUrl(spark: SparkSession, dir: String): DataFrame =
+    urlNormalized(spark, dir)
+      .groupBy(col("url_norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .withColumn("n_dropped", col("n_docs") - lit(1L))
+      .orderBy(col("url_norm"))
+
+
+  /** Per-HOST crawl census — the dashboard row a frontier operator reads:
+    * fetches, distinct pages, and re-crawled fetches per normalized host.
+    * The host key is deliberately skewed (host 0 ≈ 50% of fetches); the
+    * distinct count plans as Spark's two-phase expand aggregation —
+    * partial aggregation on (host, url_norm) first — so the hot host
+    * never concentrates raw rows on one reducer. Constant-size output
+    * (10 hosts here; O(hosts) in general). */
+  def ddUrlHosts(spark: SparkSession, dir: String): DataFrame =
+    urlNormalized(spark, dir)
+      .select(split_part(col("url_norm"), lit("/"), lit(1)).as("host"), col("url_norm"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_norm")).as("n_pages"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_pages"))
+      .orderBy(col("host"))
+
+
+  /** The thresholded containment pair table — memoized on the family's
+    * fingerprint spine and prewarmed as explicitly-timed state (see
+    * [[stateBuilders]]), like the jaccard pairs it parallels. */
+  private[analytics] def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    memoRaw(spark, dir, "containment_pairs")(buildContainmentPairs(spark, dir))
+
+
+  private[analytics] def buildContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    // persist the shingle rows: they feed sizes, the rarity filter, and
+    // BOTH sides of the candidate join (4 consumers) — unpersisted, the
+    // kernel chain re-planned and re-ran per consumer (measured 31 s cold
+    // at sf0.1 vs ~4 s with the cache, the same lesson buildJaccardPairs
+    // learned). The pair result is eagerly checkpointed so the cache can
+    // be released before returning — executor storage stays bounded by
+    // the (threshold-filtered, tiny) pair table.
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), explode_outer(shingleHash(col("text"))).as("s"))
+      .filter(col("s").isNotNull)
+      .persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy(col("s"), col("lang"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
+      .select(col("s"), col("lang"))
+    val capped = sh.join(rare, Seq("s", "lang"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("s"))
+      .persist()
+    val a = capped.toDF("ia", "la", "s")
+    val b = capped.toDF("ib", "lb", "s2")
+    // join each unordered pair ONCE (ia < ib) and emit both directions by
+    // projection afterwards: `common` is symmetric, so the =!= formulation
+    // would shuffle and aggregate every shared shingle twice for the same
+    // answer — this halves the heaviest stage
+    val sized = a.join(b,
+        col("s") === col("s2") && col("la") === col("lb") && col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("ia", "na"), "ia")
+      .join(sizes.toDF("ib", "nb"), "ib")
+    val plan = sized
+      .select(col("ia"), col("ib"), (col("common") / col("na")).as("containment"))
+      .union(sized.select(col("ib").as("ia"), col("ia").as("ib"),
+        (col("common") / col("nb")).as("containment")))
+      .filter(col("containment") >= 0.5)
+    // RDD-level checkpoint for the same reason as buildJaccardPairs: the
+    // DataFrame variant derives new child RDDs per access, so no handle
+    // to the persisted RDD would survive for release
+    val rdd = plan.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    trackRdd(rdd)
+    sh.unpersist(blocking = false)
+    capped.unpersist(blocking = false)
+    spark.createDataFrame(rdd, plan.schema)
+  }
+
+
+  /** Stop-shingle cap: a shingle present in more than this many docs of a
+    * block is dropped from the candidate join. The worst-key bound that
+    * keeps the self-join fanout O(cap²) per shingle at any corpus size;
+    * far above anything the test corpora hit, so results are unchanged
+    * there (and the oracle applies the identical cap). */
+  private[analytics] lazy val StopShingleCap = 500
+
+
+  /** All blocked shingle-Jaccard pairs (no threshold/limit) — shared by the
+    * reporting query above, the dedup action, and the clustering query.
+    * Memoized through [[memoRaw]] (fingerprinted like every other index
+    * table, so a regenerated dir rebuilds instead of serving stale pairs):
+    * the three consumers get the SAME frame instance, so the checkpointed
+    * pair table is registered once and released by [[releaseCaches]]. */
+  private[analytics] def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    memoRaw(spark, dir, "jaccard_pairs")(buildJaccardPairs(spark, dir))
+
+
+  /** Note `sizes` counts the FULL shingle set (the Jaccard denominator),
+    * while the join runs on the stop-shingle-capped set. */
+  private[analytics] def buildJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // repartition BEFORE the CPU-heavy tokenize+shingle projection: the
+    // documents table arrives as few parquet splits (one, at test SFs), and
+    // an explode-heavy projection gets no parallelism from AQE — measured
+    // 14s single-task vs <1s spread over the cores. At production scale the
+    // scan has many splits already and this becomes a cheap rebalance that
+    // also evens out skewed document lengths before the quadratic-ish
+    // shingling work.
+    // The tokenize→shingle→hash chain runs as the ShingleHash32 kernel —
+    // ONE JVM loop per document (see its Scaladoc). The equivalent
+    // HOF+md5+hex-parse chain was this pipeline's dominant cost: Spark's
+    // higher-order functions evaluate interpreted, outside whole-stage
+    // codegen, and the measured build time of this persisted table dropped
+    // ~10s → ~2s at sf0.1 when the kernel replaced it. Hash semantics are
+    // unchanged (first 4 md5 bytes of the shingle string), so the DuckDB
+    // oracles are untouched.
+    val dbg = sys.env.contains("GRAFT_CLUSTER_DEBUG")
+    val t0 = System.nanoTime()
+    def lap(tag: String): Unit =
+      if (dbg) println(f"JPBUILD $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("bkt", expr("n_chars div 50"))
+      .withColumn("sharr", shingleHash(col("text")))
+    if (dbg) { docs.count(); lap("scan+repartition+kernel") }
+    // sh is persisted (MEMORY_AND_DISK, spill-safe): it feeds the df-count,
+    // the semi-join probe side, and — via `capped` — both sides of the
+    // candidate join, all inside the ONE checkpoint-materialization job
+    // below, which fills the cache on first compute. No eager count: that
+    // cost a whole extra job, and the worst case without it is a transient
+    // concurrent recompute of the (cheap, kernel-based) projection while
+    // the cache populates.
+    //
+    // explode_OUTER + isNotNull, NOT plain explode: explode makes
+    // InferFiltersFromGenerate add a `size(arr) > 0` filter, and predicate
+    // pushdown drags that filter — with the whole kernel inlined — below
+    // the repartition into the single-split scan task (measured 13s
+    // single-threaded vs 0.3s for the outer variant back when the chain was
+    // declarative; the guard is just as load-bearing for the kernel).
+    // Shingles are joined BY HASH (32-bit, as BIGINT): 8-byte join keys
+    // instead of ~30-byte strings cut shuffle volume and compare cost in
+    // the df-count, semi-join, and candidate self-join. Collisions
+    // (~handful at 2^32 over test corpora) could inflate a `common` count,
+    // but the oracle applies the IDENTICAL hash, so both engines agree —
+    // and hashed shingles are exactly what production near-dup pipelines
+    // join on at scale.
+    val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode_outer(col("sharr")).as("s"))
+      .filter(col("s").isNotNull)
+      .persist()
+    lap("sh persist marked")
+    // Jaccard denominator = per-doc distinct-shingle count — read off the
+    // cached sh rows (one row per distinct shingle), so the kernel never
+    // runs a second time for this branch. Docs with <3 tokens have no sh
+    // rows and drop out, same as before — they can never appear in
+    // `common` anyway.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"))
+    val rare = sh.groupBy(col("s"), col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
+      .select(col("s"), col("lang"), col("bkt"))
+    val capped = sh.join(rare, Seq("s", "lang", "bkt"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("bkt"), col("s"))
+      .persist()
+    val a = capped.toDF("ia", "la", "ba", "s")
+    val b = capped.toDF("ib", "lb", "bb", "s2")
+    val common = a.join(b,
+        col("s") === col("s2") && col("la") === col("lb") && col("ba") === col("bb") && col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
+    // Materialize the pairs TABLE (eager local checkpoint), not just the
+    // shingle inputs: the three consumers (dd_ngram_jaccard, dd_dedup_keep,
+    // dd_cluster) each re-plan whatever tree the memo hands them, and
+    // driver-side planning + janino codegen of the full shingle-join tree
+    // measured ~1.3-3.7s PER CONSUMER — more than the join's execution.
+    // Checkpointed, every consumer plans over a leaf. The pair count is
+    // block-bounded (never doc²), so the checkpoint is small at any scale;
+    // on a real cluster this becomes a reliable checkpoint / staging table
+    // — which is what a production dedup pipeline materializes anyway.
+    // Checkpoint at the RDD level (not DataFrame.localCheckpoint): the
+    // frame returned by the DataFrame variant derives NEW child RDDs on
+    // every .rdd access, so no handle to the actually-persisted RDD
+    // survives for releaseCaches — unpersisting a derived child frees
+    // nothing. Holding the checkpointed RDD itself makes the release real.
+    val jpPlan = common
+      .join(sizes.toDF("ia", "na"), "ia")
+      .join(sizes.toDF("ib", "nb"), "ib")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+    val jpRdd = jpPlan.rdd
+    jpRdd.localCheckpoint()
+    jpRdd.count() // materialize eagerly; lineage truncates here
+    val jp = spark.createDataFrame(jpRdd, jpPlan.schema)
+    lap("pairs checkpointed")
+    trackRdd(jpRdd)
+    // the shingle tables only served the build — free them NOW, not at
+    // session release: executor storage stays bounded by the pair table
+    sh.unpersist(blocking = false)
+    capped.unpersist(blocking = false)
+    jp
+  }
+
+
+  /** The Jaccard-0.8 near-duplicate DROP set (distinct higher doc_id of
+    * each qualifying pair) over the memoized pair table — ONE definition
+    * shared by [[ddDedupKeep]], [[txtCleanCorpus]], and
+    * [[txtCurationFunnel]]; [[nearDropsDuck]] is its mirror. */
+  private[analytics] def nearDropSet(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("ib")).distinct()
+
+
+  /** The dedup ACTION: emit the kept corpus after dropping near-duplicates
+    * (greedy keep-lowest-id: any doc that is the higher id of a pair with
+    * Jaccard >= 0.8 is dropped). Anti-join — no doc² anywhere. */
+  def ddDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val drops = nearDropSet(spark, dir)
+    Tables.documents(spark, dir)
+      .join(drops, col("doc_id") === col("ib"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** QUALITY-RANKED dedup keep — [[ddDedupKeep]] keeps each duplicate
+    * cluster's LOWEST doc_id; a production pipeline keeps its BEST member
+    * (dedup should never discard the clean copy of a page because a
+    * boilerplate-ridden mirror has the smaller id). Cluster membership is
+    * the same connected-components fixpoint as [[ddCluster]] (Jaccard ≥
+    * 0.8 edges); quality is the [[txtClassifier]] linear-head score
+    * (all-BIGINT numerator, one IEEE division — rank order is exact in
+    * both engines); within each cluster the winner is rank 1 by
+    * (score DESC NULLS LAST, doc_id). Scale shape: the cluster LABEL set
+    * is edge-bounded (only near-dup members, a small fraction of a
+    * typical corpus), so the label/loser/winner joins normally broadcast
+    * into the two corpus scans and the full corpus is never shuffled —
+    * the property that makes the min-id [[ddDedupKeep]] scalable, kept
+    * here. The broadcast is NOT hinted, though: "near-dup-membership-
+    * bounded" is data-dependent, not structurally capped like the
+    * centroid/total broadcasts elsewhere, and a duplicate-heavy corpus
+    * (a mirror-farm crawl can be mostly duplicates) would make a forced
+    * broadcast approach corpus size and OOM the driver. AQE sees the
+    * runtime size and picks broadcast when small, shuffle join when
+    * not — degraded to a shuffle, never to a failure. */
+  def ddDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
+      .select(col("ia").as("a"), col("ib").as("b"))
+    val (labels, _) = connectedComponents(spark, edges)
+    val lbl = labels().toDF("doc_id", "cluster_id")
+    val scored = classifierScored(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("score"))
+    val wBest = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc_nulls_last, col("doc_id"))
+    val ranked = scored.join(lbl, Seq("doc_id"))
+      .withColumn("rk", row_number().over(wBest))
+    val losers = ranked.filter(col("rk") > 1).select(col("doc_id"))
+    val winners = ranked.filter(col("rk") === 1).select(col("doc_id"), col("cluster_id"))
+    scored
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(winners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("cluster_id"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** Near-duplicate CLUSTERS: connected components over the Jaccard >= 0.8
+    * edge set (the same edges the dedup action uses), labelled by the
+    * minimum doc_id in each component. Iterative min-label propagation —
+    * each round is one join + one groupBy(min), both shuffle-bounded by the
+    * edge count; rounds = component diameter (near-dup clusters are
+    * pairs/chains of a handful of docs, so 2-3 rounds in practice). The
+    * convergence check is an exact changed-label count, so the result is the
+    * unique fixpoint regardless of round count — which is what makes it
+    * comparable to the oracle's recursive-CTE transitive closure. */
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    val debug = sys.env.contains("GRAFT_CLUSTER_DEBUG")
+    val dbgT = System.nanoTime()
+    val jp = jaccardPairs(spark, dir)
+    if (debug)
+      println(f"CLUSTER jaccardPairs-build ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
+    val edges = jp.filter(col("jaccard") >= 0.8)
+      .select(col("ia").as("a"), col("ib").as("b"))
+    val (labels, _) = connectedComponents(spark, edges)
+    val sizes = labels().toDF("sd", "slbl")
+      .groupBy(col("slbl")).agg(count(lit(1)).as("cluster_size"))
+    val result = labels().join(sizes, col("lbl") === col("slbl"))
+      .select(col("d").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+    if (debug) {
+      val tf = System.nanoTime()
+      result.count()
+      println(f"CLUSTER final-assembly ${(System.nanoTime() - tf) / 1e9}%.2fs")
+    }
+    result
+  }
+
+
+  /** Duplication-structure histogram — the dedup dashboard readout (the
+    * cluster-size distribution papers like Lee et al. 2022 report): one
+    * row per duplicate-cluster size with the cluster and document counts
+    * at that size, INCLUDING the size-1 row for documents in no near-dup
+    * cluster (each its own singleton cluster, keyed by a negative
+    * pseudo-label so it cannot collide with real labels = min doc ids).
+    * Composes [[ddCluster]] verbatim (the census-from-checked-queries
+    * rule); the label frame is near-dup-membership-bounded — small on a
+    * typical corpus, but data-dependent, so the join is left UNHINTED
+    * and AQE broadcasts it only when the runtime size allows (a
+    * duplicate-heavy corpus degrades to a shuffle join instead of a
+    * driver OOM; same reasoning as [[ddDedupKeepBest]]) — and the
+    * histogram is a constant-size aggregate at any corpus size. Every
+    * row satisfies
+    * n_docs = cluster_size · n_clusters by construction — the spec pins
+    * it. */
+  def ddClusterHist(spark: SparkSession, dir: String): DataFrame = {
+    val cl = ddCluster(spark, dir)
+      .select(col("doc_id").as("cd"), col("cluster_id"), col("cluster_size"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(cl, col("doc_id") === col("cd"), "left")
+      .withColumn("sz", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("cl", coalesce(col("cluster_id"), -col("doc_id") - lit(1L)))
+      .groupBy(col("sz"))
+      .agg(countDistinct(col("cl")).as("n_clusters"), count(lit(1)).as("n_docs"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+
+  /** The connected-components engine behind [[ddCluster]], over an
+    * arbitrary undirected (a, b) edge set. Returns a THUNK minting fresh
+    * (d, lbl) label frames (each call re-wraps the checkpointed state with
+    * fresh attribute ids, so one result can appear in a plan several times
+    * without analyzer attribute collisions) plus the ROUND COUNT — exposed
+    * so the depth-stress spec can pin the pointer-doubling invariant:
+    * rounds must stay O(log diameter), the property that makes this safe
+    * on 100 TB graphs whose components may be long chains. */
+  private[graft] def connectedComponents(
+      spark: SparkSession, edges0: DataFrame): (() => DataFrame, Int) = {
+    // Local checkpointing truncates lineage at the materialized edge set:
+    // without it every loop action re-analyzes/optimizes the whole deep
+    // shingle-join plan — measured 20x slower even with the data cached,
+    // because the planning cost (not execution) dominates each round. Same
+    // pattern for the per-round labels, so iteration k plans over a leaf,
+    // not a k-deep union chain. (On a real cluster with executor loss to
+    // worry about, use reliable `checkpoint` to the cluster FS instead —
+    // same lineage-truncation effect.)
+    //
+    // The loop cost is JOB COUNT, not data, so each round runs exactly ONE
+    // job: a foreach over the round's checkpointed state both materializes
+    // it and counts changed labels through an accumulator (convergence is
+    // fused into the materialization instead of being a separate join+count
+    // job). Task retries can only overcount the accumulator, which at worst
+    // schedules one extra no-op round — the fixpoint itself stays exact
+    // because a converged round has zero changed rows to count. The prior
+    // round's checkpoint RDD is unpersisted as soon as its successor is
+    // materialized, so executor storage is bounded by two label tables no
+    // matter how many rounds run.
+    val debug = sys.env.contains("GRAFT_CLUSTER_DEBUG")
+    val dbgT = System.nanoTime()
+
+    // Mark for local checkpoint (lazily — the round-1 job materializes
+    // edges, initial labels, and the round-1 state together).
+    def ckptRdd(df: DataFrame): RDD[Row] = { val r = df.rdd; r.localCheckpoint(); r }
+
+    val edges = edges0.select(col("a"), col("b"))
+    val edgeSchema = edges.schema
+    val edgesRdd = ckptRdd(edges)
+    trackRdd(edgesRdd)
+    if (debug)
+      println(f"CLUSTER edges-planned ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
+    // Every re-wrap of a materialized RDD mints FRESH attribute ids, so one
+    // materialized state can appear several times in a round's plan without
+    // tripping analyzer attribute-rewrite on shared checkpointed leaves.
+    def edgesDf: DataFrame = spark.createDataFrame(edgesRdd, edgeSchema)
+    def sym: DataFrame = edgesDf.unionByName(edgesDf.select(col("b").as("a"), col("a").as("b")))
+
+    // Label state carries (d, lbl, chg); chg only means something after a
+    // round runs, but keeping it in the schema gives every round one RDD
+    // shape to checkpoint and re-wrap.
+    val init = sym.select(col("a").as("d")).distinct()
+      .select(col("d"), col("d").as("lbl"), lit(true).as("chg"))
+    val stateSchema = init.schema
+    var labelsRdd = ckptRdd(init)
+    if (debug)
+      println(f"CLUSTER init-planned ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
+    def labelsDf(n1: String, n2: String): DataFrame =
+      spark.createDataFrame(labelsRdd, stateSchema).select(col("d").as(n1), col("lbl").as(n2))
+
+    def fresh(df: DataFrame, names: String*): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).toDF(names: _*)
+
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      val rt = System.nanoTime()
+      rounds += 1
+      // part 1: min over own + neighbors' labels
+      val viaNeighbor = sym.join(labelsDf("d2", "lbl2"), col("b") === col("d2"))
+        .select(col("a").as("d"), col("lbl2").as("lbl"))
+      val l1 = labelsDf("d", "lbl").unionByName(viaNeighbor)
+        .groupBy(col("d")).agg(min(col("lbl")).as("lbl"))
+      // part 2, same materialization: pointer doubling — follow lbl to ITS
+      // label, so label distance halves each round and convergence is
+      // O(log diameter); plain neighbor-min alone needs diameter-many
+      // rounds. The jump side re-derives l1 via fresh() (2x the tiny agg
+      // instead of an extra checkpoint). A label is always a node id, so
+      // the join is total. The chg flag joins the PREVIOUS state in the
+      // same plan — convergence rides along for free.
+      val next = l1
+        .join(fresh(l1, "jd", "jlbl"), col("lbl") === col("jd"))
+        .select(col("d"), col("jlbl").as("lbl"))
+        .join(labelsDf("d3", "old"), col("d") === col("d3"))
+        .select(col("d"), col("lbl"), (col("lbl") =!= col("old")).as("chg"))
+      val acc = spark.sparkContext.longAccumulator
+      val nextRdd = ckptRdd(next)
+      nextRdd.foreach(r => if (r.getBoolean(2)) acc.add(1))
+      changed = acc.value
+      // deliberate free of a truncated-lineage RDD — suppress the WARN
+      withQuietRddLogger { labelsRdd.unpersist(blocking = false) }
+      labelsRdd = nextRdd
+      if (debug) println(f"CLUSTER round $rounds done ${(System.nanoTime() - rt) / 1e9}%.2fs changed=$changed")
+    }
+    trackRdd(labelsRdd) // final state feeds the caller's lazy result plan
+    (() => labelsDf("d", "lbl"), rounds)
+  }
+
+
+  /** MinHash signatures (k=8 permutations approximated by seeded md5 minima
+    * over the shingle set). The per-doc aggregation is a single map-side
+    * combinable groupBy — scales linearly in total shingle count. */
+  def ddMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    minhashSig(spark, dir).orderBy(col("doc_id"))
+
+
+  /** Unordered minhash signature table — same no-sort-before-checkpoint
+    * reasoning as [[simhashSig]], and since round 10 the same
+    * per-(session, dir) memo: the sig query, the pairs query (which reads
+    * it three times), and any re-run share ONE build, prewarmed by
+    * [[stateBuilders]]. */
+  private[analytics] def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "minhash_sig") { buildMinhashSig(spark, dir) }
+
+
+  private[analytics] def buildMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    // 8 "permutations" from 2 md5 calls via 8-hex slicing (one-hash-many-
+    // slices): each 32-bit slice of a well-mixed digest acts as an
+    // independent hash. 2 digests per shingle instead of 8 — the md5 work
+    // is the dominant cost of the whole minhash pipeline at scale.
+    // repartition + explode_outer: the single-split parallelism fix and the
+    // InferFiltersFromGenerate pushdown fix from jaccardPairs (see there)
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), explode_outer(expr(shinglesSpark)).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("h1", md5(col("s")))
+      .withColumn("h2", md5(concat(lit("x"), col("s"))))
+    val mhs = (0 until 8).map { j =>
+      val (h, off) = if (j < 4) ("h1", j) else ("h2", j - 4)
+      min(substring(col(h), 1 + 8 * off, 8)).as(s"mh$j")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(mhs.head, mhs.tail: _*)
+  }
+
+
+  /** MinHash-LSH candidate pairs: 4 bands × 2 rows; docs sharing any band
+    * bucket become candidates; estimated similarity = matching minhashes / 8.
+    * Banding bounds candidates without any doc² join. */
+  def ddMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // The signature table feeds the band generator AND both sides of the
+    // candidate join — without the shared memo Spark would recompute the
+    // full shingle explode + 8 md5-min aggregations three times. The
+    // memoSig cache (a cache, NOT a localCheckpoint leaf — deliberately:
+    // consumers of a cached tree still run under AQE, which coalesces this
+    // tiny table to one partition and then plans the candidate distinct
+    // WITHOUT its own exchange; over a checkpoint-RDD leaf AQE disengages
+    // and the same distinct pays a full shuffle, measured 1.8s → 6.9s on
+    // dd_simhash_pairs) is materialized eagerly at build time, so parallel
+    // consumers can't race past an unpopulated cache. The jaccard pipeline
+    // makes the opposite call — see buildJaccardPairs, where per-consumer
+    // PLANNING cost dominates.
+    val sig = minhashSig(spark, dir)
+    val bands = sig.selectExpr("doc_id",
+      "stack(4, 0, md5(concat(mh0, mh1)), 1, md5(concat(mh2, mh3)), " +
+        "2, md5(concat(mh4, mh5)), 3, md5(concat(mh6, mh7))) as (band, bh)")
+    val cand = bands.toDF("ia", "band", "bh")
+      .join(bands.toDF("ib", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val est = (0 until 8).map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / 8.0
+    cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
+      .join(sig.as("b"), col("ib") === col("b.doc_id"))
+      .select(col("ia"), col("ib"), est.as("est_sim"))
+      .orderBy(col("est_sim").desc, col("ia"), col("ib"))
+      .limit(200)
+  }
+
+
+  /** Incremental NEAR-dup dedup — [[ddIncremental]]'s contract at MinHash
+    * strength: an arriving batch (doc_id ≥ 250, the fixed split) is probed
+    * against the EXISTING corpus (doc_id < 250) through the production-
+    * width LSH index, and a batch doc is dropped when any corpus doc
+    * estimates ≥ 0.5 Jaccard — continuous-ingestion dedup as crawl
+    * pipelines actually run it (exact fp anti-join catches only verbatim
+    * re-fetches; re-crawls differ by ads/timestamps and need the near-dup
+    * probe). Join is batch-bands → corpus-bands ONLY (never batch×batch —
+    * an arriving batch is deduped against the corpus, internal batch dups
+    * are the next batch's corpus problem), so per batch doc the work is
+    * ≤ bands × bucket-cap candidates regardless of corpus size; the
+    * corpus-side per-(band, bucket) cap is the same monster-cluster guard
+    * as [[ddMinhashWidePairs]], at the 4× width [[IncrementalProbeCap]]
+    * (the capped side is recall-critical here) with the cut surfaced by
+    * [[ddIncrementalCapped]]. Both sides read the ONE memoized
+    * signature table. Emits EVERY arriving doc — the output is the
+    * batch's admission list, so nothing may be silently absent: a doc
+    * with a corpus match carries (match_id, est_sim) and drops at ≥ 0.5;
+    * a sub-3-token doc has no shingles, cannot near-dup, and keeps with
+    * a null match like any other unmatched doc. */
+  def ddIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashWideSig(spark, dir)
+    val half = IncrementalSplit
+    val cb = cappedWideBands(sig.filter(col("doc_id") < half), IncrementalProbeCap)
+    val cand = wideBands(sig.filter(col("doc_id") >= half)).toDF("ia", "band", "bh")
+      .join(cb.toDF("ib", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2"))
+      .select(col("ia"), col("ib")).distinct()
+    val wBest = Window.partitionBy(col("ia")).orderBy(col("est_sim").desc, col("ib"))
+    val best = cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
+      .join(sig.as("b"), col("ib") === col("b.doc_id"))
+      .select(col("ia"), col("ib"), wideEstSim.as("est_sim"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("ia"), col("ib").as("match_id"), col("est_sim"))
+    // verdict base = EVERY arriving doc (conservation: the output is the
+    // batch's admission list, so nothing may be silently absent) — a
+    // sub-3-token doc has no shingles, cannot near-dup, and keeps
+    Tables.documents(spark, dir).filter(col("doc_id") >= half).select(col("doc_id"))
+      .join(best.withColumnRenamed("ia", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id"), col("est_sim"),
+        (col("est_sim").isNull || col("est_sim") < 0.5).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** Production-width MinHash geometry: [[MinhashWidePerms]] permutations
+    * banded as [[MinhashWideBands]] bands × 4 rows — the width real dedup
+    * pipelines run (Lee et al. 2022 use 128+ perms; 64/16×4 is the same
+    * regime, vs the didactic 8/4×2 of [[ddMinhashSig]], which stays as the
+    * cheap twin exactly like 16-bit simhash next to its 60-bit production
+    * twin). 4-row bands put the LSH S-curve threshold at
+    * (1/16)^(1/4) ≈ 0.5 Jaccard — the near-dup operating point — with
+    * far sharper low-similarity suppression than the 2-row didactic bands:
+    * P(candidate) = 1−(1−j⁴)¹⁶ is ~1 above j=0.7 and <3% below j=0.2. */
+  private[analytics] lazy val MinhashWidePerms = 64
+
+  private[analytics] lazy val MinhashWideBands = 16
+
+
+  /** Production-width MinHash signatures — [[MinhashWidePerms]] permutations
+    * from 16 seeded md5 digests per shingle (same one-hash-many-slices
+    * scheme as [[buildMinhashSig]]: each 8-hex slice of a well-mixed digest
+    * is an independent 32-bit hash, so 16 digests yield 64 permutations at
+    * a quarter of the naive md5 count). Same single map-side-combinable
+    * min-aggregation — linear in total shingle count at any corpus size,
+    * 8× the didactic path's hash work, identically shaped. */
+  def ddMinhashWide(spark: SparkSession, dir: String): DataFrame =
+    minhashWideSig(spark, dir).orderBy(col("doc_id"))
+
+
+  /** Unordered wide signature table, memoized + prewarmed like
+    * [[minhashSig]] — the sig query, the wide-pairs query (three reads),
+    * and re-runs share ONE build. */
+  private[analytics] def minhashWideSig(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "minhash_wide_sig") { buildMinhashWideSig(spark, dir) }
+
+
+  private[analytics] def buildMinhashWideSig(spark: SparkSession, dir: String): DataFrame =
+    buildMinhashWideSigN(spark, dir, MinhashWidePerms)
+
+
+  /** The wide-signature build generalized over permutation count —
+    * perms/4 seeded digests ("w<d>:" prefixes keep them independent of
+    * the didactic path's md5(s) / md5('x'||s) family; the 64-perm
+    * signature is by construction the first 64 slices of the 128-perm
+    * one). One map-side-combinable min-aggregation whatever the width. */
+  private[analytics] def buildMinhashWideSigN(spark: SparkSession, dir: String, perms: Int): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), explode_outer(expr(shinglesSpark)).as("s"))
+      .filter(col("s").isNotNull)
+    val hashed = (0 until perms / 4).foldLeft(sh) { (df, d) =>
+      df.withColumn(s"h$d", md5(concat(lit(s"w$d:"), col("s"))))
+    }
+    val mhs = (0 until perms).map { j =>
+      min(substring(col(s"h${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"mh$j")
+    }
+    hashed.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
+  }
+
+
+  /** TRUE-production-width MinHash signatures — 128 permutations (Lee et
+    * al. 2022 run 128+; 64 is the regime's low end) from 32 seeded
+    * digests via the same one-hash-many-slices scheme. Memoized +
+    * prewarmed like the 64-perm table; the banding/pairs surface stays on
+    * the 64-perm geometry (16×4 at the 0.5-Jaccard operating point) —
+    * this table is the signature WIDTH probe the estimator accuracy
+    * story needs (est_sim variance halves at 128 slices). */
+  def ddMinhashWide128(spark: SparkSession, dir: String): DataFrame =
+    minhashWide128Sig(spark, dir).orderBy(col("doc_id"))
+
+
+  private[analytics] def minhashWide128Sig(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "minhash_wide128_sig") { buildMinhashWideSigN(spark, dir, 128) }
+
+
+  /** [[MinhashWideBands]]-band stack over a wide-signature frame →
+    * (doc_id, band, bh). One code site for the band geometry — the pairs
+    * query, the incremental probe, and the DuckDB mirrors
+    * ([[wideBandsDuckBranches]]) must agree on it exactly. */
+  private[analytics] def wideBands(sig: DataFrame): DataFrame = {
+    val stackArgs = (0 until MinhashWideBands).map { bd =>
+      val bh = (0 until 4).map(r => s"mh${4 * bd + r}").mkString("concat(", ", ", ")")
+      s"$bd, md5($bh)"
+    }.mkString(", ")
+    sig.selectExpr("doc_id", s"stack($MinhashWideBands, $stackArgs) as (band, bh)")
+  }
+
+
+  /** [[wideBands]] with a per-(band, bucket) membership cap (keep the
+    * smallest doc_ids, deterministic). Default [[SimhashBucketCap]]; the
+    * incremental probe passes [[IncrementalProbeCap]] — there the capped
+    * side is the recall-critical corpus. */
+  private[analytics] def cappedWideBands(sig: DataFrame, cap: Int = SimhashBucketCap): DataFrame =
+    wideBands(sig)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= cap).drop("rn")
+
+
+  /** Corpus-side bucket cap of the INCREMENTAL near-dup probe — 4× the
+    * pairs-query cap, because here the capped side is the recall-critical
+    * one: evicting an arriving doc's only colliding corpus twin from every
+    * band admits a genuine near-dup as "fresh" (a silent false negative on
+    * the admission list). The probe's work per batch doc stays bounded at
+    * bands × cap regardless of corpus size, and [[ddIncrementalCapped]]
+    * surfaces exactly how much the cap is cutting (the repo's no-silent-
+    * caps rule): zero capped-out rows at the synthetic SFs, nonzero under
+    * a monster exact-dup cluster (LlmOpsSpec plants one). */
+  // lazy: declared ahead of SimhashBucketCap in object-init order
+  private[analytics] lazy val IncrementalProbeCap = 4 * SimhashBucketCap
+
+
+  /** Cap ACCOUNTING for [[ddIncrementalNear]] — one summary row measuring
+    * what the corpus-side bucket cap cut this run: total corpus band rows,
+    * buckets over the cap, and rows capped out (each a potential missed
+    * match). The loss a production pipeline alarms on instead of
+    * discovering at audit time; the oracle pins it to zero on the
+    * synthetic corpora, which is itself the claim worth checking. */
+  def ddIncrementalCapped(spark: SparkSession, dir: String): DataFrame =
+    wideBands(minhashWideSig(spark, dir).filter(col("doc_id") < IncrementalSplit))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("cnt") > IncrementalProbeCap, lit(1L)).otherwise(lit(0L)))
+          .as("n_buckets_capped"),
+        sum(greatest(col("cnt") - IncrementalProbeCap, lit(0L)))
+          .as("n_rows_capped_out"))
+
+
+  /** Row-LOCAL wide signature, for the STREAMING probe: the same 64
+    * min-slices as [[buildMinhashWideSig]] — same "w<d>:" seeded digests,
+    * same 8-hex slicing, min over the same shingle set — computed as
+    * array expressions within each document's own row (a streaming select
+    * cannot run the table aggregation; it doesn't need to, since all of a
+    * doc's shingles live in its row). Appends a `sig` array<string>(64)
+    * column; a doc that cannot shingle gets all-null slices, which
+    * null out its band hashes downstream — the per-row form of "no sig
+    * row, no bands". Each of the 16 digests is computed once per shingle
+    * and sliced four ways (codegen subexpression elimination keeps the
+    * md5 count identical to the batch build). */
+  private[graft] def withWideSigPerRow(df: DataFrame): DataFrame = {
+    val withSh = df.withColumn("toks", expr(toksSpark))
+      .withColumn("sh_", expr(shinglesSpark))
+    val withH = (0 until MinhashWidePerms / 4).foldLeft(withSh) { (d2, dg) =>
+      d2.withColumn(s"h$dg", expr(s"transform(sh_, s -> md5(concat('w$dg:', s)))"))
+    }
+    val sigCols = (0 until MinhashWidePerms).map { j =>
+      expr(s"array_min(transform(h${j / 4}, x -> substr(x, ${1 + 8 * (j % 4)}, 8)))")
+    }
+    withH.withColumn("sig", array(sigCols: _*))
+      .drop(((0 until MinhashWidePerms / 4).map(d => s"h$d") ++ Seq("toks", "sh_")): _*)
+  }
+
+
+  /** Row-local [[MinhashWideBands]]-band stack over a `sig` array column:
+    * array of (band, bh) structs, bh = md5 of the band's four slices —
+    * exactly [[wideBands]]'s hash over the same geometry constants, so
+    * the streaming probe and the batch index agree band for band. */
+  private[graft] def wideBandsPerRow(sig: Column): Column =
+    array((0 until MinhashWideBands).map { bd =>
+      struct(lit(bd).as("band"),
+        md5(concat((0 until 4).map(r => sig.getItem(4 * bd + r)): _*)).as("bh"))
+    }: _*)
+
+
+  /** The STATIC corpus state a streaming near-dup probe joins against —
+    * (ib, band, bh, mh0..mh63): the capped corpus band table
+    * ([[IncrementalProbeCap]], same as the batch probe) carrying the
+    * corpus signature slices, built from the ONE memoized wide-signature
+    * table. Re-read per micro-batch by the stream-static join (the same
+    * refresh-between-restarts contract as the fingerprint state in
+    * [[graft.streaming.EventStream.dedupeAgainstCorpus]]); at production
+    * scale this is the persisted LSH index table. */
+  def nearDupCorpusState(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashWideSig(spark, dir).filter(col("doc_id") < IncrementalSplit)
+    cappedWideBands(sig, IncrementalProbeCap).toDF("ib", "band", "bh")
+      .join(sig.toDF(("ib" +: (0 until MinhashWidePerms).map(j => s"mh$j")): _*), "ib")
+  }
+
+
+  /** est_sim of a streaming candidate row: the row-local `sig` array
+    * against a joined corpus signature's mh columns — [[wideEstSim]]'s
+    * arithmetic (count of matching slices, cast, one division) against
+    * the per-row layout. */
+  private[graft] def wideEstSimPerRow(sig: Column): Column =
+    (0 until MinhashWidePerms)
+      .map(j => when(sig.getItem(j) === col(s"mh$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / MinhashWidePerms.toDouble
+
+
+  /** Matching-slice COUNT for a candidate joined to the signature as
+    * `a`/`b` — the integer numerator of the Jaccard estimate, exposed
+    * separately so the calibration census can aggregate it exactly
+    * (BIGINT sums, no double accumulation). */
+  private[analytics] def wideMatches: Column =
+    (0 until MinhashWidePerms)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+
+  /** est_sim for a candidate joined to the signature as `a`/`b`:
+    * matching slices / [[MinhashWidePerms]]. */
+  private[analytics] def wideEstSim: Column =
+    wideMatches.cast("double") / MinhashWidePerms.toDouble
+
+
+  /** Wide MinHash-LSH candidate pairs: [[MinhashWideBands]] bands × 4 rows;
+    * est_sim = matching minhashes / 64. Same banded no-doc² shape as
+    * [[ddMinhashPairs]], PLUS the per-(band, bucket) membership cap the
+    * simhash paths carry ([[SimhashBucketCap]] — see its Scaladoc for the
+    * identical-signature monster-cluster measurement that motivates it):
+    * candidate volume is bounded by bands × buckets × cap²/2 regardless of
+    * the largest duplicate cluster, which matters MORE here than at 8
+    * perms — identical docs agree on all 64 slices, so a giant exact-dup
+    * cluster lands in one bucket per band. */
+  def ddMinhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashWideSig(spark, dir)
+    val cand = wideBandCandidates(spark, dir).toDF("ia", "ib")
+    cand.join(sig.as("a"), col("ia") === col("a.doc_id"))
+      .join(sig.as("b"), col("ib") === col("b.doc_id"))
+      .select(col("ia"), col("ib"), wideEstSim.as("est_sim"))
+      .orderBy(col("est_sim").desc, col("ia"), col("ib"))
+      .limit(200)
+  }
+
+
+  /** Banding-accuracy census of the production 16×4 LSH geometry — the
+    * MEASURED S-curve a dedup deployment validates its band choice with
+    * (P(candidate | J); Leskovec/Rajaraman/Ullman MMDS ch. 3 give the
+    * theoretical 1−(1−J⁴)¹⁶): exact same-block pairs from the memoized
+    * [[jaccardPairs]] truth, binned by true Jaccard into twentieths via
+    * INTEGER arithmetic (`(20·common) div union` — no float binning to
+    * drift cross-engine), each bin counting its truth pairs and how many
+    * of them [[ddMinhashWidePairs]]' capped banded candidate generation
+    * retrieves; recall is the single int/int IEEE division. The truth
+    * universe is overlap-POSITIVE pairs (≥ 1 shared shingle): zero-overlap
+    * pairs never materialize a pair-table row in either engine, and the
+    * J≈0 end is not what a band geometry is tuned on. Retrieval is
+    * counted at candidate GENERATION (band-bucket collision, before
+    * est_sim verification): candidate recall is the property the band
+    * geometry controls — verification only filters. The census universe
+    * is the blocked truth (same lang, same length bucket); cross-block
+    * banded candidates have no exact Jaccard and are out of scope,
+    * exactly as production measures this curve on a blocked ground-truth
+    * sample.
+    *
+    * Scale shape: truth is the block-bounded checkpointed pair table
+    * (never doc²); the candidate side is the same capped band self-join
+    * the pairs query already bounds (bands × buckets × cap²/2); one
+    * pair-keyed left join between two bounded tables folds to ≤ 21 rows
+    * of (bin, counts) — constant output at any corpus size. */
+  def ddMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardBins(spark, dir)
+    val cand = wideBandCandidates(spark, dir)
+    truth.join(cand, col("ia") === col("ca") && col("ib") === col("cb"), "left")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("ca")).as("n_retrieved"))
+      .withColumn("j_lo_pct", col("bin") * lit(5L))
+      .withColumn("recall", col("n_retrieved") / col("n_pairs"))
+      .select(col("bin"), col("j_lo_pct"), col("n_pairs"), col("n_retrieved"),
+        col("recall"))
+      .orderBy(col("bin"))
+  }
+
+
+  /** MinHash ESTIMATOR calibration census — Broder's unbiasedness theorem
+    * (E[est_sim] = J for min-wise independent permutations) made
+    * measurable on the production signature: over banded candidates that
+    * HAVE blocked exact truth, per true-Jaccard twentieth (the same
+    * integer binning as [[ddMinhashRecall]]): pair count, total matching
+    * slices as a BIGINT sum of the integer est_sim numerators (no double
+    * accumulation to drift with partition order), and the mean estimate
+    * `avg_est = sum_matches / (64·n_pairs)` as ONE int/int IEEE division.
+    * Read against the bin's true-J range [bin/20, (bin+1)/20), this is
+    * the estimator's bias readout — the companion to the recall census:
+    * that one validates the BANDING, this one validates the ESTIMATE the
+    * surviving candidates are verified with. Same bounded join shape
+    * (candidates ∩ truth, both pair-bounded), ≤ 21 output rows. */
+  def ddMinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashWideSig(spark, dir)
+    wideBandCandidates(spark, dir)
+      .join(jaccardBins(spark, dir),
+        col("ia") === col("ca") && col("ib") === col("cb"))
+      .join(sig.as("a"), col("ca") === col("a.doc_id"))
+      .join(sig.as("b"), col("cb") === col("b.doc_id"))
+      .select(col("bin"), wideMatches.as("matches"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("matches")).as("sum_matches"))
+      .withColumn("avg_est",
+        col("sum_matches") / (lit(MinhashWidePerms.toLong) * col("n_pairs")))
+      .orderBy(col("bin"))
+  }
+
+
+  /** Blocked exact-truth pairs with their integer Jaccard twentieth —
+    * `(20·common) div union` on BIGINTs (the no-float-binning rule) —
+    * shared by the recall and calibration censuses. */
+  private[analytics] def jaccardBins(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+      .select(col("ia"), col("ib"),
+        expr("(20 * common) div (na + nb - common)").as("bin"))
+
+
+  /** The banded candidate set (distinct ca &lt; cb band-bucket collisions
+    * over the capped 16×4 bands) — the generation step shared by the
+    * pairs query and both censuses; [[bandCandDuck]]'s Spark twin.
+    * MEMOIZED like the signature table it derives from: all three
+    * consumers re-ran the band stack + capped self-join (~5 s apiece at
+    * sf2), and the distinct pair set is cap-bounded (never doc²) so the
+    * cache is small at any scale — the same shared-state move as
+    * [[bruteTruthTable]]. */
+  private[analytics] def wideBandCandidates(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "band_candidates") {
+      val bands = cappedWideBands(minhashWideSig(spark, dir))
+      bands.toDF("ca", "band", "bh")
+        .join(bands.toDF("cb", "band2", "bh2"),
+          col("band") === col("band2") && col("bh") === col("bh2") && col("ca") < col("cb"))
+        .select(col("ca"), col("cb")).distinct()
+    }
+
+
+  /** 16-bit SimHash over the distinct word set (md5-derived 16-bit token
+    * hashes, per-bit majority vote). */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSig(spark, dir).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
+
+
+  /** The unordered signature table — what the pairs query materializes.
+    * NO orderBy here: a global sort ahead of a checkpoint would run the
+    * whole tokenize pipeline twice (the range partitioner's sampling pass
+    * executes the child once before the real pass), and join consumers
+    * don't care about order. The driver-facing [[ddSimhash]] adds the sort
+    * on top for its deterministic output contract. */
+  /** Deterministic 1/2 content sample: docs whose md5(text) first hex
+    * nibble is even. Content-keyed (not id-keyed) so the sample is stable
+    * under re-ingestion/re-sharding, and expressible verbatim in DuckDB —
+    * the oracle applies the identical predicate, keeping the check exact. */
+  private[analytics] lazy val evenFpSpark =
+    "substr(md5(text), 1, 1) IN ('0','2','4','6','8','a','c','e')"
+
+  /** Memoized per (session, dir, width): ONE signature build serves both
+    * the signature-reporting query and the pairs query of its width (and
+    * is prewarmed by [[stateBuilders]] so neither absorbs the build into
+    * its floor). The 16-bit table carries the [[evenFpSpark]] flag as a
+    * column, so the sampled pairs twin is a FILTER over the shared table
+    * instead of a second tokenize pass. */
+  private[analytics] def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "sig16") {
+      val tok = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("efp", expr(evenFpSpark))
+        .withColumn("toks", expr(toksSpark))
+        .select(col("doc_id"), col("efp"),
+          explode_outer(array_distinct(col("toks"))).as("t"))
+        .filter(col("t").isNotNull)
+        .withColumn("h", expr(hex4("md5(t)")).cast("long"))
+      val bits = (0 until 16).map(i =>
+        sum(expr(s"CASE WHEN (h div ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
+      val bitSums = tok.groupBy(col("doc_id"), col("efp")).agg(bits.head, bits.tail: _*)
+      bitSums.select(col("doc_id"), col("efp"),
+        (0 until 16).map(i => expr(s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"))
+          .reduce(_ + _).cast("long").as("simhash"))
+    }
+
+
+  /** Per-(band, bucket) membership CAP for the simhash LSH paths — the
+    * [[StopShingleCap]] analog: a band bucket contributes at most cap²/2
+    * candidate pairs regardless of corpus size, so total candidate volume
+    * is bounded by buckets × cap²/2 — a CONSTANT per configuration — not
+    * by the square of the largest duplicate cluster. The sf1 rehearsal
+    * measured why this is required: the synthetic corpus's 31-token
+    * vocabulary collapses 24.9k docs to 3.8k distinct 16-bit signatures
+    * (largest identical-signature cluster 2,019 docs ⇒ 2M+ pairs from ONE
+    * bucket; 21.9s). The cap keeps the smallest `SimhashBucketCap` doc_ids
+    * per bucket (deterministic, window row_number, mirrored in the
+    * oracle); monster clusters still surface — their lowest-id members
+    * pair among themselves and fill the top-200 with hamming-0 rows — and
+    * members lost to the cap are same-bucket near-identicals a production
+    * pipeline removes with EXACT dedup upstream of LSH. */
+  private[analytics] lazy val SimhashBucketCap = 64
+
+
+  /** SimHash near-dup PAIRS: banded candidate generation + exact Hamming
+    * verify. The 16-bit simhash splits into four 4-bit bands; two hashes
+    * within Hamming distance 3 differ in at most 3 bands, so they agree
+    * exactly on at least one (pigeonhole) — candidates are pairs sharing
+    * any band value, verified with bit_count(xor) <= 3. Banding bounds the
+    * join fanout the same way MinHash-LSH banding does: no doc² anywhere;
+    * [[SimhashBucketCap]] bounds the per-bucket fanout.
+    *
+    * The 16-bit width is the DIDACTIC twin of [[ddSimhashWidePairs]] (the
+    * production path): with only 64 band buckets its candidate set is
+    * ~50× the wide path's (~3M rows at sf0.1), so the twin runs over the
+    * deterministic 1/2 content sample ([[evenFpSpark]], mirrored verbatim
+    * in the oracle SQL) — candidates quarter while the banding/verify
+    * plan under demonstration stays identical. */
+  def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // the memoized full-corpus table filtered by the precomputed sample
+    // flag — no second tokenize pass for the sampled twin
+    val sig = simhashSig(spark, dir).filter(col("efp"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode_outer(expr("sequence(0, 3)")).as("band"))
+      .filter(col("band").isNotNull)
+      .withColumn("bv", expr("(simhash div CAST(pow(16, band) AS BIGINT)) % 16"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= SimhashBucketCap).drop("rn")
+    val cand = bands.toDF("ia", "ha", "band", "bv")
+      .join(bands.toDF("ib", "hb", "band2", "bv2"),
+        col("band") === col("band2") && col("bv") === col("bv2") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("ha"), col("hb")).distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 3)
+      .select(col("ia"), col("ib"), col("hamming"))
+      .orderBy(col("hamming"), col("ia"), col("ib"))
+      .limit(200)
+  }
+
+
+  /** WIDE SimHash — the production-width configuration PLANS.md promises:
+    * 60 bits (the widest md5 prefix whose arithmetic stays in signed
+    * 64-bit in both engines) instead of 16. Same per-bit majority vote
+    * over the distinct word set. */
+  def ddSimhashWide(spark: SparkSession, dir: String): DataFrame =
+    simhashWideSig(spark, dir).orderBy(col("doc_id"))
+
+
+  private[analytics] def simhashWideSig(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "sig60") {
+      val tok = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", expr(toksSpark))
+        .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
+        .filter(col("t").isNotNull)
+        .withColumn("h", expr(hex15("md5(t)")))
+      // one-pass SimhashAgg kernel (custom TypedImperativeAggregate): walks
+      // the 60 bit counters in a primitive loop per row, replacing the
+      // 60-column declarative sum the DuckDB oracle still runs (identical
+      // sign rule — SimhashAggSpec pins equality against the declarative
+      // form; the 16-bit simhashSig keeps that form as the didactic twin)
+      tok.groupBy(col("doc_id"))
+        .agg(org.apache.spark.sql.graft.SimhashBridge
+          .simhashAgg(col("h"), 60).as("simhash"))
+    }
+
+
+  /** Wide-simhash near-dup pairs: six 10-bit bands (1024 values each) —
+    * hamming ≤ 5 ⇒ at most 5 differing bands ⇒ agreement on at least one
+    * (pigeonhole). Where the 16-bit version has 64 band buckets and ~3M
+    * candidates at sf0.1, the wide bands have 6×1024 buckets and the
+    * candidate set collapses to the near-dup pairs themselves — the
+    * measured form of "widening the hash divides candidate volume". */
+  def ddSimhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashWideSig(spark, dir) // memoized + cached table
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode_outer(expr("sequence(0, 5)")).as("band"))
+      .filter(col("band").isNotNull)
+      .withColumn("bv", expr("(simhash div shiftleft(CAST(1 AS BIGINT), 10 * band)) % 1024"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= SimhashBucketCap).drop("rn")
+    val cand = bands.toDF("ia", "ha", "band", "bv")
+      .join(bands.toDF("ib", "hb", "band2", "bv2"),
+        col("band") === col("band2") && col("bv") === col("bv2") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("ha"), col("hb")).distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 5)
+      .select(col("ia"), col("ib"), col("hamming"))
+      .orderBy(col("hamming"), col("ia"), col("ib"))
+      .limit(200)
+  }
+
+
+  /** Per-label membership CAP for [[ddEmbedTopk]] — the [[SimhashBucketCap]]
+    * treatment applied to the exactness twin's label blocks: with a fixed
+    * label vocabulary, per-label membership grows ~N/|labels| and the
+    * within-label join quadratically (the hot label owned the runtime at
+    * every measured SF: 9.4 s at sf1, 12.1 s at sf2). Labels at or under
+    * the cap keep EXACT all-pairs behavior (at sf0.01 the largest label is
+    * 59 — the cap never binds); above it, the deterministic lowest-id
+    * members represent the label (window row_number, mirrored verbatim in
+    * the oracle), bounding per-label pairs at cap²/2 regardless of N.
+    * Members past the cap are same-label vectors whose near-dups a
+    * production pipeline finds via [[ddEmbedLsh]] — the scale path this
+    * twin is the yardstick for. */
+  private[analytics] lazy val EmbedLabelCap = 1024
+
+
+  /** Embedding near-dup: top-50 most-similar within-label pairs (label is
+    * the blocking key; cosine emitted as explicit per-dim arithmetic;
+    * per-label membership bounded by [[EmbedLabelCap]]). */
+  def ddEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val wLbl = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("lrk", row_number().over(wLbl))
+      .filter(col("lrk") <= EmbedLabelCap)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val a = e.select(col("vec_id").as("ia"), col("label"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("label").as("lb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("label") === col("lb") && col("ia") < col("ib"))
+      .withColumn("cos", dotF(col("ea"), col("eb")) / sqrt(col("na") * col("nb")))
+      .select(col("ia"), col("ib"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("ia"), col("ib"))
+      .limit(50)
+  }
+
+
+  /** Embedding near-dup, LSH-BUCKETED (the scale path for [[ddEmbedTopk]]):
+    * blocks on (label, hyperplane-LSH bucket) instead of label alone, so a
+    * corpus with few/huge labels has no quadratic block — candidate fanout
+    * per label drops ~2^AnnPlanes×, and at production scale the bucket count
+    * grows with the plane count independent of how labels are distributed.
+    * Same deterministic hyperplanes as [[simAnnLsh]]; the label-only query
+    * stays as the exactness twin the recall probe measures against. */
+  def ddEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = annBucketTable(spark, dir)
+      .withColumn("bucket", col("bucket").cast("long"))
+    val a = e.select(col("vec_id").as("ia"), col("label"), col("bucket"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("label").as("lb"), col("bucket").as("bb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("label") === col("lb") && col("bucket") === col("bb") && col("ia") < col("ib"))
+      .withColumn("cos", dotF(col("ea"), col("eb")) / sqrt(col("na") * col("nb")))
+      .select(col("ia"), col("ib"), col("label"), col("bucket"), col("cos"))
+      .orderBy(col("cos").desc, col("ia"), col("ib"))
+      .limit(50)
+  }
+
+
+  /** Cross-document line-level exact dedup (the C4 boilerplate rule:
+    * a line occurring verbatim in more than one document is boilerplate —
+    * navbars, license banners, cookie notices). Emits, per doc, the line
+    * counts and the fingerprint of the text with boilerplate lines removed.
+    * Two shuffles total at any scale: one keyed by line hash (the
+    * boilerplate census, map-side combinable), one keyed by doc_id (the
+    * rebuild); text lines travel the doc-keyed shuffle once. */
+  def ddLines(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode_outer(split(col("text"), "\n")))
+      .withColumn("line", trim(col("col")))
+      .filter(col("line").isNotNull && col("line") =!= "")
+      .select(col("doc_id"), col("pos").as("idx"), col("line"), md5(col("line")).as("fp"))
+    // lines whose hash appears in >1 distinct doc; the distinct-count runs
+    // on (fp, doc_id) partial aggregates, never the line text
+    val dups = lines.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("fp"), lit(true).as("is_dup"))
+    lines.join(dups, Seq("fp"), "left")
+      .withColumn("dup", coalesce(col("is_dup"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("dup"), 1)).as("n_dup_lines"),
+        // kept lines, re-assembled in document order: collect_list skips
+        // the nulls `when` produces for boilerplate lines; the struct sort
+        // on (idx, line) restores order regardless of shuffle arrival
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(!col("dup"), struct(col("idx"), col("line"))))),
+            x => x.getField("line")))).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** Duplicate-passage census — the fixed-window approximation of exact
+    * substring dedup (the suffix-array method of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", recast
+    * for a distributed engine): every 8-token rolling window is
+    * fingerprinted, and windows recurring across documents are surfaced
+    * with their document span. One explode + one fingerprint-keyed
+    * map-side-combinable aggregation; window text never leaves the map
+    * side (only the 16-hex fingerprint shuffles), so shuffle volume is
+    * bounded by token count, not text size. Top-100 keeps the driver
+    * comparison small; production consumers stream the full census into
+    * the cut-list join of a dedup action. */
+  def ddPassages(spark: SparkSession, dir: String): DataFrame =
+    // PassageHash kernel = the declarative HOF chain (tokenize → per-
+    // window md5 prefix), evaluated as one JVM loop per doc — same
+    // interpreted-lambda tax the shingle kernel removes (see
+    // ShingleHash32's Scaladoc); window semantics pinned by PassageHashSpec
+    passageWindows(spark, dir, 8)
+      .groupBy(col("w").as("passage_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("n_hits").desc, col("passage_fp"))
+      .limit(100)
+
+
+  /** Per-document DUPLICATION FRACTION — the doc-level readout of the
+    * passage census (the "fraction of duplicated text" measurement of Lee
+    * et al. 2021 §4, recast per document): for every doc with >= 8 tokens,
+    * the share of its 8-token rolling windows that also occur verbatim in
+    * at least one OTHER document. The standard triage metric between
+    * exact dedup (whole-doc) and the cut-list action: rank docs by
+    * dup_frac, drop or rewrite the worst. Same scale shape as [[ddLines]]:
+    * one fingerprint-keyed census aggregation + one doc-keyed rebuild,
+    * both map-side combinable, and only 16-hex fingerprints ever shuffle. */
+  def ddDupFraction(spark: SparkSession, dir: String): DataFrame = {
+    val w = passageWindows(spark, dir, 8)
+    // windows seen in more than one distinct doc; the distinct-count runs
+    // on (w, doc_id) partial aggregates
+    val dup = w.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("w"), lit(true).as("is_dup"))
+    w.join(dup, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("is_dup"), 1)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows") / col("n_windows")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** PAIR ALIGNMENT — longest shared verbatim passage per near-duplicate
+    * pair: for every Jaccard >= 0.8 pair (the dedup action's edge set), the
+    * maximum run of CONSECUTIVE shared 8-token windows, i.e. the length of
+    * the longest common verbatim span — the measurement behind
+    * substring-cut decisions (drop the doc vs cut the shared span, Lee et
+    * al. 2021's exact-substring action). Classic diagonal run-length
+    * analysis: a match at corpus positions (pa, pb) lies on diagonal
+    * pa-pb; consecutive pa values on one diagonal form a run
+    * (pa - row_number is constant), and max run + 7 converts windows back
+    * to tokens. Scale shape: the pair set is blocking-bounded (never
+    * doc²), the positioned-window table joins it broadcast-style, and the
+    * run window partitions by (pair, diagonal) — no global sort
+    * anywhere. */
+  def ddAlign(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode_outer(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.PassageHash(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 8))))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val pairs = jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("ia"), col("ib"))
+    val wa = w.toDF("ia", "pa", "wa")
+    val wb = w.toDF("ib", "pb", "wb")
+    val matches = pairs.join(wa, Seq("ia")).join(wb,
+      wb("ib") === pairs("ib") && col("wa") === col("wb"))
+      .select(pairs("ia"), pairs("ib"), col("pa"), col("pb"))
+    val runW = Window.partitionBy(col("ia"), col("ib"), col("diag")).orderBy(col("pa"))
+    matches
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("rn", row_number().over(runW))
+      .groupBy(col("ia"), col("ib"), col("diag"), (col("pa") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(max(col("run_len")).as("max_run_windows"))
+      .select(col("ia"), col("ib"), col("max_run_windows"),
+        (col("max_run_windows") + 7).as("max_run_tokens"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+
+  /** Per-doc rolling n-token window fingerprints (PassageHash kernel),
+    * one row per window occurrence — the shared explode under the passage
+    * census, both decontamination variants and both duplication-fraction
+    * metrics. Memoized per (session, dir, n) and cached (same reasoning as the
+    * jaccard-pairs memo: five consumers would otherwise each re-scan the
+    * text and re-run the kernel, and the contamination queries use the
+    * table TWICE in one plan). The cached table is (doc_id, 16-hex)
+    * pairs — bounded by token count, small at any SF; materialized
+    * eagerly so parallel stages of one consuming job can't race past the
+    * unpopulated cache and double-build (the minhash-signature lesson).
+    * Released with everything else by [[releaseCaches]]. */
+  private[analytics] def passageWindows(spark: SparkSession, dir: String, n: Int): DataFrame =
+    memoSig(spark, dir, s"passages_n$n") {
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode_outer(
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            org.apache.spark.sql.graft.PassageHash(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), n))).as("w"))
+        .filter(col("w").isNotNull)
+    }
+
+
+  /** Benchmark DECONTAMINATION — the test-set-overlap check every serious
+    * training run performs (distinct from dedup: the reference set is
+    * held-out eval data, and ANY shared passage taints the doc): docs
+    * whose id ≡ 0 mod 97 stand in for the benchmark suite; every corpus
+    * doc sharing at least one n-token window with any benchmark doc is
+    * flagged with its overlap count. The window width is a parameter; the
+    * DEFAULT matches the cross-engine-verified registry entry (n=4: the
+    * synthetic word-soup corpus has no verbatim 8-gram reuse ACROSS
+    * distinct docs, and a 4-gram window keeps the DuckDB check non-vacuous
+    * — 8/8/727 flagged docs at sf0.001/0.01/0.1 — while exercising the
+    * identical plan; the default-parameter path is therefore never
+    * oracle-unverified). Callers opt into any width; [[ddContamination8]]
+    * is the production-width (8-token) variant whose overlap is real by
+    * construction and which carries its own oracle.
+    * Only 16-hex fingerprints join, and the benchmark side is tiny by
+    * construction (eval suites are), so at scale this is a broadcast
+    * semi-join against the fact scan — the corpus text never shuffles. */
+  def ddContamination(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    val w = passageWindows(spark, dir, n)
+    val bench = w.filter(expr("doc_id % 97 = 0"))
+      .select(col("w").as("bw")).distinct()
+    w.filter(expr("doc_id % 97 != 0"))
+      .join(broadcast(bench), col("w") === col("bw"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("w")).as("n_shared_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** PRODUCTION-WIDTH (8-token) decontamination with an overlap that is
+    * real by construction: the benchmark suite is built from genuine
+    * 20-token excerpts (token positions 5..24) of the docs with
+    * doc_id ≡ 7 mod 89 — the way real eval sets end up contaminated, by
+    * containing verbatim passages that also live in the crawl. Every
+    * corpus doc sharing at least one 8-token window with any excerpt is
+    * flagged (the excerpt sources themselves flag by construction, ≥ 1
+    * per 89 docs at every SF, so the cross-engine check can't go
+    * vacuous). Same scale shape as [[ddContamination]]: the excerpt side
+    * is tiny and broadcast, only 16-hex fingerprints join, the corpus
+    * text never shuffles. */
+  def ddContamination8(spark: SparkSession, dir: String): DataFrame = {
+    val bench = Tables.documents(spark, dir)
+      .filter(expr("doc_id % 89 = 7"))
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("excerpt", expr("array_join(slice(toks, 5, 20), ' ')"))
+      .select(explode_outer(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.PassageHash(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("excerpt")), 8))).as("bw"))
+      .filter(col("bw").isNotNull)
+      .distinct()
+    passageWindows(spark, dir, 8)
+      .join(broadcast(bench), col("w") === col("bw"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("w")).as("n_shared_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** BENCHMARK-side contamination census — [[ddContamination8]] reports
+    * which CORPUS docs share passages with the benchmark; the number a
+    * model card reports is the inverse: per benchmark ITEM, is it leaked
+    * into the training corpus, and what fraction of the suite is
+    * contaminated overall. Same 8-token passage fingerprints, same
+    * excerpt construction (20-token excerpts of docs ≡ 7 mod 89), same
+    * broadcast semi-join direction — the tiny benchmark side broadcasts
+    * onto the one corpus window table; only the final fold points the
+    * other way (groupBy bench item instead of corpus doc). An item is
+    * LEAKED when a corpus doc OTHER than its own excerpt source shares a
+    * window (the source doc matches trivially — that is provenance, not
+    * contamination). Output: one row per benchmark item (items whose
+    * excerpt is too short for any 8-token window stay present with
+    * n_windows = 0), plus a TOTAL row keyed bench_id = -1 carrying the
+    * model-card number — contaminated_frac = leaked items / items, one
+    * int/int IEEE division. Constant-size output (the benchmark is). */
+  def ddContaminationRate(spark: SparkSession, dir: String): DataFrame = {
+    val bw = Tables.documents(spark, dir)
+      .filter(expr("doc_id % 89 = 7"))
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("excerpt", expr("array_join(slice(toks, 5, 20), ' ')"))
+      .select(col("doc_id").as("bench_id"), explode_outer(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.graft.PassageHash(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("excerpt")), 8))).as("bw"))
+      .filter(col("bw").isNotNull)
+      .distinct()
+    val ext = passageWindows(spark, dir, 8)
+      .join(broadcast(bw), col("w") === col("bw"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("bw")).as("n_ext_windows"),
+        countDistinct(col("doc_id")).as("n_ext_docs"))
+      .withColumnRenamed("bench_id", "eb")
+    val wcount = bw.groupBy(col("bench_id"))
+      .agg(countDistinct(col("bw")).as("nw"))
+      .withColumnRenamed("bench_id", "wb")
+    val perItem = Tables.documents(spark, dir)
+      .filter(expr("doc_id % 89 = 7")).select(col("doc_id").as("bench_id"))
+      .join(wcount, col("bench_id") === col("wb"), "left")
+      .join(ext, col("bench_id") === col("eb"), "left")
+      .select(col("bench_id"),
+        coalesce(col("nw"), lit(0L)).as("n_windows"),
+        coalesce(col("n_ext_windows"), lit(0L)).as("n_ext_windows"),
+        coalesce(col("n_ext_docs"), lit(0L)).as("n_ext_docs"))
+      .withColumn("leaked", col("n_ext_windows") > 0)
+    val total = perItem.agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_windows")).as("tw"),
+        sum(col("n_ext_windows")).as("tew"),
+        sum(col("n_ext_docs")).as("ted"),
+        count(when(col("leaked"), 1)).as("n_leaked"))
+      .select(lit(-1L).as("bench_id"), col("tw").as("n_windows"),
+        col("tew").as("n_ext_windows"), col("ted").as("n_ext_docs"),
+        (col("n_leaked") > 0).as("leaked"),
+        (col("n_leaked") / col("n_items")).as("contaminated_frac"))
+    perItem.withColumn("contaminated_frac", lit(null).cast("double"))
+      .unionByName(total)
+      .orderBy(col("bench_id"))
+  }
+}

@@ -1,0 +1,196 @@
+package graft.analytics
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingestion + multimodal operators: incremental dedup state paths,
+  * the quarantine census feed, mm_* metadata/frame queries. Moved verbatim
+  * from LlmOps (round 15). */
+private[analytics] trait IngestOps {
+  this: OpsKernels with TxtOps with DedupOps with SimOps with LlmOracles =>
+
+
+  /** Frame-sampling plumbing over an opaque payload column: one row per
+    * sampled frame (every 256 bytes, max 8 frames/item), with a
+    * deterministic per-frame digest standing in for the decode step (the
+    * real decoder is a Pandas-style batch UDF in [[Multimodal]]; this query
+    * pins the explode/schema/partitioning layer, which is engine-checkable).
+    * Generation via `sequence` keeps the fanout inside codegen — no join. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        explode_outer(expr("sequence(0L, least(n_bytes div 256, 7L))")).as("frame_idx"))
+      .filter(col("frame_idx").isNotNull)
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 256).as("frame_off"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))).as("frame_digest"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+
+  /** Fixed batch/corpus split of the whole incremental-dedup family:
+    * doc_id < split is the already-ingested corpus, the rest the arriving
+    * batch (stable across SFs ≥ 500 docs). ONE site, interpolated into the
+    * Spark filters AND the DuckDB mirrors like the band/cap constants — a
+    * drifted copy on either side would silently break cross-engine parity
+    * until the oracle run caught it. */
+  private[analytics] lazy val IncrementalSplit = 250L
+
+
+  /** Incremental dedup (the ingestion-time shape): treat doc_id < half as
+    * the already-ingested corpus and the rest as the incoming batch; keep
+    * only incoming docs whose content fingerprint is NOT already present.
+    * One anti-join on the content hash — at production scale the "existing"
+    * side is a bucketed fingerprint table, so the anti-join is co-located
+    * and the batch never rescans the corpus text. */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val half = IncrementalSplit
+    val existing = docs.filter(col("doc_id") < half).select(md5(col("text")).as("fp"))
+    docs.filter(col("doc_id") >= half)
+      .withColumn("fp", md5(col("text")))
+      .join(existing, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** Incremental dedup against a BUCKETED fingerprint table — the at-scale
+    * form of [[ddIncremental]], on the driver-checked path (same result,
+    * same oracle). The corpus fingerprint table is materialized ONCE as a
+    * bucketed+sorted saved table (the ingestion-state a production pipeline
+    * keeps between batches — the same state-read-back lifecycle the
+    * reference sink implements, `/root/reference/index.js:109-122`), so the
+    * anti-join reads the corpus side already hash-partitioned on fp: the
+    * ONLY exchange in the join is the small incoming batch shuffling into
+    * the bucket layout. At 100 TB the corpus fingerprints are billions of
+    * rows — never re-shuffling (or re-hashing) them per batch is the entire
+    * point; bucket count scales with the cluster (8 here for sf-test data).
+    * The MERGE hint pins the sort-merge strategy the bucketing serves
+    * (without it the tiny test-SF corpus side would broadcast and the plan
+    * shape under test would vanish). */
+  def ddIncrementalBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val t = fingerprintTable(spark, dir)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") >= IncrementalSplit)
+      .withColumn("fp", md5(col("text")))
+      .join(spark.table(t).hint("merge"), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** Idempotently materialize the existing-corpus fingerprint table
+    * (doc_id < 250, matching [[ddIncremental]]'s split) bucketed+sorted on
+    * fp. The table NAME carries a tag of the source dir, so the dir needs
+    * no side-channel marker and two dirs sharing one warehouse (or one
+    * SharedState serving several sessions) never delete each other's
+    * layout; a stale warehouse directory from a previous JVM (the
+    * in-memory catalog forgets tables across restarts but the files
+    * persist) is deleted before the rewrite. */
+  private[analytics] def fingerprintTable(spark: SparkSession, dir: String): String = synchronized {
+    val t = s"graft_fp_bucketed_${Tables.dirTag(dir)}"
+    if (!spark.catalog.tableExists(t)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .stripPrefix("file:")
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") < IncrementalSplit)
+        .select(md5(col("text")).as("fp"))
+        // single writer task: N input partitions x 8 buckets would commit
+        // up to 8N tiny files for a 250-row state table. At production
+        // scale this repartitions on the bucket key instead, sized so each
+        // task writes one healthy file per bucket.
+        .repartition(1)
+        .write.bucketBy(8, "fp").sortBy("fp").saveAsTable(t)
+    }
+    t
+  }
+
+
+  /** INGESTION-HEALTH census — promotes [[graft.sources.JsonlDocs]]'s
+    * quarantine accounting to the oracle-checked surface: a JSONL feed is
+    * derived in-plan from the documents table with DETERMINISTIC planted
+    * damage (doc_id % 10 = 3 → line truncated INSIDE the first field's
+    * KEY, so the prefix `{"doc` contains no complete field and no parser
+    * version — not even a partial-result parser in the SPARK-33134
+    * lineage — can recover doc_id or text from it; % 10 = 5 → the
+    * required doc_id field absent; % 10 = 7 → the required text field
+    * absent), pushed through the REAL permissive parser (`from_json` over
+    * [[graft.sources.JsonlDocs.schema]]) and the REAL admission/reason
+    * classifiers ingestion uses, then counted per reason. The oracle
+    * recomputes the expected counts from the damage rule alone — so the
+    * hash match asserts the parser + classifier recover exactly the
+    * damage that was planted: torn lines parse to nothing, field-dropped
+    * lines parse but fail admission with the right reason, clean lines
+    * admit. (Implied conservation: the four counts sum to the corpus.)
+    * Per-row work over one scan + a 4-row aggregate — an ingestion-health
+    * dashboard query that stays free at any scale. */
+  /** The deterministic planted-damage JSONL feed behind
+    * [[ingestQuarantine]], exposed so the STREAMING quarantine twin's
+    * spec can replay the identical lines through
+    * [[graft.streaming.EventStream.quarantineCensus]]: one `value` column
+    * of raw lines, damaged by the doc_id % 10 rule above. */
+  private[graft] def plantedDamageLines(spark: SparkSession, dir: String): DataFrame = {
+    val full = "to_json(named_struct('doc_id', doc_id, 'text', text, 'lang', lang, 'source', source))"
+    val noId = "to_json(named_struct('text', text, 'lang', lang, 'source', source))"
+    val noText = "to_json(named_struct('doc_id', doc_id, 'lang', lang, 'source', source))"
+    Tables.documents(spark, dir)
+      .select(
+        // tear point: 5 chars keeps `{"doc` — inside the first KEY, so the
+        // torn classification cannot depend on how much of a VALUE a
+        // future partial-result parser chooses to salvage
+        when(col("doc_id") % 10 === 3, expr(s"substr($full, 1, 5)"))
+          .when(col("doc_id") % 10 === 5, expr(noId))
+          .when(col("doc_id") % 10 === 7, expr(noText))
+          .otherwise(expr(full)).as("value"))
+  }
+
+
+  def ingestQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JsonlDocs
+    plantedDamageLines(spark, dir)
+      .withColumn("j", from_json(col("value"), JsonlDocs.schema))
+      .select(
+        when(JsonlDocs.okCol(col("j")), lit("ok"))
+          .otherwise(JsonlDocs.reasonCol(col("j"))).as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+      .orderBy(col("reason"))
+  }
+
+
+  /** Cross-modal enrichment join: text rows ⋈ their embedding vectors
+    * (doc_id = vec_id), emitting text metadata plus the vector norm via the
+    * codegen'd dot product. The standard shape for joining a text corpus to
+    * a separately-produced embedding table before similarity work. */
+  def mmJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+        dotF(col("embedding"), col("embedding")).as("nrm"))
+      .orderBy(col("doc_id"))
+
+
+  // ------------------------------------------------------------ multimodal
+
+
+  /** Multimodal column plumbing: treat content as opaque binary + typed
+    * metadata (byte length, sha256 digest) — the schema/partitioning layer
+    * under decode UDFs (see [[Multimodal]] for the batch decode path). */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha_hex"),
+        col("source"))
+      .orderBy(col("doc_id"))
+}
