@@ -141,9 +141,11 @@ private[analytics] trait DedupOps {
   /** Per-HOST crawl census — the dashboard row a frontier operator reads:
     * fetches, distinct pages, and re-crawled fetches per normalized host.
     * The host key is deliberately skewed (host 0 ≈ 50% of fetches); the
-    * distinct count plans as Spark's two-phase expand aggregation —
-    * partial aggregation on (host, url_norm) first — so the hot host
-    * never concentrates raw rows on one reducer. Constant-size output
+    * distinct count plans as Spark's TWO-PHASE distinct rewrite — a
+    * partial aggregate keyed (host, url_norm) runs map-side BEFORE the
+    * first exchange, and that exchange partitions on (host, url_norm) —
+    * so the hot host never concentrates raw rows on one reducer
+    * (PlanGuardSpec pins both properties). Constant-size output
     * (10 hosts here; O(hosts) in general). */
   def ddUrlHosts(spark: SparkSession, dir: String): DataFrame =
     urlNormalized(spark, dir)
@@ -1400,17 +1402,26 @@ private[analytics] trait DedupOps {
     * vacuous). Same scale shape as [[ddContamination]]: the excerpt side
     * is tiny and broadcast, only 16-hex fingerprints join, the corpus
     * text never shuffles. */
-  def ddContamination8(spark: SparkSession, dir: String): DataFrame = {
-    val bench = Tables.documents(spark, dir)
+  /** The benchmark suite's excerpt windows — ONE construction (mod-89
+    * items, 20-token excerpts at positions 5..24, 8-token PassageHash
+    * windows) shared by BOTH contamination directions, so the corpus-side
+    * flagging ([[ddContamination8]]) and the item-side rate
+    * ([[ddContaminationRate]]) can never drift apart. Distinct
+    * (bench_id, bw) rows; tiny by construction (eval suites are). */
+  private def benchExcerptWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .filter(expr("doc_id % 89 = 7"))
       .withColumn("toks", expr(toksSpark))
       .withColumn("excerpt", expr("array_join(slice(toks, 5, 20), ' ')"))
-      .select(explode_outer(
+      .select(col("doc_id").as("bench_id"), explode_outer(
         org.apache.spark.sql.graft.ColumnBridge.column(
           org.apache.spark.sql.graft.PassageHash(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("excerpt")), 8))).as("bw"))
       .filter(col("bw").isNotNull)
       .distinct()
+
+  def ddContamination8(spark: SparkSession, dir: String): DataFrame = {
+    val bench = benchExcerptWindows(spark, dir).select(col("bw")).distinct()
     passageWindows(spark, dir, 8)
       .join(broadcast(bench), col("w") === col("bw"))
       .groupBy(col("doc_id"))
@@ -1436,16 +1447,7 @@ private[analytics] trait DedupOps {
     * model-card number — contaminated_frac = leaked items / items, one
     * int/int IEEE division. Constant-size output (the benchmark is). */
   def ddContaminationRate(spark: SparkSession, dir: String): DataFrame = {
-    val bw = Tables.documents(spark, dir)
-      .filter(expr("doc_id % 89 = 7"))
-      .withColumn("toks", expr(toksSpark))
-      .withColumn("excerpt", expr("array_join(slice(toks, 5, 20), ' ')"))
-      .select(col("doc_id").as("bench_id"), explode_outer(
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          org.apache.spark.sql.graft.PassageHash(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("excerpt")), 8))).as("bw"))
-      .filter(col("bw").isNotNull)
-      .distinct()
+    val bw = benchExcerptWindows(spark, dir)
     val ext = passageWindows(spark, dir, 8)
       .join(broadcast(bw), col("w") === col("bw"))
       .filter(col("doc_id") =!= col("bench_id"))
@@ -1474,7 +1476,11 @@ private[analytics] trait DedupOps {
       .select(lit(-1L).as("bench_id"), col("tw").as("n_windows"),
         col("tew").as("n_ext_windows"), col("ted").as("n_ext_docs"),
         (col("n_leaked") > 0).as("leaked"),
-        (col("n_leaked") / col("n_items")).as("contaminated_frac"))
+        // 0/0 guard: a corpus with no benchmark items yields NULL, the
+        // same on both engines (an unguarded int/int 0/0 is NULL in
+        // Spark but NaN/error under DuckDB float division)
+        when(col("n_items") > 0, col("n_leaked") / col("n_items"))
+          .as("contaminated_frac"))
     perItem.withColumn("contaminated_frac", lit(null).cast("double"))
       .unionByName(total)
       .orderBy(col("bench_id"))

@@ -223,6 +223,20 @@ private[analytics] trait LlmOracles {
   /** 64-slice signature-agreement COUNT over `sig` aliases sa/sb — the
     * integer est_sim numerator, exposed separately for the calibration
     * census's exact BIGINT sums ([[wideMatches]]'s mirror). */
+  /** The benchmark excerpt windows keyed by item (bx → bwt CTEs) — the
+    * Duck twin of DedupOps.benchExcerptWindows, shared by BOTH
+    * contamination mirrors so the two directions cannot drift. Expects a
+    * `base` CTE in scope. */
+  private[analytics] def benchWindowsDuck: String =
+    s"""bx AS (
+       |  SELECT doc_id AS bench_id, list_slice(toks, 5, 24) AS et
+       |  FROM base WHERE doc_id % 89 = 7),
+       |bwt AS (
+       |  SELECT DISTINCT bench_id,
+       |    unnest(list_transform(range(1, greatest(len(et) - 7, 0) + 1),
+       |      i -> substr(md5(array_to_string(list_slice(et, i, i + 7), ' ')), 1, 16))) AS bw
+       |  FROM bx)""".stripMargin
+
   private[analytics] def wideMatchesDuck: String =
     s"(${(0 until MinhashWidePerms).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")})"
 
@@ -775,32 +789,23 @@ private[analytics] trait LlmOracles {
          |    unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
          |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 16))) AS w
          |  FROM base),
-         |bx AS (
-         |  SELECT list_slice(toks, 5, 24) AS et FROM base WHERE doc_id % 89 = 7),
-         |bench AS (
-         |  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(et) - 7, 0) + 1),
-         |      i -> substr(md5(array_to_string(list_slice(et, i, i + 7), ' ')), 1, 16))) AS w
-         |  FROM bx)
+         |$benchWindowsDuck,
+         |bench AS (SELECT DISTINCT bw AS w FROM bwt)
          |SELECT doc_id, count(DISTINCT w0.w) AS n_shared_windows
          |FROM w0 JOIN bench ON w0.w = bench.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // benchmark-side fold of the same passage semi-join; total row keyed
-    // bench_id = -1 carries contaminated_frac (int/int division)
+    // bench_id = -1 carries contaminated_frac (int/int division);
+    // bx/bwt = the ONE benchWindowsDuck construction shared with the
+    // dd_contamination8 mirror
     "dd_contamination_rate" ->
       s"""WITH $baseDuck, w0 AS (
          |  SELECT doc_id,
          |    unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
          |      i -> substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 16))) AS w
          |  FROM base),
-         |bx AS (
-         |  SELECT doc_id AS bench_id, list_slice(toks, 5, 24) AS et
-         |  FROM base WHERE doc_id % 89 = 7),
-         |bwt AS (
-         |  SELECT DISTINCT bench_id,
-         |    unnest(list_transform(range(1, greatest(len(et) - 7, 0) + 1),
-         |      i -> substr(md5(array_to_string(list_slice(et, i, i + 7), ' ')), 1, 16))) AS bw
-         |  FROM bx),
+         |$benchWindowsDuck,
          |ext AS (
          |  SELECT bench_id, count(DISTINCT bw) AS n_ext_windows,
          |    count(DISTINCT doc_id) AS n_ext_docs
@@ -821,7 +826,8 @@ private[analytics] trait LlmOracles {
          |SELECT -1, CAST(sum(n_windows) AS BIGINT),
          |  CAST(sum(n_ext_windows) AS BIGINT), CAST(sum(n_ext_docs) AS BIGINT),
          |  count(*) FILTER (WHERE leaked) > 0,
-         |  count(*) FILTER (WHERE leaked) / count(*) FROM per
+         |  CASE WHEN count(*) > 0
+         |    THEN count(*) FILTER (WHERE leaked) / count(*) END FROM per
          |ORDER BY bench_id""".stripMargin,
 
     "dd_passages" ->
@@ -1210,8 +1216,7 @@ private[analytics] trait LlmOracles {
       s"""WITH m AS (
          |  SELECT doc_id, source, lang,
          |    ${hex4("md5(CAST(doc_id AS VARCHAR) || ':' || source)")} / CAST(65536 AS DOUBLE) AS draw,
-         |    CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
-         |      THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END AS rate
+         |    $sourceRateSql AS rate
          |  FROM documents)
          |SELECT doc_id, source, lang, draw, rate
          |FROM m WHERE draw < rate ORDER BY doc_id""".stripMargin,
@@ -1224,8 +1229,7 @@ private[analytics] trait LlmOracles {
          |    CAST(sum(len(toks)) AS BIGINT) AS avail_toks
          |  FROM base GROUP BY source),
          |w AS (
-         |  SELECT *, CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
-         |    THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS weight
+         |  SELECT *, $sourceWeightSql AS weight
          |  FROM persrc),
          |g AS (
          |  SELECT *, $DataBudgetEpochs * CAST(sum(avail_toks) OVER () AS BIGINT) AS budget_toks,

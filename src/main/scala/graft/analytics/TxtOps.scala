@@ -872,16 +872,28 @@ private[analytics] trait TxtOps {
     * partition-independent like [[txtBalance]]; changing a single source's
     * weight re-decides ONLY that source's docs (hash draws are per-doc,
     * not positional). Pure per-row filter — no shuffle before the sort. */
+  /** Source-parity CASE head shared by the mixture rate, the budget
+    * weight, and their Duck mirrors — ONE definition of the even/odd
+    * source convention, so a weight change cannot drift between the four
+    * sites. TRY_CAST (both engines): a source not shaped 'srcN' yields
+    * NULL → NULL%2=0 is NULL → ELSE branch, instead of the
+    * Spark-NULL-vs-DuckDB-error divergence a plain CAST would hide. */
+  private def sourceParityCase(even: String, odd: String): String =
+    s"CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 THEN $even ELSE $odd END"
+  /** Mixture keep-rate: even sources 75%, odd 25%. Explicit DOUBLE: bare
+    * 0.75 parses as DECIMAL in both engines, with different
+    * comparison/hash behavior. */
+  private[analytics] lazy val sourceRateSql =
+    sourceParityCase("CAST(0.75 AS DOUBLE)", "CAST(0.25 AS DOUBLE)")
+  /** Budget weight: the same 75/25 convention as integer weights 3/1. */
+  private[analytics] lazy val sourceWeightSql =
+    sourceParityCase("CAST(3 AS BIGINT)", "CAST(1 AS BIGINT)")
+
   def txtMixture(spark: SparkSession, dir: String): DataFrame = {
     // weight by source parity: even-numbered sources keep 75%, odd 25% —
     // a stand-in for a real mixture table (which would broadcast-join here)
     val draw = s"${hex4("md5(CAST(doc_id AS STRING) || ':' || source)")} / CAST(65536 AS DOUBLE)"
-    // explicit DOUBLE: bare 0.75 parses as DECIMAL in both engines, with
-    // different comparison/hash behavior. TRY_CAST (both engines): a source
-    // not shaped 'srcN' yields NULL → NULL%2=0 is NULL → ELSE branch, instead
-    // of Spark-NULL-vs-DuckDB-error divergence a plain CAST would hide.
-    val rate = "CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 " +
-      "THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END"
+    val rate = sourceRateSql
     Tables.documents(spark, dir)
       .withColumn("draw", expr(draw))
       .withColumn("rate", expr(rate))
@@ -921,9 +933,7 @@ private[analytics] trait TxtOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("avail_toks"))
-      .withColumn("weight", expr(
-        "CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 " +
-          "THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END"))
+      .withColumn("weight", expr(sourceWeightSql))
       .withColumn("budget_toks",
         lit(DataBudgetEpochs) * sum(col("avail_toks")).over(wAll))
       .withColumn("w_total", sum(col("weight")).over(wAll))

@@ -69,6 +69,24 @@ class PlanGuardSpec extends SparkSpec {
       s"cartesian/nested-loop plan outside the allowlist: ${offenders.mkString(", ")}")
   }
 
+  test("the hot-host census pre-aggregates on (host, url_norm) before any exchange") {
+    // dd_url_hosts' scale claim: host 0 carries ~50% of fetches, so the
+    // distinct count must NOT ship raw rows keyed by host — Spark's
+    // two-phase distinct rewrite puts a (host, url_norm)-keyed partial
+    // aggregate map-side and partitions the first exchange on the PAIR.
+    // A regression to a single-stage distinct would reintroduce the skew.
+    val plan = graft.analytics.LlmOps.ddUrlHosts(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // a map-side partial aggregate keyed by the PAIR exists...
+    val pairAgg = raw"HashAggregate\(keys=\[host#\d+, url_norm#\d+\], functions=\[partial_count".r
+    assert(pairAgg.findFirstIn(plan).isDefined,
+      s"no (host, url_norm)-keyed partial aggregate in:\n${plan.take(800)}")
+    // ...and the first exchange partitions on the pair, not on host alone
+    val pairEx = raw"hashpartitioning\(host#\d+, url_norm#\d+".r
+    assert(pairEx.findFirstIn(plan).isDefined,
+      s"no (host, url_norm) exchange in:\n${plan.take(800)}")
+  }
+
   test("the interval join plans as an equi-join on the bucket key, not a nested loop") {
     // the whole point of the week-bucket expansion: the naive range join
     // falls back to BroadcastNestedLoopJoin, which does not survive scale
