@@ -107,7 +107,7 @@ private[analytics] trait DedupOps {
     * fragment strip precedes the query strip because `#...` follows
     * `?...` in a URL). Anchored single-occurrence patterns, so Spark's
     * replace-all and DuckDB's replace-first semantics coincide. */
-  private[analytics] lazy val urlNormSql =
+  private[graft] lazy val urlNormSql =
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       "lower(url), '^https?://', ''), '^www[.]', ''), '#.*$', ''), '[?].*$', ''), '/$', '')"
 

@@ -269,6 +269,29 @@ object EventStream {
       .withColumn("fp", md5(col("text")))
       .join(corpusFps, Seq("fp"), "left_anti")
 
+  /** Streaming URL-GATE twin — the in-stream counterpart of the batch
+    * URL-stage dedup (`LlmOps.ddUrl`), completing the streaming admission
+    * triad (exact fingerprint, near-dup LSH, and now the cheapest gate of
+    * all): each arriving fetch's URL is normalized with the SAME shared
+    * fragment the batch gate uses (`LlmOps.urlNormSql` — scheme, `www.`,
+    * case, query, fragment, trailing slash erased) and LEFT ANTI joined
+    * against the static crawl-frontier state (the normalized URLs already
+    * fetched), so a re-crawl of a known page is refused before its
+    * CONTENT is ever hashed — in a real crawler this runs on the URL
+    * manifest alone, ahead of the fetch itself. Stateless like
+    * [[dedupeAgainstCorpus]]: the frontier re-reads per micro-batch
+    * (refreshable between restarts), no stream state at all; duplicates
+    * WITHIN one micro-batch are the upstream's concern (compose with
+    * [[dedupe]] keyed on url_norm). Input schema (doc_id, url); the
+    * admitted rows keep both plus the normalized key for the write-back
+    * that extends the frontier. */
+  def urlDedupeAgainstFrontier(fetches: DataFrame, frontier: DataFrame): DataFrame = {
+    import graft.analytics.LlmOps
+    fetches
+      .withColumn("url_norm", expr(LlmOps.urlNormSql))
+      .join(frontier, Seq("url_norm"), "left_anti")
+  }
+
   case class NearDupVerdict(doc_id: Long, match_id: Option[Long],
                             est_sim: Option[Double], kept: Boolean)
 

@@ -444,6 +444,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL gate refuses re-crawls of frontier pages, admits new pages, equals the batch anti-join") {
+    // The admission-consistency contract for the URL stage: arriving
+    // fetches, micro-batched, anti-joined per batch against the static
+    // normalized-URL frontier, must admit exactly what the batch
+    // computation over the same split admits. Corpus ids 0..17 hold page
+    // 17; arrival 18 (18 % 13 = 5) re-crawls page 17 with different URL
+    // noise and must be REFUSED; arrivals 20/21 fetch new pages.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("urlstream").toString
+    ((0L to 17L) ++ Seq(18L, 20L, 21L)).map(i => LlmDoc(i, s"doc $i", "en", "s", 6)).toDF()
+      .write.parquet(s"$d/documents.parquet")
+    val all = graft.analytics.LlmOps.urlNormalized(spark, d)
+    val frontier = all.filter($"doc_id" <= 17).select($"url_norm").distinct()
+    val arriving = all.filter($"doc_id" >= 18)
+      .select($"doc_id", $"url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val chunks = Seq(arriving.take(1), arriving.drop(1)) // 18 alone, then 20+21
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.toMemorySink(
+      EventStream.urlDedupeAgainstFrontier(
+        input.toDF().toDF("doc_id", "url"), frontier),
+      "url_gate", OutputMode.Append())
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val got = spark.table("url_gate").collect().map(_.getAs[Long]("doc_id")).toSet
+      val want = all.filter($"doc_id" >= 18)
+        .join(frontier, Seq("url_norm"), "left_anti")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(want == Set(20L, 21L), s"batch twin vacuous or wrong: $want")
+      assert(got == want, s"stream gate admitted $got, batch admits $want")
+    } finally q.stop()
+  }
+
   test("streaming quarantine census equals the oracle-checked batch ingest_quarantine") {
     // The ingestion-health-consistency contract: the same planted-damage
     // JSONL lines, fed as a stream in 4 micro-batches, classified with
