@@ -103,13 +103,19 @@ private[analytics] trait DedupOps {
   }
 
   /** URL NORMALIZATION — the operator under test: lowercase, strip scheme,
-    * `www.`, fragment, query string, trailing slash (in that order; the
-    * fragment strip precedes the query strip because `#...` follows
-    * `?...` in a URL). Anchored single-occurrence patterns, so Spark's
-    * replace-all and DuckDB's replace-first semantics coincide. */
+    * `www.` prefixes, fragment, query string, trailing slashes (in that
+    * order; the fragment strip precedes the query strip because `#...`
+    * follows `?...` in a URL). Anchored single-occurrence patterns, so
+    * Spark's replace-all and DuckDB's replace-first semantics coincide
+    * (`(www[.])+` and `/+` are one anchored MATCH each, greedy in both
+    * RE2-style engines). The repeated forms make normalization
+    * IDEMPOTENT — a host like `www.www.example.com` or a path ending
+    * `//` would otherwise lose one layer per pass, and a frontier built
+    * from re-normalized URLs would drift (PropertySpec pins
+    * norm∘norm = norm over generated messy URLs). */
   private[graft] lazy val urlNormSql =
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-      "lower(url), '^https?://', ''), '^www[.]', ''), '#.*$', ''), '[?].*$', ''), '/$', '')"
+      "lower(url), '^https?://', ''), '^(www[.])+', ''), '#.*$', ''), '[?].*$', ''), '/+$', '')"
 
 
   /** Shared derivation: doc_id → (doc_id, url, url_norm). Spec-visible so

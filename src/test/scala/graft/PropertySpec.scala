@@ -46,6 +46,49 @@ class PropertySpec extends SparkSpec {
     }, min = 500)
   }
 
+  test("property: URL normalization is idempotent and erases exactly the crawl noise") {
+    // norm∘norm = norm over GENERATED messy URLs — including the shapes
+    // that would break a single-strip normalizer: www.www.- hosts (hosts
+    // may themselves start with www) and multi-slash tails. An
+    // un-idempotent normalizer corrupts any frontier that re-normalizes
+    // already-normalized URLs. One Spark job over a ScalaCheck batch.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val seg = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val host = for {
+      www <- Gen.oneOf("", "www.", "www.www.")
+      parts <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n,
+        Gen.chooseNum(1, 8).flatMap(k => Gen.listOfN(k, Gen.alphaLowerChar).map(_.mkString))))
+    } yield www + parts.mkString(".") + ".com"
+    val url = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      h <- host
+      up <- Gen.oneOf(false, true)
+      segs <- Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, seg))
+      tail <- Gen.oneOf("", "/", "//")
+      q <- Gen.oneOf("", "?utm_source=x&a=1", "?q=hello")
+      frag <- Gen.oneOf("", "#top", "#Section-2")
+      hh = if (up) (www + h).toUpperCase else www + h
+    } yield s"$scheme://$hh${(("" +: segs) :+ "").mkString("/").stripSuffix("/")}$tail$q$frag"
+    val urls = Gen.listOfN(300, url).sample.get
+    def norm(df: DataFrame): DataFrame =
+      df.selectExpr(s"${graft.analytics.LlmOps.urlNormSql} AS url")
+    val raw = urls.toDF("url")
+    val once = norm(raw).collect().map(_.getString(0)).toSeq
+    val twice = norm(norm(raw)).collect().map(_.getString(0)).toSeq
+    assert(once == twice, {
+      val bad = once.zip(twice).zip(urls).find { case ((a, b), _) => a != b }
+      s"normalization not idempotent: $bad"
+    })
+    once.zip(urls).foreach { case (u, orig) =>
+      assert(!u.contains("://") && !u.startsWith("www.") && !u.contains("?") &&
+        !u.contains("#") && !u.endsWith("/") && u == u.toLowerCase,
+        s"residual crawl noise in '$u' (from '$orig')")
+    }
+  }
+
   test("property: merge-sort keeps insertion order within same-date ties") {
     import spark.implicits._
     // up to 24 lines over at most 4 distinct dates — ties guaranteed
