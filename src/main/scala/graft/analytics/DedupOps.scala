@@ -144,6 +144,32 @@ private[analytics] trait DedupOps {
       .orderBy(col("url_norm"))
 
 
+  /** INCREMENTAL URL-stage dedup — the batch admission contract sitting
+    * between the corpus-wide gate ([[ddUrl]]) and the per-micro-batch
+    * stream gate (`EventStream.urlDedupeAgainstFrontier`): a re-crawl
+    * BATCH arrives and each fetch is admitted iff its NORMALIZED URL is
+    * not already on the frontier. The batch is every 4th fetch
+    * (doc_id % 4 = 3 — the held-out convention the embedding serve paths
+    * use), chosen over a prefix split deliberately: planted page-pairs
+    * are adjacent ids, so a modular split makes pairs CROSS the
+    * boundary at every SF (ids ≡ 31 and ≡ 43 mod 52 arrive with their
+    * page already fetched) and the anti-join provably refuses fetches —
+    * a prefix split would never collide and the gate would be vacuous.
+    * LEFT ANTI join on the normalized key; at scale the frontier lives
+    * as a bucketed state table exactly like the fingerprint state
+    * ([[IngestOps.ddIncrementalBucketed]]'s layout), where only the
+    * arriving batch shuffles — this query is the admission contract that
+    * layout serves. */
+  def ddUrlIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val n = urlNormalized(spark, dir)
+    val frontier = n.filter(expr("doc_id % 4 <> 3"))
+      .select(col("url_norm")).distinct()
+    n.filter(expr("doc_id % 4 = 3"))
+      .join(frontier, Seq("url_norm"), "left_anti")
+      .select(col("doc_id"), col("url_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-HOST crawl census — the dashboard row a frontier operator reads:
     * fetches, distinct pages, and re-crawled fetches per normalized host.
     * The host key is deliberately skewed (host 0 ≈ 50% of fetches); the

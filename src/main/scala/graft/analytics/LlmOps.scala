@@ -83,6 +83,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_containment" -> ddContainment _,
     "dd_url" -> ddUrl _,
     "dd_url_hosts" -> ddUrlHosts _,
+    "dd_url_incremental" -> ddUrlIncremental _,
     "dd_dedup_keep" -> ddDedupKeep _,
     "dd_dedup_keep_best" -> ddDedupKeepBest _,
     "dd_cluster" -> ddCluster _,

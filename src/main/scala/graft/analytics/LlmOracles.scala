@@ -643,6 +643,15 @@ private[analytics] trait LlmOracles {
          |  CAST(count(*) - count(DISTINCT url_norm) AS BIGINT) AS n_dup_docs
          |FROM n GROUP BY 1 ORDER BY host""".stripMargin,
 
+    // batch admission vs the frontier: mod-4 held-out split so planted
+    // page-pairs cross it (url_norm is never NULL, so NOT IN is exact)
+    "dd_url_incremental" ->
+      s"""WITH $urlNormDuck,
+         |f AS (SELECT DISTINCT url_norm FROM n WHERE doc_id % 4 <> 3)
+         |SELECT doc_id, url_norm FROM n
+         |WHERE doc_id % 4 = 3 AND url_norm NOT IN (SELECT url_norm FROM f)
+         |ORDER BY doc_id""".stripMargin,
+
     "dd_ngram_jaccard" ->
       s"""WITH $baseDuck, $shinglePairsDuck
          |SELECT ia, ib, common / (sa.n + sb.n - common) AS jaccard

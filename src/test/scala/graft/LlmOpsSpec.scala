@@ -1628,6 +1628,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(tot.getAs[Boolean]("leaked") && tot.getAs[Double]("contaminated_frac") == 0.5)
   }
 
+  test("incremental URL gate: cross-split re-crawls refused, fresh pages admitted") {
+    // sf0.001 (ids 0..499): the batch is ids ≡ 3 mod 4 (125 fetches).
+    // A batch fetch is refused in exactly two cross-split shapes:
+    // a ≡ 31 mod 52 (a % 13 = 5 → re-crawls page a-1, fetched by the
+    // frontier doc a-1) and a ≡ 43 mod 52 (page a is also fetched by
+    // frontier doc a+1, since (a+1) % 13 = 5) — 19 refusals, 106 admits.
+    val dir = "/root/testdata/sf0.001"
+    val got = LlmOps.ddUrlIncremental(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val batch = (0L until 500L).filter(_ % 4 == 3).toSet
+    val refused = batch.filter(a => a % 52 == 31 || a % 52 == 43)
+    assert(refused.nonEmpty && refused.size < batch.size, "planted split vacuous")
+    assert(got == batch -- refused,
+      s"refused ${batch -- got}, expected $refused")
+  }
+
   test("data budget planner: over-weighted source must repeat; floor-div conservation holds") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("budget").toString
