@@ -189,6 +189,75 @@ private[analytics] trait DedupOps {
       .orderBy(col("host"))
 
 
+  /** Per-host contribution cap for [[ddHostCap]] — the "max pages per
+    * domain" knob of C4-style corpus curation (Raffel et al. 2020 §2.2
+    * caps; RefinedWeb §3.1 applies per-domain limits against SEO farms).
+    * Small by design: the cap is the point. */
+  private[analytics] lazy val HostCap = 16
+
+
+  /** Per-HOST contribution CAP — keep at most [[HostCap]] fetches per
+    * host (smallest doc_id = earliest-fetch convention), the anti-spam /
+    * anti-SEO-farm gate that runs right after URL dedup in a web-corpus
+    * pipeline. One row per kept fetch plus the per-host census columns.
+    *
+    * Scale shape — this query exists to get the SKEWED cap right: the
+    * host key is deliberately hot (host 0 ≈ 50% of all fetches), and the
+    * textbook `row_number() OVER (PARTITION BY host ...) <= k` would
+    * ship half the corpus's rows to ONE reducer and sort them there just
+    * to throw all but k away. Instead the custom
+    * [[org.apache.spark.sql.graft.TopKMinAgg]] TypedImperativeAggregate
+    * folds rows into an O(k) buffer MAP-SIDE, so the hot host crosses the
+    * exchange as one 17-slot buffer per map partition — per-reducer work
+    * is O(maps × k), independent of host skew (PlanGuardSpec pins the
+    * no-Window, partial-ObjectHashAggregate plan). Output is
+    * O(hosts × k). */
+  def ddHostCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TopKBridge.topkMin
+    urlNormalized(spark, dir)
+      .select(split_part(col("url_norm"), lit("/"), lit(1)).as("host"), col("doc_id"))
+      .groupBy(col("host"))
+      .agg(topkMin(col("doc_id"), HostCap).as("kept"), count(lit(1)).as("n_docs"))
+      .select(col("host"), col("n_docs"),
+        least(col("n_docs"), lit(HostCap.toLong)).as("n_kept"),
+        greatest(col("n_docs") - HostCap, lit(0L)).as("n_dropped"),
+        explode(col("kept")).as("kept_id"))
+      .orderBy(col("host"), col("kept_id"))
+  }
+
+
+  /** Cross-SOURCE near-duplicate overlap matrix — for each unordered
+    * source pair, how many Jaccard-0.2 near-dup pairs straddle it (the
+    * diagonal counts within-source duplication). This is the
+    * cross-dump/cross-source overlap readout a multi-source corpus build
+    * reports before choosing dedup order (CCNet dedups per dump then
+    * across; RefinedWeb §3.2 reports inter-dump duplication) — it prices
+    * what a per-source-only dedup would miss.
+    *
+    * Scale shape: composes the memoized block-bounded pair table (never
+    * doc²), explodes each pair to its two member ids, and resolves both
+    * sources in ONE scan of the (doc_id, source) projection — the pair
+    * side is the small side of that join (AQE broadcasts it; no hint, the
+    * pair count is data-dependent), and the two aggregations after it are
+    * O(pairs) and O(sources²). A naive twin would join documents twice —
+    * the q39 double-scan lesson (PLANS.md) applied at design time. */
+  def ddSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pr = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.2)
+      .select(col("ia"), col("ib"))
+    val sides = pr.select(col("ia"), col("ib"),
+      explode(array(col("ia"), col("ib"))).as("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(sides, "doc_id")
+      .groupBy(col("ia"), col("ib"))
+      .agg(min(when(col("doc_id") === col("ia"), col("source"))).as("source_a"),
+        min(when(col("doc_id") === col("ib"), col("source"))).as("source_b"))
+      .select(least(col("source_a"), col("source_b")).as("src_a"),
+        greatest(col("source_a"), col("source_b")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+
   /** The thresholded containment pair table — memoized on the family's
     * fingerprint spine and prewarmed as explicitly-timed state (see
     * [[stateBuilders]]), like the jaccard pairs it parallels. */

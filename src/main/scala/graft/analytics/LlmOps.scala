@@ -84,6 +84,9 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_url" -> ddUrl _,
     "dd_url_hosts" -> ddUrlHosts _,
     "dd_url_incremental" -> ddUrlIncremental _,
+    "dd_host_cap" -> ddHostCap _,
+    "dd_source_overlap" -> ddSourceOverlap _,
+    "txt_langid_confusion" -> txtLangidConfusion _,
     "dd_dedup_keep" -> ddDedupKeep _,
     "dd_dedup_keep_best" -> ddDedupKeepBest _,
     "dd_cluster" -> ddCluster _,

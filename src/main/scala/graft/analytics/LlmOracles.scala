@@ -41,6 +41,18 @@ private[analytics] trait LlmOracles {
        |n AS (SELECT doc_id, url, $urlNormSql AS url_norm FROM u)""".stripMargin
 
 
+  /** The Duck twin of [[txtLangid]]'s marker-scoring projection — shared
+    * by the per-doc readout and the confusion census. */
+  private[analytics] lazy val langidScoredDuck: String = {
+    val scores = langMarkers.map { case (lang, ws) =>
+      s"CAST(len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n  ")
+    s"""scored AS (
+       |  SELECT doc_id, lang AS lang_label, $scores
+       |  FROM base)""".stripMargin
+  }
+
+
   // ------------------------------------------------------- DuckDB oracles
 
 
@@ -603,17 +615,23 @@ private[analytics] trait LlmOracles {
          |  (n_toks >= 5 AND score >= 1.0) AS keep
          |FROM clf_s ORDER BY doc_id""".stripMargin,
 
-    "txt_langid" -> {
-      val scores = langMarkers.map { case (lang, ws) =>
-        s"CAST(len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS s_$lang"
-      }.mkString(",\n  ")
-      s"""WITH $baseDuck, scored AS (
-         |  SELECT doc_id, lang AS lang_label, $scores
-         |  FROM base)
+    "txt_langid" ->
+      s"""WITH $baseDuck, $langidScoredDuck
          |SELECT doc_id, lang_label, s_en, s_de, s_es, s_fr,
          |  $argmaxCase AS pred_lang
-         |FROM scored ORDER BY doc_id""".stripMargin
-    },
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // row-normalized confusion matrix over the same scored fragment;
+    // sum() over BIGINT yields HUGEINT in DuckDB, hence the CASTs
+    "txt_langid_confusion" ->
+      s"""WITH $baseDuck, $langidScoredDuck,
+         |pred AS (SELECT lang_label, $argmaxCase AS pred_lang FROM scored),
+         |cm AS (SELECT lang_label, pred_lang, count(*) AS n
+         |  FROM pred GROUP BY lang_label, pred_lang)
+         |SELECT lang_label, pred_lang, n,
+         |  CAST(sum(n) OVER (PARTITION BY lang_label) AS BIGINT) AS n_true,
+         |  n / CAST(sum(n) OVER (PARTITION BY lang_label) AS BIGINT) AS frac
+         |FROM cm ORDER BY lang_label, pred_lang""".stripMargin,
 
     "txt_fingerprint" ->
       s"""WITH n AS (
@@ -651,6 +669,34 @@ private[analytics] trait LlmOracles {
          |SELECT doc_id, url_norm FROM n
          |WHERE doc_id % 4 = 3 AND url_norm NOT IN (SELECT url_norm FROM f)
          |ORDER BY doc_id""".stripMargin,
+
+    // per-host cap: the window formulation IS the oracle here — DuckDB
+    // runs single-node where the skewed sort is harmless; the Spark side
+    // under test replaces it with the bounded map-side topk_min aggregate
+    "dd_host_cap" ->
+      s"""WITH $urlNormDuck,
+         |h AS (SELECT doc_id, split_part(url_norm, '/', 1) AS host FROM n),
+         |r AS (SELECT host, doc_id,
+         |    row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY host) AS n_docs
+         |  FROM h)
+         |SELECT host, n_docs, least(n_docs, $HostCap) AS n_kept,
+         |  greatest(n_docs - $HostCap, 0) AS n_dropped, doc_id AS kept_id
+         |FROM r WHERE rk <= $HostCap ORDER BY host, kept_id""".stripMargin,
+
+    "dd_source_overlap" ->
+      s"""WITH $baseDuck, $shinglePairsDuck,
+         |pr AS (
+         |  SELECT ia, ib FROM pairs
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE common / (sa.n + sb.n - common) >= 0.2),
+         |lab AS (
+         |  SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM pr JOIN documents da ON pr.ia = da.doc_id
+         |  JOIN documents db ON pr.ib = db.doc_id)
+         |SELECT src_a, src_b, count(*) AS n_pairs
+         |FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
 
     "dd_ngram_jaccard" ->
       s"""WITH $baseDuck, $shinglePairsDuck

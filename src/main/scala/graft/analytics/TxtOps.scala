@@ -177,6 +177,26 @@ private[analytics] trait TxtOps {
   }
 
 
+  /** Language-ID CONFUSION census — the acceptance readout for
+    * [[txtLangid]], row-normalized against the corpus's ground-truth
+    * `lang` label: one row per (true, predicted) cell with the count, the
+    * true-language total, and the row fraction (the diagonal cell's
+    * `frac` IS per-language recall). The classifier has no `zh` marker
+    * list, so the zh row exposes exactly where its mass lands — the same
+    * calibration-census pattern as dd_minhash_recall for banding. Scale
+    * shape: the marker scoring is scan-side projection work, the
+    * confusion fold is one map-side-combinable aggregation to O(langs²)
+    * rows, and the window total runs over that constant-size frame. */
+  def txtLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang_label"))
+    txtLangid(spark, dir)
+      .groupBy(col("lang_label"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .withColumn("n_true", sum(col("n")).over(w))
+      .withColumn("frac", col("n") / col("n_true"))
+      .orderBy(col("lang_label"), col("pred_lang"))
+  }
+
+
   private[analytics] lazy val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a"),
     "de" -> Seq("der", "und", "die", "das", "ist"),

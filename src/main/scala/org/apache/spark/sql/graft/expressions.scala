@@ -368,6 +368,103 @@ object SimhashBridge {
       SimhashAgg(ExpressionUtils.expression(child), bits).toAggregateExpression())
 }
 
+/** BOUNDED smallest-K aggregate — the skew-safe way to cap a group's
+  * membership (`topk_min(doc_id, k)` → the k smallest values, ascending).
+  *
+  * The declarative alternative — `row_number() OVER (PARTITION BY key
+  * ORDER BY v) <= k` — materializes and SORTS every group in full on one
+  * reducer before discarding all but k rows; under a skewed key (the
+  * per-host crawl cap in [[graft.analytics.LlmOps.ddHostCap]], where one
+  * host carries ~50% of all fetches) that is a single-task sort of half
+  * the corpus. As a TypedImperativeAggregate this instead partial-
+  * aggregates map-side: every map task folds its rows into an O(k) buffer,
+  * so the hot key crosses the exchange as one k-slot buffer PER MAP
+  * PARTITION rather than as its raw rows, and the reduce side merges
+  * bounded buffers. Memory is O(k) per open group regardless of group
+  * size; no sort anywhere (insertion into a k-slot sorted array, k small).
+  *
+  * Buffer layout: `k+1` longs — slot 0 is the live count n, slots 1..n the
+  * current smallest values ascending. */
+case class TopKMinAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes {
+  require(k >= 1 && k <= (1 << 16), "topk_min cap must be 1..65536 (O(k) buffer per group)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_min"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](k + 1)
+
+  private def insert(buf: Array[Long], v: Long): Unit = {
+    val n = buf(0).toInt
+    if (n == k && v >= buf(k)) return // full and not smaller than the current max
+    var pos = n
+    while (pos >= 1 && buf(pos) > v) pos -= 1 // first slot from the right with buf(pos) <= v
+    val end = if (n == k) k else n + 1 // when full, the old max at slot k falls off
+    var i = end
+    while (i > pos + 1) { buf(i) = buf(i - 1); i -= 1 }
+    buf(pos + 1) = v
+    if (n < k) buf(0) = n + 1
+  }
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val nb = b(0).toInt
+    var j = 1
+    while (j <= nb) { insert(a, b(j)); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOfRange(buf, 1, buf(0).toInt + 1))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val n = buf(0).toInt
+    val bb = java.nio.ByteBuffer.allocate(8 * (n + 1))
+    var i = 0
+    while (i <= n) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getLong.toInt
+    val buf = new Array[Long](k + 1)
+    buf(0) = n
+    var i = 1
+    while (i <= n) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKMinAgg =
+    copy(child = newChildren.head)
+}
+
+/** Column-level entry for [[TopKMinAgg]]. */
+object TopKBridge {
+  def topkMin(child: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKMinAgg(ExpressionUtils.expression(child), k).toAggregateExpression())
+}
+
 /** Column-level access to Spark's own bloom-filter expressions
   * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
   * / [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]).
@@ -488,6 +585,9 @@ object GraftFunctions {
     // in AggregateExpression, same as the built-in sum/min registrations
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg", exprs => SimhashAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_min", exprs => TopKMinAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

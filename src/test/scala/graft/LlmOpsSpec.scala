@@ -1704,4 +1704,60 @@ class LlmOpsSpec extends SparkSpec {
     assert(hosts.forall(r =>
       r.getAs[Long]("n_docs") == r.getAs[Long]("n_pages") + r.getAs[Long]("n_dup_docs")))
   }
+
+  test("host cap keeps exactly the 16 earliest fetches per host; small hosts keep all") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("hostcap").toString
+    // 1024 docs cover the full pid%1024 host ramp: host 0 gets ~half the
+    // fetches (the cap must bite), the tail hosts get fewer than 16 (the
+    // cap must NOT bite)
+    (0L until 1024L).map(i => Doc(i, s"doc $i", "en", "s", 6)).toDF()
+      .write.parquet(s"$d/documents.parquet")
+    val byHost = LlmOps.urlNormalized(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("url_norm").split('/')(0)))
+      .groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).sorted }
+    val gotByHost = LlmOps.ddHostCap(spark, d).collect()
+      .groupBy(_.getAs[String]("host"))
+    assert(gotByHost.keySet == byHost.keySet)
+    // both regimes are actually present in the plant
+    assert(byHost.values.exists(_.size > 16) && byHost.values.exists(_.size < 16))
+    for ((h, all) <- byHost) {
+      val rows = gotByHost(h).sortBy(_.getAs[Long]("kept_id"))
+      assert(rows.map(_.getAs[Long]("kept_id")).toSeq == all.take(16).toSeq,
+        s"host $h kept set differs")
+      assert(rows.forall(_.getAs[Long]("n_docs") == all.size))
+      assert(rows.forall(_.getAs[Long]("n_kept") == math.min(all.size, 16)))
+      assert(rows.forall(_.getAs[Long]("n_dropped") == math.max(all.size - 16, 0)))
+    }
+    assert(byHost.values.map(_.size).sum == 1024)
+  }
+
+  test("source overlap matrix counts near-dup pairs by unordered source pair") {
+    // shared corpus: docs 0 (s0), 1 (s1) identical; 2 (s2) near-dups both;
+    // 3 (s3) unrelated; 4 (s4) different lang — three cross-source pairs,
+    // each straddling a distinct source pair
+    val got = LlmOps.ddSourceOverlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(got == Map(("s0", "s1") -> 1L, ("s0", "s2") -> 1L, ("s1", "s2") -> 1L))
+  }
+
+  test("langid confusion matrix row-normalizes against the ground-truth label") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("langconf").toString
+    Seq(
+      Doc(0, "the and of maple", "en", "s", 16),  // correct en
+      Doc(1, "the the the maple", "de", "s", 17), // de mislabeled as en
+      Doc(2, "der und die maple", "de", "s", 17), // correct de
+      Doc(3, "el la de que maple", "es", "s", 18), // correct es ("de" also scores de-lang 0)
+      Doc(4, "ni hao ma maple", "zh", "s", 15))   // no markers: argmax tie -> en
+      .toDF().write.parquet(s"$d/documents.parquet")
+    val got = LlmOps.txtLangidConfusion(spark, d).collect()
+      .map(r => (r.getAs[String]("lang_label"), r.getAs[String]("pred_lang")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_true"), r.getAs[Double]("frac")))).toMap
+    assert(got == Map(
+      ("de", "de") -> ((1L, 2L, 0.5)), ("de", "en") -> ((1L, 2L, 0.5)),
+      ("en", "en") -> ((1L, 1L, 1.0)), ("es", "es") -> ((1L, 1L, 1.0)),
+      ("zh", "en") -> ((1L, 1L, 1.0))))
+  }
 }

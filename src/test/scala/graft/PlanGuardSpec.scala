@@ -87,6 +87,21 @@ class PlanGuardSpec extends SparkSpec {
       s"no (host, url_norm) exchange in:\n${plan.take(800)}")
   }
 
+  test("the host cap plans as a bounded map-side top-k aggregate, not a window sort") {
+    // dd_host_cap's scale claim: under the ~50%-mass hot host, a
+    // row_number() window would sort half the corpus on one reducer; the
+    // TopKMinAgg formulation must instead show a map-side partial
+    // aggregate (O(k) buffer per map task) and no Window anywhere.
+    val plan = graft.analytics.LlmOps.ddHostCap(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"host cap regressed to a window formulation:\n${plan.take(600)}")
+    assert(plan.contains("partial_topk_min"),
+      s"no map-side partial topk_min in:\n${plan.take(600)}")
+    assert(plan.contains("ObjectHashAggregate"),
+      "expected the TypedImperativeAggregate ObjectHashAggregate path")
+  }
+
   test("the interval join plans as an equi-join on the bucket key, not a nested loop") {
     // the whole point of the week-bucket expansion: the naive range join
     // falls back to BroadcastNestedLoopJoin, which does not survive scale
