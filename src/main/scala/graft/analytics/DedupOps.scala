@@ -112,10 +112,20 @@ private[analytics] trait DedupOps {
     * IDEMPOTENT — a host like `www.www.example.com` or a path ending
     * `//` would otherwise lose one layer per pass, and a frontier built
     * from re-normalized URLs would drift (PropertySpec pins
-    * norm∘norm = norm over generated messy URLs). */
+    * norm∘norm = norm over generated messy URLs). The idempotency
+    * contract assumes SCHEME-FIRST input — any URL a fetcher actually
+    * dereferences; a pathological `www.http://x.com` (scheme hidden
+    * behind a www label) still loses a layer per pass, by design. */
   private[graft] lazy val urlNormSql =
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       "lower(url), '^https?://', ''), '^(www[.])+', ''), '#.*$', ''), '[?].*$', ''), '/+$', '')"
+
+
+  /** Host extraction over the normalized URL — ONE fragment shared
+    * verbatim by both engines and every host-keyed query (the census
+    * [[ddUrlHosts]], the cap [[ddHostCap]], and their DuckDB oracles), so
+    * the host-key definition cannot silently fork across the four sites. */
+  private[analytics] lazy val hostOfSql = "split_part(url_norm, '/', 1)"
 
 
   /** Shared derivation: doc_id → (doc_id, url, url_norm). Spec-visible so
@@ -155,17 +165,21 @@ private[analytics] trait DedupOps {
     * boundary at every SF (ids ≡ 31 and ≡ 43 mod 52 arrive with their
     * page already fetched) and the anti-join provably refuses fetches —
     * a prefix split would never collide and the gate would be vacuous.
-    * LEFT ANTI join on the normalized key; at scale the frontier lives
+    * At deployment the contract IS a left-anti join: the frontier lives
     * as a bucketed state table exactly like the fingerprint state
     * ([[IngestOps.ddIncrementalBucketed]]'s layout), where only the
-    * arriving batch shuffles — this query is the admission contract that
-    * layout serves. */
+    * arriving batch shuffles. HERE both sides derive from the same
+    * documents scan, so an anti-join would read the parquet twice — the
+    * q39 double-scan lesson (PLANS.md) folds it to ONE scan: a window
+    * over the shared key counts frontier fetches per normalized URL, and
+    * a batch fetch is admitted iff that count is zero. Same admission
+    * set, one scan, one exchange. */
   def ddUrlIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val n = urlNormalized(spark, dir)
-    val frontier = n.filter(expr("doc_id % 4 <> 3"))
-      .select(col("url_norm")).distinct()
-    n.filter(expr("doc_id % 4 = 3"))
-      .join(frontier, Seq("url_norm"), "left_anti")
+    val w = Window.partitionBy(col("url_norm"))
+    urlNormalized(spark, dir)
+      .withColumn("n_frontier",
+        sum(when(expr("doc_id % 4 <> 3"), 1L).otherwise(0L)).over(w))
+      .filter(expr("doc_id % 4 = 3") && col("n_frontier") === 0L)
       .select(col("doc_id"), col("url_norm"))
       .orderBy(col("doc_id"))
   }
@@ -181,7 +195,7 @@ private[analytics] trait DedupOps {
     * (10 hosts here; O(hosts) in general). */
   def ddUrlHosts(spark: SparkSession, dir: String): DataFrame =
     urlNormalized(spark, dir)
-      .select(split_part(col("url_norm"), lit("/"), lit(1)).as("host"), col("url_norm"))
+      .select(expr(hostOfSql).as("host"), col("url_norm"))
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url_norm")).as("n_pages"))
@@ -215,7 +229,7 @@ private[analytics] trait DedupOps {
   def ddHostCap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.TopKBridge.topkMin
     urlNormalized(spark, dir)
-      .select(split_part(col("url_norm"), lit("/"), lit(1)).as("host"), col("doc_id"))
+      .select(expr(hostOfSql).as("host"), col("doc_id"))
       .groupBy(col("host"))
       .agg(topkMin(col("doc_id"), HostCap).as("kept"), count(lit(1)).as("n_docs"))
       .select(col("host"), col("n_docs"),

@@ -656,7 +656,7 @@ private[analytics] trait LlmOracles {
 
     "dd_url_hosts" ->
       s"""WITH $urlNormDuck
-         |SELECT split_part(url_norm, '/', 1) AS host,
+         |SELECT $hostOfSql AS host,
          |  count(*) AS n_docs, count(DISTINCT url_norm) AS n_pages,
          |  CAST(count(*) - count(DISTINCT url_norm) AS BIGINT) AS n_dup_docs
          |FROM n GROUP BY 1 ORDER BY host""".stripMargin,
@@ -675,7 +675,7 @@ private[analytics] trait LlmOracles {
     // under test replaces it with the bounded map-side topk_min aggregate
     "dd_host_cap" ->
       s"""WITH $urlNormDuck,
-         |h AS (SELECT doc_id, split_part(url_norm, '/', 1) AS host FROM n),
+         |h AS (SELECT doc_id, $hostOfSql AS host FROM n),
          |r AS (SELECT host, doc_id,
          |    row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk,
          |    count(*) OVER (PARTITION BY host) AS n_docs

@@ -87,6 +87,19 @@ class PlanGuardSpec extends SparkSpec {
       s"no (host, url_norm) exchange in:\n${plan.take(800)}")
   }
 
+  test("the incremental URL gate reads the documents table exactly once") {
+    // frontier and batch both derive from the same scan, so the anti-join
+    // formulation would read the parquet TWICE (the q39 double-scan
+    // lesson); the frontier-membership window must fold it to one scan
+    // and plan no join at all
+    val plan = graft.analytics.LlmOps.ddUrlIncremental(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one documents scan, saw $scans:\n${plan.take(800)}")
+    assert(!plan.contains("Join"),
+      s"unexpected join in the single-scan gate:\n${plan.take(600)}")
+  }
+
   test("the host cap plans as a bounded map-side top-k aggregate, not a window sort") {
     // dd_host_cap's scale claim: under the ~50%-mass hot host, a
     // row_number() window would sort half the corpus on one reducer; the

@@ -51,7 +51,10 @@ class PropertySpec extends SparkSpec {
     // that would break a single-strip normalizer: www.www.- hosts (hosts
     // may themselves start with www) and multi-slash tails. An
     // un-idempotent normalizer corrupts any frontier that re-normalizes
-    // already-normalized URLs. One Spark job over a ScalaCheck batch.
+    // already-normalized URLs. The generator deliberately stays
+    // SCHEME-FIRST (every URL a fetcher actually dereferences); the
+    // pathological www.http://x.com shape is outside the contract — see
+    // urlNormSql's scaladoc. One Spark job over a ScalaCheck batch.
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
     val seg = Gen.chooseNum(1, 6).flatMap(n =>
