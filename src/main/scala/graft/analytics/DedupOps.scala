@@ -125,7 +125,7 @@ private[analytics] trait DedupOps {
     * verbatim by both engines and every host-keyed query (the census
     * [[ddUrlHosts]], the cap [[ddHostCap]], and their DuckDB oracles), so
     * the host-key definition cannot silently fork across the four sites. */
-  private[analytics] lazy val hostOfSql = "split_part(url_norm, '/', 1)"
+  private[graft] lazy val hostOfSql = "split_part(url_norm, '/', 1)"
 
 
   /** Shared derivation: doc_id → (doc_id, url, url_norm). Spec-visible so
@@ -207,7 +207,7 @@ private[analytics] trait DedupOps {
     * domain" knob of C4-style corpus curation (Raffel et al. 2020 §2.2
     * caps; RefinedWeb §3.1 applies per-domain limits against SEO farms).
     * Small by design: the cap is the point. */
-  private[analytics] lazy val HostCap = 16
+  private[graft] lazy val HostCap = 16
 
 
   /** Per-HOST contribution CAP — keep at most [[HostCap]] fetches per
@@ -269,6 +269,73 @@ private[analytics] trait DedupOps {
         greatest(col("source_a"), col("source_b")).as("src_b"))
       .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+
+  /** CRAWL-ADMISSION FUNNEL — per-stage loss accounting for the
+    * pre-content gates, [[TxtOps.txtCurationFunnel]]'s twin on the crawl
+    * side (CCNet/RefinedWeb report exactly this table: how much of the
+    * fetch volume each gate removes before any quality model runs):
+    * fetched → URL dedup → host cap → exact dedup → near dedup, one row
+    * per stage with survivors, drops, and the kept fraction of the raw
+    * crawl. Gate definitions are the oracle-checked family conventions,
+    * composed as FLAGS (each gate is defined globally and stable, so the
+    * funnel is a read-out, not a re-derivation — the curation funnel's
+    * convention): URL-kept = min doc_id per normalized URL ([[ddUrl]]),
+    * host-kept = the [[HostCap]] smallest URL-KEPT ids per host (the
+    * funnel caps PAGES post-URL-dedup; standalone [[ddHostCap]] caps raw
+    * fetches — both real knobs, documented apart), exact-kept =
+    * [[TxtOps.exactKeepFlag]]'s min-id-per-md5 group, near-drops =
+    * [[nearDropSet]]'s Jaccard-0.8 set.
+    *
+    * Scale shape: ONE documents scan carries both per-row windows (f_u
+    * on the near-uniform url_norm key, f_x on the md5-text key — the q39
+    * window-over-the-same-scan shape); the host-kept side is a second
+    * lineage but prunes to the doc_id column alone (every URL column is
+    * doc_id-derived) and folds through the bounded map-side
+    * [[org.apache.spark.sql.graft.TopKMinAgg]] to O(hosts × cap) rows
+    * that ride an AQE-sized equi-join back (no data-dependent broadcast
+    * hint); near-drops come from the memoized pair table. The stage fold
+    * is txtCurationFunnel's single-aggregation + stack — no collect, no
+    * per-stage jobs. */
+  def ddCrawlFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TopKBridge.topkMin
+    val hostKept = urlNormalized(spark, dir)
+      .groupBy(col("url_norm")).agg(min(col("doc_id")).as("doc_id"))
+      .select(expr(hostOfSql).as("host"), col("doc_id"))
+      .groupBy(col("host")).agg(topkMin(col("doc_id"), HostCap).as("kept"))
+      .select(explode(col("kept")).as("doc_id"), lit(1L).as("f_h"))
+    val flagged = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text", s"$urlPidSql AS pid")
+      .selectExpr("doc_id", "text", s"$urlRawSql AS url")
+      .selectExpr("doc_id", "text", s"$urlNormSql AS url_norm")
+      .withColumn("f_u", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("url_norm"))))
+      .withColumn("f_x", exactKeepFlag)
+    val counts = flagged
+      .join(hostKept, Seq("doc_id"), "left")
+      .join(nearDropSet(spark, dir).withColumn("f_n", lit(1L)),
+        col("doc_id") === col("ib"), "left")
+      .agg(
+        count(lit(1)).as("n0"),
+        count(when(col("f_u"), 1)).as("n1"),
+        count(when(col("f_u") && col("f_h").isNotNull, 1)).as("n2"),
+        count(when(col("f_u") && col("f_h").isNotNull && col("f_x"), 1)).as("n3"),
+        count(when(col("f_u") && col("f_h").isNotNull && col("f_x") &&
+          col("f_n").isNull, 1)).as("n4"))
+    counts.select(
+      expr("""stack(5,
+        0L, 'fetched',     n0, n0,
+        1L, 'url_dedup',   n0, n1,
+        2L, 'host_cap',    n1, n2,
+        3L, 'exact_dedup', n2, n3,
+        4L, 'near_dedup',  n3, n4) AS (stage_id, stage, n_in, n_kept)"""),
+      col("n0"))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+      .withColumn("kept_frac", col("n_kept") / col("n0"))
+      .select(col("stage_id"), col("stage"), col("n_in"), col("n_kept"),
+        col("n_dropped"), col("kept_frac"))
+      .orderBy(col("stage_id"))
   }
 
 

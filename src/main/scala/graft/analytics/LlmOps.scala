@@ -86,7 +86,10 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_url_incremental" -> ddUrlIncremental _,
     "dd_host_cap" -> ddHostCap _,
     "dd_source_overlap" -> ddSourceOverlap _,
+    "dd_crawl_funnel" -> ddCrawlFunnel _,
     "txt_langid_confusion" -> txtLangidConfusion _,
+    "txt_pii" -> txtPii _,
+    "txt_pii_census" -> txtPiiCensus _,
     "dd_dedup_keep" -> ddDedupKeep _,
     "dd_dedup_keep_best" -> ddDedupKeepBest _,
     "dd_cluster" -> ddCluster _,

@@ -53,6 +53,27 @@ private[analytics] trait LlmOracles {
   }
 
 
+  /** The Duck twin of [[TxtOps.piiScored]] — contact-enriched text
+    * ([[piiRawSql]] verbatim), per-category match counts, and the
+    * order-chained redaction. Patterns come from the SAME [[piiRes]]
+    * constants the Spark side uses (backslash-free, so DuckDB's RE2 and
+    * Java regex compile identically); DuckDB needs the explicit 'g' flag
+    * where Spark's regexp_replace is always global. */
+  private[analytics] lazy val piiScoredDuck: String = {
+    val counts = piiRes.map { case (cat, re) =>
+      s"CAST(len(regexp_extract_all(raw, '$re')) AS BIGINT) AS n_${cat}s"
+    }.mkString(",\n  ")
+    val clean = piiRes.foldLeft("raw") { case (e, (cat, re)) =>
+      s"regexp_replace($e, '$re', '<$cat>', 'g')"
+    }
+    s"""p AS (SELECT doc_id, source, $piiRawSql AS raw FROM documents),
+       |s AS (SELECT doc_id, source, raw,
+       |  $counts,
+       |  $clean AS clean
+       |  FROM p)""".stripMargin
+  }
+
+
   // ------------------------------------------------------- DuckDB oracles
 
 
@@ -633,6 +654,25 @@ private[analytics] trait LlmOracles {
          |  n / CAST(sum(n) OVER (PARTITION BY lang_label) AS BIGINT) AS frac
          |FROM cm ORDER BY lang_label, pred_lang""".stripMargin,
 
+    "txt_pii" ->
+      s"""WITH $piiScoredDuck
+         |SELECT doc_id, n_urls, n_emails, n_phones, n_ips,
+         |  md5(clean) AS clean_fp,
+         |  CAST(length(raw) - length(clean) AS BIGINT) AS chars_redacted
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "txt_pii_census" ->
+      s"""WITH $piiScoredDuck
+         |SELECT coalesce(source, '*') AS source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE n_urls + n_emails + n_phones + n_ips > 0) AS BIGINT) AS n_docs_pii,
+         |  CAST(sum(n_urls) AS BIGINT) AS n_urls,
+         |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+         |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
+         |  count(*) FILTER (WHERE n_urls + n_emails + n_phones + n_ips > 0) / count(*) AS pii_doc_frac
+         |FROM s GROUP BY ROLLUP(source) ORDER BY source""".stripMargin,
+
     "txt_fingerprint" ->
       s"""WITH n AS (
          |  SELECT doc_id,
@@ -683,6 +723,44 @@ private[analytics] trait LlmOracles {
          |SELECT host, n_docs, least(n_docs, $HostCap) AS n_kept,
          |  greatest(n_docs - $HostCap, 0) AS n_dropped, doc_id AS kept_id
          |FROM r WHERE rk <= $HostCap ORDER BY host, kept_id""".stripMargin,
+
+    // staged admission funnel: flags mirror the family conventions
+    // (min-id URL keep, row_number host cap over URL-kept pages, min-id
+    // exact keep, Jaccard-0.8 near drops), folded once, 5 UNION'd rows
+    "dd_crawl_funnel" ->
+      s"""WITH $baseDuck, $urlNormDuck,
+         |uk AS (SELECT min(doc_id) AS doc_id, url_norm FROM n GROUP BY url_norm),
+         |hk AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY $hostOfSql ORDER BY doc_id) AS rk
+         |    FROM uk) WHERE rk <= $HostCap),
+         |$exactKeepDuck,
+         |$shinglePairsDuck,
+         |$nearDropsDuck,
+         |flags AS (
+         |  SELECT d.doc_id,
+         |    (uk.doc_id IS NOT NULL) AS f_u,
+         |    (hk.doc_id IS NOT NULL) AS f_h,
+         |    (ex.keep_id IS NOT NULL) AS f_x,
+         |    (dr.ib IS NOT NULL) AS f_n
+         |  FROM documents d
+         |  LEFT JOIN uk ON uk.doc_id = d.doc_id
+         |  LEFT JOIN hk ON hk.doc_id = d.doc_id
+         |  LEFT JOIN ex ON ex.keep_id = d.doc_id
+         |  LEFT JOIN drops dr ON dr.ib = d.doc_id),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(count(*) FILTER (WHERE f_u) AS BIGINT) AS n1,
+         |    CAST(count(*) FILTER (WHERE f_u AND f_h) AS BIGINT) AS n2,
+         |    CAST(count(*) FILTER (WHERE f_u AND f_h AND f_x) AS BIGINT) AS n3,
+         |    CAST(count(*) FILTER (WHERE f_u AND f_h AND f_x AND NOT f_n) AS BIGINT) AS n4
+         |  FROM flags)
+         |SELECT CAST(0 AS BIGINT) AS stage_id, 'fetched' AS stage,
+         |  n0 AS n_in, n0 AS n_kept, n0 - n0 AS n_dropped, n0 / n0 AS kept_frac FROM c
+         |UNION ALL SELECT 1, 'url_dedup',   n0, n1, n0 - n1, n1 / n0 FROM c
+         |UNION ALL SELECT 2, 'host_cap',    n1, n2, n1 - n2, n2 / n0 FROM c
+         |UNION ALL SELECT 3, 'exact_dedup', n2, n3, n2 - n3, n3 / n0 FROM c
+         |UNION ALL SELECT 4, 'near_dedup',  n3, n4, n3 - n4, n4 / n0 FROM c
+         |ORDER BY stage_id""".stripMargin,
 
     "dd_source_overlap" ->
       s"""WITH $baseDuck, $shinglePairsDuck,

@@ -837,6 +837,93 @@ private[analytics] trait TxtOps {
   }
 
 
+  /** Synthetic CONTACT-BLOCK enrichment — the PII family's input
+    * derivation, the [[DedupOps.urlRawSql]] convention applied to text:
+    * the driver corpus carries no PII-shaped string at all (verified:
+    * zero matches for all four scrub patterns at every SF), so
+    * detection/redaction queries over raw text would gate nothing.
+    * Deterministic contact fragments derive from doc_id — an e-mail
+    * (every 3rd doc), a phone number (every 5th), an IPv4 (every 7th),
+    * a URL (every 11th); the mods overlap, so docs carry 0..4 plants.
+    * ONE fragment shared VERBATIM by both engines: pure concatenation,
+    * no regexes, no backslashes. */
+  private[analytics] lazy val piiRawSql =
+    "(text" +
+      " || CASE WHEN doc_id % 3 = 1 THEN (' contact user' || CAST(doc_id AS STRING) ||" +
+      " '@mail' || CAST(doc_id % 7 AS STRING) || '.example.com') ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 2 THEN (' call 415-555-' ||" +
+      " substr(CAST(10000 + doc_id % 10000 AS STRING), 2, 4)) ELSE '' END" +
+      " || CASE WHEN doc_id % 7 = 3 THEN (' host 10.' || CAST(doc_id % 256 AS STRING) ||" +
+      " '.0.' || CAST(doc_id % 100 AS STRING)) ELSE '' END" +
+      " || CASE WHEN doc_id % 11 = 4 THEN (' see https://www.ref' ||" +
+      " CAST(doc_id % 50 AS STRING) || '.example.org/faq') ELSE '' END)"
+
+  /** The four PII patterns, ordered for redaction (URLs first, so
+    * addresses inside them are already gone). Backslash-free on purpose —
+    * the SAME Scala constant is injected into Spark's Column-API regex
+    * argument (Java regex, taken raw) and into the DuckDB oracle's
+    * single-quoted literal (RE2): with no backslash and no escape-bearing
+    * construct, the two engines compile the identical pattern, and
+    * neither engine's string-literal escaping can bite ([[piiIpRe]] uses
+    * `[.]` classes for that reason, like urlNormSql). */
+  private[analytics] lazy val piiRes: Seq[(String, String)] = Seq(
+    "url" -> "https?://[^ ]+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+",
+    "phone" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ip" -> "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}")
+
+  /** Per-doc PII detection over the enriched text: match counts per
+    * category (on the RAW enriched text — counts are independent of
+    * redaction order) plus source, shared by the per-doc readout and the
+    * census. Pure per-row scan work, codegen'd regexp_count. */
+  private[analytics] def piiScored(spark: SparkSession, dir: String): DataFrame = {
+    val scored = piiRes.foldLeft(
+      Tables.documents(spark, dir)
+        .selectExpr("doc_id", "source", s"$piiRawSql AS raw")) {
+      case (df, (cat, re)) =>
+        df.withColumn(s"n_${cat}s", regexp_count(col("raw"), lit(re)).cast("long"))
+    }
+    val clean = piiRes.foldLeft(col("raw")) { case (c, (cat, re)) =>
+      regexp_replace(c, re, s"<$cat>")
+    }
+    scored.withColumn("clean", clean)
+  }
+
+  /** PII DETECTION + REDACTION readout — the per-doc stage of the
+    * RefinedWeb/CCNet-style PII pass over the contact-enriched corpus
+    * ([[piiRawSql]]): per doc, how many URLs/e-mails/phones/IPv4s were
+    * found, the redacted-text fingerprint, and how many characters
+    * redaction removed. Differs from [[txtScrub]] (raw corpus, char
+    * deltas per rule) in running over text that provably CONTAINS PII at
+    * every SF — the detection path is exercised, not vacuously green.
+    * Linear per-row work; no shuffle before the final sort. */
+  def txtPii(spark: SparkSession, dir: String): DataFrame =
+    piiScored(spark, dir)
+      .select(col("doc_id"), col("n_urls"), col("n_emails"), col("n_phones"),
+        col("n_ips"), md5(col("clean")).as("clean_fp"),
+        (length(col("raw")) - length(col("clean"))).cast("long").as("chars_redacted"))
+      .orderBy(col("doc_id"))
+
+  /** PII CENSUS — the per-source roll-up a model card reports: documents
+    * scanned, documents carrying any PII, per-category match totals, and
+    * the PII-document fraction, with a '*' all-sources total row
+    * (rollup). O(sources) output; one map-side-combinable aggregation
+    * over the scan-side scoring — the census costs one pass. */
+  def txtPiiCensus(spark: SparkSession, dir: String): DataFrame =
+    piiScored(spark, dir)
+      .withColumn("has_pii",
+        col("n_urls") + col("n_emails") + col("n_phones") + col("n_ips") > 0)
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("has_pii"), 1)).as("n_docs_pii"),
+        sum(col("n_urls")).as("n_urls"), sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"), sum(col("n_ips")).as("n_ips"))
+      .select(coalesce(col("source"), lit("*")).as("source"), col("n_docs"),
+        col("n_docs_pii"), col("n_urls"), col("n_emails"), col("n_phones"),
+        col("n_ips"), (col("n_docs_pii") / col("n_docs")).as("pii_doc_frac"))
+      .orderBy(col("source"))
+
+
   /** Deterministic training-shard assignment — the EXPORT stage: every doc
     * lands in one of 16 shards by md5(doc_id), independent of partitioning,
     * cluster size, or row order, so re-running the pipeline anywhere yields

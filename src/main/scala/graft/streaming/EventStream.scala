@@ -382,4 +382,51 @@ object EventStream {
         .otherwise(JsonlDocs.reasonCol(col("j"))).as("reason"))
       .groupBy(col("reason")).agg(count(lit(1)).as("n"))
   }
+
+  case class HostCapVerdict(doc_id: Long, host: String, admitted: Boolean, host_admitted: Long)
+
+  /** Streaming per-HOST admission QUOTA — the streaming twin of the batch
+    * cap `LlmOps.ddHostCap` and the only admission stage that genuinely
+    * needs CROSS-BATCH state: the URL gate, quarantine census, and
+    * near-dup probe are all stateless against re-read static state, but
+    * "at most [[graft.analytics.LlmOps.HostCap]] fetches per host" must
+    * remember how many a host has already spent across every micro-batch
+    * of the crawl. State is ONE long per host (O(hosts), bounded by the
+    * host universe, never by fetch volume); per micro-batch each host's
+    * arrivals are folded in fetch order (doc_id — the crawl sequence) so
+    * the quota spends deterministically, and the per-batch sort is
+    * bounded by that host's share of the micro-batch, never the corpus.
+    *
+    * Parity contract: when fetches arrive in doc_id order (chronological
+    * replay — each doc_id arriving once), the admitted set equals the
+    * batch cap's kept set EXACTLY, however the stream is micro-batched:
+    * the batch keeps the k smallest doc_ids per host, and an in-order
+    * quota admits precisely those. EventStreamSpec pins it against the
+    * oracle-checked dd_host_cap on the same corpus, with a host whose
+    * quota exhausts in an EARLY micro-batch and must refuse in later
+    * ones (the cross-batch property the stateless gates cannot express).
+    * Input schema (doc_id, url) — the URL-manifest shape
+    * [[urlDedupeAgainstFrontier]] uses; compose after that gate so
+    * re-crawls never spend quota. */
+  def hostCapAdmission(fetches: DataFrame, cap: Int): Dataset[HostCapVerdict] = {
+    import fetches.sparkSession.implicits._
+    import graft.analytics.LlmOps
+    fetches
+      .withColumn("url_norm", expr(LlmOps.urlNormSql))
+      .select(col("doc_id"), expr(LlmOps.hostOfSql).as("host"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, HostCapVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var spent = state.getOption.getOrElse(0L)
+          val out = rows.map(_._1).toArray.sorted.map { id =>
+            val admit = spent < cap
+            if (admit) spent += 1
+            HostCapVerdict(id, host, admit, spent)
+          }
+          state.update(spent)
+          out.iterator
+      }
+  }
 }

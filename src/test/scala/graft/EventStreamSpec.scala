@@ -477,6 +477,54 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-host quota admits exactly the batch host cap's kept set, refusing across micro-batches") {
+    // The quota-consistency contract, and the one admission stage needing
+    // CROSS-BATCH state: fetches replayed in crawl (doc_id) order over 4
+    // micro-batches must admit exactly the batch dd_host_cap kept set —
+    // including a hot host whose 16-fetch quota exhausts in the FIRST
+    // micro-batch and must still be refused in every later one (state the
+    // stateless anti-join gates cannot express). 256 docs: pid%1024<512
+    // puts every pid in host 0's bucket... use 1024 docs for a full ramp
+    // so small hosts (never capped) ride along as the control group.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("hostquota").toString
+    (0L until 1024L).map(i => LlmDoc(i, s"doc $i", "en", "s", 6)).toDF()
+      .write.parquet(s"$d/documents.parquet")
+    val arriving = graft.analytics.LlmOps.urlNormalized(spark, d)
+      .select($"doc_id", $"url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val chunks = arriving.grouped(256).toSeq // host 0 saturates inside chunk 1
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.toMemorySink(
+      EventStream.hostCapAdmission(input.toDF().toDF("doc_id", "url"),
+        graft.analytics.LlmOps.HostCap).toDF(),
+      "host_quota", OutputMode.Append())
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val verdicts = spark.table("host_quota").collect()
+      assert(verdicts.length == 1024, "one verdict per fetch")
+      val admitted = verdicts.filter(_.getAs[Boolean]("admitted"))
+        .map(_.getAs[Long]("doc_id")).toSet
+      val want = graft.analytics.LlmOps.ddHostCap(spark, d).collect()
+        .map(_.getAs[Long]("kept_id")).toSet
+      assert(admitted == want,
+        s"quota diverges from batch cap: extra=${admitted -- want} missing=${want -- admitted}")
+      // the cross-batch property: host 0's quota exhausts in chunk 1
+      // (first 256 crawl-ordered fetches hold ≥16 host-0 fetches), so
+      // every later host-0 arrival is refused — and some exist
+      val host0Later = verdicts.filter(r => r.getAs[String]("host").startsWith("h0.") &&
+        r.getAs[Long]("doc_id") >= 256)
+      assert(host0Later.nonEmpty && host0Later.forall(!_.getAs[Boolean]("admitted")),
+        "no cross-batch refusal exercised for the hot host")
+      // quota conservation: per host, admitted count == min(fetches, cap)
+      val byHost = verdicts.groupBy(_.getAs[String]("host"))
+      for ((h, vs) <- byHost) {
+        val adm = vs.count(_.getAs[Boolean]("admitted"))
+        assert(adm == math.min(vs.length, 16), s"host $h spent $adm of ${vs.length}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming quarantine census equals the oracle-checked batch ingest_quarantine") {
     // The ingestion-health-consistency contract: the same planted-damage
     // JSONL lines, fed as a stream in 4 micro-batches, classified with

@@ -1742,6 +1742,87 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(("s0", "s1") -> 1L, ("s0", "s2") -> 1L, ("s1", "s2") -> 1L))
   }
 
+  test("PII detection counts each planted contact shape; redaction removes every matched char") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("pii").toString
+    // ids chosen to hit each plant channel alone and in combination:
+    // 0 none, 1 email, 2 phone, 3 ip, 4 email+url (4%3=1 AND 4%11=4),
+    // 7 email+phone (7%3=1 AND 7%5=2)
+    Seq(0L, 1L, 2L, 3L, 4L, 7L).map(i => Doc(i, s"plain words $i", "en", if (i < 2) "a" else "b", 13))
+      .toDF().write.parquet(s"$d/documents.parquet")
+    val got = LlmOps.txtPii(spark, d).collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_urls"), r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+        r.getAs[Long]("n_ips"), r.getAs[Long]("chars_redacted")))).toMap
+    val want = Map( // (n_urls, n_emails, n_phones, n_ips)
+      0L -> ((0L, 0L, 0L, 0L)), 1L -> ((0L, 1L, 0L, 0L)), 2L -> ((0L, 0L, 1L, 0L)),
+      3L -> ((0L, 0L, 0L, 1L)), 4L -> ((1L, 1L, 0L, 0L)), 7L -> ((0L, 1L, 1L, 0L)))
+    for ((id, (u, e, p, ip)) <- want) {
+      val (gu, ge, gp, gip, delta) = got(id)
+      assert((gu, ge, gp, gip) == ((u, e, p, ip)), s"doc $id counts")
+      // redaction shrinks text exactly when something matched
+      assert((delta > 0) == (u + e + p + ip > 0), s"doc $id delta=$delta")
+    }
+  }
+
+  test("PII census rolls up per source with an all-sources total row") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("piicensus").toString
+    Seq(0L, 1L, 2L, 3L, 4L, 7L).map(i => Doc(i, s"plain words $i", "en", if (i < 2) "a" else "b", 13))
+      .toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtPiiCensus(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == Set("a", "b", "*"))
+    val (a, b, t) = (rows("a"), rows("b"), rows("*"))
+    assert(a.getAs[Long]("n_docs") == 2 && a.getAs[Long]("n_docs_pii") == 1 &&
+      a.getAs[Long]("n_emails") == 1 && a.getAs[Double]("pii_doc_frac") == 0.5)
+    assert(b.getAs[Long]("n_docs") == 4 && b.getAs[Long]("n_docs_pii") == 4 &&
+      b.getAs[Long]("n_urls") == 1 && b.getAs[Long]("n_emails") == 2 &&
+      b.getAs[Long]("n_phones") == 2 && b.getAs[Long]("n_ips") == 1 &&
+      b.getAs[Double]("pii_doc_frac") == 1.0)
+    assert(t.getAs[Long]("n_docs") == 6 && t.getAs[Long]("n_docs_pii") == 5 &&
+      t.getAs[Double]("pii_doc_frac") == 5.0 / 6.0)
+  }
+
+  test("crawl funnel stages chain and match independently recomputed gate flags") {
+    // differential against the family conventions recomputed from first
+    // principles at sf0.001 (500 docs): URL keep = min id per url_norm,
+    // host cap = 16 smallest URL-kept per host, exact keep = min id per
+    // text, near drops = complement of the dedup action's kept set
+    val dir = "/root/testdata/sf0.001"
+    val rows = LlmOps.ddCrawlFunnel(spark, dir).collect().sortBy(_.getAs[Long]("stage_id"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("fetched", "url_dedup", "host_cap", "exact_dedup", "near_dedup"))
+    // stage chaining + conservation
+    for (i <- 1 until 5)
+      assert(rows(i).getAs[Long]("n_in") == rows(i - 1).getAs[Long]("n_kept"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") == r.getAs[Long]("n_in") - r.getAs[Long]("n_kept"))
+      assert(r.getAs[Double]("kept_frac") ==
+        r.getAs[Long]("n_kept").toDouble / rows(0).getAs[Long]("n_in"))
+    }
+    // recompute the flag sets independently
+    val urlRows = LlmOps.ddUrl(spark, dir).collect()
+    val urlKeepByHost = urlRows.groupBy(_.getAs[String]("url_norm").split('/')(0))
+      .map { case (h, rs) => h -> rs.map(_.getAs[Long]("keep_id")).sorted.toSeq }
+    val urlKeep = urlKeepByHost.values.flatten.toSet
+    val hostKept = urlKeepByHost.values.flatMap(_.take(16)).toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val exactKeep = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val nearKeep = LlmOps.ddDedupKeep(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
+    val n0 = docs.length.toLong
+    val n1 = urlKeep.size.toLong
+    val n2 = hostKept.size.toLong
+    val n3 = hostKept.count(exactKeep).toLong
+    val n4 = hostKept.filter(exactKeep).count(nearKeep).toLong
+    assert(rows.map(_.getAs[Long]("n_kept")).toSeq == Seq(n0, n1, n2, n3, n4))
+    // the URL, host-cap and near-dup gates must actually bite on this
+    // corpus; sf0.001 carries no exact text duplicate anywhere (the dd_exact
+    // family specs pin that gate on planted corpora), so n3 == n2 here
+    assert(n1 < n0 && n2 < n1 && n4 < n3, s"stages vacuous: $n0 $n1 $n2 $n3 $n4")
+  }
+
   test("langid confusion matrix row-normalizes against the ground-truth label") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("langconf").toString
