@@ -434,13 +434,24 @@ object Relational {
     * which purchase would attribute. Ties broken by event_id; `ts` is
     * epoch-nanos long (see q09 note). */
   def q37AsofForward(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(1, Window.unboundedFollowing)
+    // "next purchase after this row" is the natural (1, unboundedFollowing)
+    // SHRINKING frame — which Spark's UnboundedFollowingWindowFunctionFrame
+    // recomputes FROM SCRATCH per row (aggregates cannot un-add rows):
+    // O(rows²) per partition, measured 302 s at sf1z where the zipf-hot
+    // user's partition holds a large share of all events (1.8 s at uniform
+    // sf1 — the blowup is pure skew). Reversing the sort turns it into the
+    // GROWING frame (unboundedPreceding, -1), which WindowExec evaluates
+    // incrementally in O(rows): `last` non-null purchase among the
+    // descending-order rows BEFORE this one IS the ascending-order first
+    // purchase after it. Same rows, 170x cheaper under skew.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     Tables.events(spark, dir)
       .withColumn("next_purchase_id",
-        first(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
+        last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
       .withColumn("next_purchase_ts",
-        first(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
+        last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
       .filter(col("event_type") === "view" && col("next_purchase_id").isNotNull &&
         col("next_purchase_ts") - col("ts") <= expr("CAST(259200 AS BIGINT) * 1000000000"))
       .select(col("event_id").as("view_id"), col("user_id"),

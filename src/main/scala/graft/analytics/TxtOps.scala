@@ -866,7 +866,7 @@ private[analytics] trait TxtOps {
     * construct, the two engines compile the identical pattern, and
     * neither engine's string-literal escaping can bite ([[piiIpRe]] uses
     * `[.]` classes for that reason, like urlNormSql). */
-  private[analytics] lazy val piiRes: Seq[(String, String)] = Seq(
+  private[graft] lazy val piiRes: Seq[(String, String)] = Seq(
     "url" -> "https?://[^ ]+",
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+",
     "phone" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}",
@@ -876,10 +876,16 @@ private[analytics] trait TxtOps {
     * category (on the RAW enriched text — counts are independent of
     * redaction order) plus source, shared by the per-doc readout and the
     * census. Pure per-row scan work, codegen'd regexp_count. */
-  private[analytics] def piiScored(spark: SparkSession, dir: String): DataFrame = {
+  private[analytics] def piiScored(spark: SparkSession, dir: String): DataFrame =
+    piiScoredOver(Tables.documents(spark, dir))
+
+  /** The same scoring over an arbitrary (doc_id, source, text) frame —
+    * streaming-safe (pure per-row projection, no window/aggregation), so
+    * [[graft.streaming.EventStream.piiCensus]] applies the identical
+    * fragment to arriving documents. */
+  private[graft] def piiScoredOver(docs: DataFrame): DataFrame = {
     val scored = piiRes.foldLeft(
-      Tables.documents(spark, dir)
-        .selectExpr("doc_id", "source", s"$piiRawSql AS raw")) {
+      docs.selectExpr("doc_id", "source", s"$piiRawSql AS raw")) {
       case (df, (cat, re)) =>
         df.withColumn(s"n_${cat}s", regexp_count(col("raw"), lit(re)).cast("long"))
     }

@@ -383,6 +383,30 @@ object EventStream {
       .groupBy(col("reason")).agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming PII CENSUS — the batch `LlmOps.txtPiiCensus` run as a
+    * complete-mode aggregation over arriving documents: the identical
+    * scan-side scoring fragment ([[graft.analytics.LlmOps.piiScoredOver]]
+    * — pure per-row projection, so it lifts into a stream unchanged)
+    * feeds a per-source census whose state IS the O(sources) table, like
+    * [[quarantineCensus]]. Every micro-batch's emitted table is the
+    * accumulated PII-rate readout per source; the batch twin's '*' rollup
+    * row is the one thing complete mode can't express (no rollup on
+    * streaming aggregations) — EventStreamSpec pins the accumulated
+    * per-source rows equal to the oracle-checked batch census minus that
+    * total row. Input schema (doc_id, source, text). */
+  def piiCensus(docs: DataFrame): DataFrame = {
+    import graft.analytics.LlmOps
+    LlmOps.piiScoredOver(docs)
+      .withColumn("has_pii",
+        col("n_urls") + col("n_emails") + col("n_phones") + col("n_ips") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("has_pii"), 1)).as("n_docs_pii"),
+        sum(col("n_urls")).as("n_urls"), sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"), sum(col("n_ips")).as("n_ips"))
+      .withColumn("pii_doc_frac", col("n_docs_pii") / col("n_docs"))
+  }
+
   case class HostCapVerdict(doc_id: Long, host: String, admitted: Boolean, host_admitted: Long)
 
   /** Streaming per-HOST admission QUOTA — the streaming twin of the batch

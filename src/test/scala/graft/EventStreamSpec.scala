@@ -553,4 +553,35 @@ class EventStreamSpec extends SparkSpec {
         s"stream census $got diverged from batch $want")
     } finally q.stop()
   }
+
+  test("streaming PII census equals the oracle-checked batch txt_pii_census per source") {
+    // The privacy-health-consistency contract: the same documents, fed
+    // as a stream in 4 micro-batches, scored with the same scan-side PII
+    // fragment, must accumulate to the batch census exactly — minus the
+    // '*' rollup row, the one thing a complete-mode streaming aggregation
+    // cannot express.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val chunks = docs.grouped((docs.size + 3) / 4).toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStream.toMemorySink(
+      EventStream.piiCensus(input.toDF().toDF("doc_id", "source", "text")),
+      "pii_census", OutputMode.Complete())
+    def key(r: org.apache.spark.sql.Row) = r.getAs[String]("source") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_pii"), r.getAs[Long]("n_urls"),
+        r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"), r.getAs[Long]("n_ips"),
+        r.getAs[Double]("pii_doc_frac")))
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val got = spark.table("pii_census").collect().map(key).toMap
+      val want = graft.analytics.LlmOps.txtPiiCensus(spark, dir).collect()
+        .filter(_.getAs[String]("source") != "*").map(key).toMap
+      assert(want.nonEmpty && want.values.exists(_._2 > 0), s"parity vacuous: $want")
+      assert(got == want, s"stream PII census diverged:\n got=$got\nwant=$want")
+    } finally q.stop()
+  }
 }
