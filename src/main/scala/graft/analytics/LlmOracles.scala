@@ -66,11 +66,11 @@ private[analytics] trait LlmOracles {
     val clean = piiRes.foldLeft("raw") { case (e, (cat, re)) =>
       s"regexp_replace($e, '$re', '<$cat>', 'g')"
     }
-    s"""p AS (SELECT doc_id, source, $piiRawSql AS raw FROM documents),
-       |s AS (SELECT doc_id, source, raw,
+    s"""pii_p AS (SELECT doc_id, source, $piiRawSql AS raw FROM documents),
+       |pii_s AS (SELECT doc_id, source, raw,
        |  $counts,
        |  $clean AS clean
-       |  FROM p)""".stripMargin
+       |  FROM pii_p)""".stripMargin
   }
 
 
@@ -659,7 +659,7 @@ private[analytics] trait LlmOracles {
          |SELECT doc_id, n_urls, n_emails, n_phones, n_ips,
          |  md5(clean) AS clean_fp,
          |  CAST(length(raw) - length(clean) AS BIGINT) AS chars_redacted
-         |FROM s ORDER BY doc_id""".stripMargin,
+         |FROM pii_s ORDER BY doc_id""".stripMargin,
 
     "txt_pii_census" ->
       s"""WITH $piiScoredDuck
@@ -671,7 +671,7 @@ private[analytics] trait LlmOracles {
          |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
          |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
          |  count(*) FILTER (WHERE n_urls + n_emails + n_phones + n_ips > 0) / count(*) AS pii_doc_frac
-         |FROM s GROUP BY ROLLUP(source) ORDER BY source""".stripMargin,
+         |FROM pii_s GROUP BY ROLLUP(source) ORDER BY source""".stripMargin,
 
     "txt_fingerprint" ->
       s"""WITH n AS (

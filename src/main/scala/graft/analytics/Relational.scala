@@ -424,11 +424,13 @@ object Relational {
   /** FORWARD as-of join — [[q23AsofAttr]]'s mirror, answering the other
     * attribution question: for each view, the user's NEXT purchase and the
     * time to convert, kept only when conversion lands inside a 3-day
-    * horizon. Same scalable shape as q23 — ONE window pass with a
-    * (1, unbounded-following) frame and first(..., ignoreNulls), a single
-    * shuffle on user_id, linear in the stream — where the naive
-    * formulation is a per-view "min ts > my ts" range self-join (O(n²)
-    * and un-broadcastable once either side is big). The horizon is a
+    * horizon. Same scalable shape as q23 — ONE window pass over a
+    * DESCENDING (unbounded-preceding, -1) GROWING frame with
+    * last(..., ignoreNulls) (see the body comment for why the natural
+    * forward-looking frame is O(rows²)), a single shuffle on user_id,
+    * linear in the stream — where the naive formulation is a per-view
+    * "min ts > my ts" range self-join (O(n²) and un-broadcastable once
+    * either side is big). The horizon is a
     * post-window filter, NOT part of the join: the window already returns
     * the nearest candidate, so the bound prunes rows without changing
     * which purchase would attribute. Ties broken by event_id; `ts` is

@@ -864,8 +864,8 @@ private[analytics] trait TxtOps {
     * argument (Java regex, taken raw) and into the DuckDB oracle's
     * single-quoted literal (RE2): with no backslash and no escape-bearing
     * construct, the two engines compile the identical pattern, and
-    * neither engine's string-literal escaping can bite ([[piiIpRe]] uses
-    * `[.]` classes for that reason, like urlNormSql). */
+    * neither engine's string-literal escaping can bite (the "ip" entry
+    * uses `[.]` classes for that reason, like urlNormSql). */
   private[graft] lazy val piiRes: Seq[(String, String)] = Seq(
     "url" -> "https?://[^ ]+",
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+",
@@ -910,6 +910,17 @@ private[analytics] trait TxtOps {
         (length(col("raw")) - length(col("clean"))).cast("long").as("chars_redacted"))
       .orderBy(col("doc_id"))
 
+  /** ONE definition of the census semantics shared by the batch rollup
+    * and the streaming complete-mode twin
+    * ([[graft.streaming.EventStream.piiCensus]]): the any-PII predicate
+    * (derived from [[piiRes]], so a fifth category extends both engines
+    * and both runtimes together) and the aggregate list. */
+  private[graft] lazy val piiHasPii: Column =
+    piiRes.map { case (cat, _) => col(s"n_${cat}s") }.reduce(_ + _) > 0
+  private[graft] lazy val piiCensusAggs: Seq[Column] =
+    Seq(count(lit(1)).as("n_docs"), count(when(piiHasPii, 1)).as("n_docs_pii")) ++
+      piiRes.map { case (cat, _) => sum(col(s"n_${cat}s")).as(s"n_${cat}s") }
+
   /** PII CENSUS — the per-source roll-up a model card reports: documents
     * scanned, documents carrying any PII, per-category match totals, and
     * the PII-document fraction, with a '*' all-sources total row
@@ -917,13 +928,8 @@ private[analytics] trait TxtOps {
     * over the scan-side scoring — the census costs one pass. */
   def txtPiiCensus(spark: SparkSession, dir: String): DataFrame =
     piiScored(spark, dir)
-      .withColumn("has_pii",
-        col("n_urls") + col("n_emails") + col("n_phones") + col("n_ips") > 0)
       .rollup(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        count(when(col("has_pii"), 1)).as("n_docs_pii"),
-        sum(col("n_urls")).as("n_urls"), sum(col("n_emails")).as("n_emails"),
-        sum(col("n_phones")).as("n_phones"), sum(col("n_ips")).as("n_ips"))
+      .agg(piiCensusAggs.head, piiCensusAggs.tail: _*)
       .select(coalesce(col("source"), lit("*")).as("source"), col("n_docs"),
         col("n_docs_pii"), col("n_urls"), col("n_emails"), col("n_phones"),
         col("n_ips"), (col("n_docs_pii") / col("n_docs")).as("pii_doc_frac"))

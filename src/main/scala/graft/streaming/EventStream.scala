@@ -397,13 +397,8 @@ object EventStream {
   def piiCensus(docs: DataFrame): DataFrame = {
     import graft.analytics.LlmOps
     LlmOps.piiScoredOver(docs)
-      .withColumn("has_pii",
-        col("n_urls") + col("n_emails") + col("n_phones") + col("n_ips") > 0)
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        count(when(col("has_pii"), 1)).as("n_docs_pii"),
-        sum(col("n_urls")).as("n_urls"), sum(col("n_emails")).as("n_emails"),
-        sum(col("n_phones")).as("n_phones"), sum(col("n_ips")).as("n_ips"))
+      .agg(LlmOps.piiCensusAggs.head, LlmOps.piiCensusAggs.tail: _*)
       .withColumn("pii_doc_frac", col("n_docs_pii") / col("n_docs"))
   }
 

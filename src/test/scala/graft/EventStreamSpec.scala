@@ -483,9 +483,11 @@ class EventStreamSpec extends SparkSpec {
     // micro-batches must admit exactly the batch dd_host_cap kept set —
     // including a hot host whose 16-fetch quota exhausts in the FIRST
     // micro-batch and must still be refused in every later one (state the
-    // stateless anti-join gates cannot express). 256 docs: pid%1024<512
-    // puts every pid in host 0's bucket... use 1024 docs for a full ramp
-    // so small hosts (never capped) ride along as the control group.
+    // stateless anti-join gates cannot express). 1024 docs cover the full
+    // pid%1024 host ramp: host 0 takes ~half the fetches (and the whole
+    // first 256-doc micro-batch, since pids 0..255 all fall in its
+    // <512 bucket), while the tail hosts get fewer than 16 fetches and
+    // ride along as the never-capped control group.
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val d = java.nio.file.Files.createTempDirectory("hostquota").toString

@@ -100,6 +100,45 @@ class PlanGuardSpec extends SparkSpec {
       s"unexpected join in the single-scan gate:\n${plan.take(600)}")
   }
 
+  test("the forward as-of window keeps the GROWING frame, never the shrinking one") {
+    // q37's 302s sf1z lesson: (1, unboundedFollowing) is a SHRINKING frame
+    // that WindowExec recomputes from scratch per row — O(rows²) in the
+    // hot user's partition. The reversed-sort growing frame
+    // (unboundedPreceding, -1) is evaluated incrementally. Every spec and
+    // the oracle pass for BOTH formulations (same rows), so only the plan
+    // can pin the fix.
+    val plan = graft.analytics.Relational
+      .queries("q37_asof_forward")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString.toUpperCase
+    assert(plan.contains("UNBOUNDEDPRECEDING$(), -1"),
+      s"growing frame missing from:\n${plan.take(800)}")
+    assert(!plan.contains("UNBOUNDEDFOLLOWING"),
+      s"shrinking frame regressed into:\n${plan.take(800)}")
+  }
+
+  test("the crawl funnel reads documents exactly twice (flags + doc_id-only host branch)") {
+    // the documented scale shape: one scan carries both per-row windows
+    // (url_norm, md5-text) and the ONLY other scan is the host-kept
+    // branch, pruned to the doc_id column (every URL column derives from
+    // doc_id) and folded through the bounded map-side topk_min aggregate;
+    // no window is ever partitioned by the skewed host key
+    val qe = graft.analytics.LlmOps.ddCrawlFunnel(spark, "/root/testdata/sf0.001")
+      .queryExecution
+    val fmt = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = fmt.linesIterator.map(_.trim)
+      .filter(_.startsWith("ReadSchema")).toSeq.sorted
+    assert(schemas == Seq(
+      "ReadSchema: struct<doc_id:bigint,text:string>",
+      "ReadSchema: struct<doc_id:bigint>"),
+      s"scan shapes drifted: $schemas")
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("partial_topk_min"), "host branch lost the bounded aggregate")
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(!_.contains("host")),
+      s"a window partitions by the skewed host key:\n${windowLines.mkString("\n")}")
+  }
+
   test("the host cap plans as a bounded map-side top-k aggregate, not a window sort") {
     // dd_host_cap's scale claim: under the ~50%-mass hot host, a
     // row_number() window would sort half the corpus on one reducer; the
