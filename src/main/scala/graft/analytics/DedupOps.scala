@@ -299,23 +299,7 @@ private[analytics] trait DedupOps {
     * is txtCurationFunnel's single-aggregation + stack — no collect, no
     * per-stage jobs. */
   def ddCrawlFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graft.TopKBridge.topkMin
-    val hostKept = urlNormalized(spark, dir)
-      .groupBy(col("url_norm")).agg(min(col("doc_id")).as("doc_id"))
-      .select(expr(hostOfSql).as("host"), col("doc_id"))
-      .groupBy(col("host")).agg(topkMin(col("doc_id"), HostCap).as("kept"))
-      .select(explode(col("kept")).as("doc_id"), lit(1L).as("f_h"))
-    val flagged = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "text", s"$urlPidSql AS pid")
-      .selectExpr("doc_id", "text", s"$urlRawSql AS url")
-      .selectExpr("doc_id", "text", s"$urlNormSql AS url_norm")
-      .withColumn("f_u", col("doc_id") ===
-        min(col("doc_id")).over(Window.partitionBy(col("url_norm"))))
-      .withColumn("f_x", exactKeepFlag)
-    val counts = flagged
-      .join(hostKept, Seq("doc_id"), "left")
-      .join(nearDropSet(spark, dir).withColumn("f_n", lit(1L)),
-        col("doc_id") === col("ib"), "left")
+    val counts = crawlFlags(spark, dir)
       .agg(
         count(lit(1)).as("n0"),
         count(when(col("f_u"), 1)).as("n1"),
@@ -337,6 +321,54 @@ private[analytics] trait DedupOps {
         col("n_dropped"), col("kept_frac"))
       .orderBy(col("stage_id"))
   }
+
+
+  /** The funnel's gate flags, ONE definition shared by the corpus-level
+    * stage table ([[ddCrawlFunnel]]) and the per-source slice
+    * ([[ddFunnelBySource]]): per doc — source, f_u (URL-kept), f_h
+    * (host-cap kept among URL-kept; LONG 1/null from the join), f_x
+    * (exact-kept), f_n (near-drop; LONG 1/null). Plan shape documented at
+    * ddCrawlFunnel and pinned by PlanGuardSpec. */
+  private[analytics] def crawlFlags(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TopKBridge.topkMin
+    val hostKept = urlNormalized(spark, dir)
+      .groupBy(col("url_norm")).agg(min(col("doc_id")).as("doc_id"))
+      .select(expr(hostOfSql).as("host"), col("doc_id"))
+      .groupBy(col("host")).agg(topkMin(col("doc_id"), HostCap).as("kept"))
+      .select(explode(col("kept")).as("doc_id"), lit(1L).as("f_h"))
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text", "source", s"$urlPidSql AS pid")
+      .selectExpr("doc_id", "text", "source", s"$urlRawSql AS url")
+      .selectExpr("doc_id", "text", "source", s"$urlNormSql AS url_norm")
+      .withColumn("f_u", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("url_norm"))))
+      .withColumn("f_x", exactKeepFlag)
+      .join(hostKept, Seq("doc_id"), "left")
+      .join(nearDropSet(spark, dir).withColumn("f_n", lit(1L)),
+        col("doc_id") === col("ib"), "left")
+  }
+
+
+  /** Per-SOURCE crawl-funnel slice — the table a curation team actually
+    * acts on: which source loses how much at each gate (RefinedWeb
+    * reports removal rates per dump the same way). One row per source
+    * with the survivor count after every stage and the end-to-end clean
+    * fraction; the same global gate flags as [[ddCrawlFunnel]] (ONE
+    * definition, [[crawlFlags]]), sliced by source instead of folded to
+    * one row — so the two readouts can never disagree. O(sources)
+    * output; one map-side-combinable aggregation. */
+  def ddFunnelBySource(spark: SparkSession, dir: String): DataFrame =
+    crawlFlags(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_fetched"),
+        count(when(col("f_u"), 1)).as("n_url_kept"),
+        count(when(col("f_u") && col("f_h").isNotNull, 1)).as("n_host_kept"),
+        count(when(col("f_u") && col("f_h").isNotNull && col("f_x"), 1)).as("n_exact_kept"),
+        count(when(col("f_u") && col("f_h").isNotNull && col("f_x") &&
+          col("f_n").isNull, 1)).as("n_clean"))
+      .withColumn("clean_frac", col("n_clean") / col("n_fetched"))
+      .orderBy(col("source"))
 
 
   /** The thresholded containment pair table — memoized on the family's

@@ -87,6 +87,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_host_cap" -> ddHostCap _,
     "dd_source_overlap" -> ddSourceOverlap _,
     "dd_crawl_funnel" -> ddCrawlFunnel _,
+    "dd_funnel_by_source" -> ddFunnelBySource _,
     "txt_langid_confusion" -> txtLangidConfusion _,
     "txt_pii" -> txtPii _,
     "txt_pii_census" -> txtPiiCensus _,

@@ -74,6 +74,32 @@ private[analytics] trait LlmOracles {
   }
 
 
+  /** The crawl-funnel gate-flag CTE chain — [[DedupOps.crawlFlags]]'s
+    * mirror, ONE definition for the corpus-level funnel and the
+    * per-source slice. Expects `base` and the urlNorm chain (`n`) in
+    * scope; closes with a `flags` CTE of (doc_id, source, f_u, f_h, f_x,
+    * f_n). */
+  private[analytics] def crawlFlagsDuck: String =
+    s"""uk AS (SELECT min(doc_id) AS doc_id, url_norm FROM n GROUP BY url_norm),
+       |hk AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY $hostOfSql ORDER BY doc_id) AS rk
+       |    FROM uk) WHERE rk <= $HostCap),
+       |$exactKeepDuck,
+       |$shinglePairsDuck,
+       |$nearDropsDuck,
+       |flags AS (
+       |  SELECT d.doc_id, d.source,
+       |    (uk.doc_id IS NOT NULL) AS f_u,
+       |    (hk.doc_id IS NOT NULL) AS f_h,
+       |    (ex.keep_id IS NOT NULL) AS f_x,
+       |    (dr.ib IS NOT NULL) AS f_n
+       |  FROM documents d
+       |  LEFT JOIN uk ON uk.doc_id = d.doc_id
+       |  LEFT JOIN hk ON hk.doc_id = d.doc_id
+       |  LEFT JOIN ex ON ex.keep_id = d.doc_id
+       |  LEFT JOIN drops dr ON dr.ib = d.doc_id)""".stripMargin
+
+
   // ------------------------------------------------------- DuckDB oracles
 
 
@@ -729,24 +755,7 @@ private[analytics] trait LlmOracles {
     // exact keep, Jaccard-0.8 near drops), folded once, 5 UNION'd rows
     "dd_crawl_funnel" ->
       s"""WITH $baseDuck, $urlNormDuck,
-         |uk AS (SELECT min(doc_id) AS doc_id, url_norm FROM n GROUP BY url_norm),
-         |hk AS (SELECT doc_id FROM (
-         |    SELECT doc_id, row_number() OVER (PARTITION BY $hostOfSql ORDER BY doc_id) AS rk
-         |    FROM uk) WHERE rk <= $HostCap),
-         |$exactKeepDuck,
-         |$shinglePairsDuck,
-         |$nearDropsDuck,
-         |flags AS (
-         |  SELECT d.doc_id,
-         |    (uk.doc_id IS NOT NULL) AS f_u,
-         |    (hk.doc_id IS NOT NULL) AS f_h,
-         |    (ex.keep_id IS NOT NULL) AS f_x,
-         |    (dr.ib IS NOT NULL) AS f_n
-         |  FROM documents d
-         |  LEFT JOIN uk ON uk.doc_id = d.doc_id
-         |  LEFT JOIN hk ON hk.doc_id = d.doc_id
-         |  LEFT JOIN ex ON ex.keep_id = d.doc_id
-         |  LEFT JOIN drops dr ON dr.ib = d.doc_id),
+         |$crawlFlagsDuck,
          |c AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n0,
          |    CAST(count(*) FILTER (WHERE f_u) AS BIGINT) AS n1,
@@ -761,6 +770,19 @@ private[analytics] trait LlmOracles {
          |UNION ALL SELECT 3, 'exact_dedup', n2, n3, n2 - n3, n3 / n0 FROM c
          |UNION ALL SELECT 4, 'near_dedup',  n3, n4, n3 - n4, n4 / n0 FROM c
          |ORDER BY stage_id""".stripMargin,
+
+    // the same flags sliced by source instead of folded to one row
+    "dd_funnel_by_source" ->
+      s"""WITH $baseDuck, $urlNormDuck,
+         |$crawlFlagsDuck
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_fetched,
+         |  CAST(count(*) FILTER (WHERE f_u) AS BIGINT) AS n_url_kept,
+         |  CAST(count(*) FILTER (WHERE f_u AND f_h) AS BIGINT) AS n_host_kept,
+         |  CAST(count(*) FILTER (WHERE f_u AND f_h AND f_x) AS BIGINT) AS n_exact_kept,
+         |  CAST(count(*) FILTER (WHERE f_u AND f_h AND f_x AND NOT f_n) AS BIGINT) AS n_clean,
+         |  count(*) FILTER (WHERE f_u AND f_h AND f_x AND NOT f_n) / count(*) AS clean_frac
+         |FROM flags GROUP BY source ORDER BY source""".stripMargin,
 
     "dd_source_overlap" ->
       s"""WITH $baseDuck, $shinglePairsDuck,

@@ -1823,6 +1823,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(n1 < n0 && n2 < n1 && n4 < n3, s"stages vacuous: $n0 $n1 $n2 $n3 $n4")
   }
 
+  test("per-source funnel slice sums to the corpus funnel at every stage") {
+    // the two readouts share one flag definition (crawlFlags), so the
+    // slice must reconcile with the corpus stage table exactly — and each
+    // source's stage counts must be monotone with a consistent fraction
+    val dir = "/root/testdata/sf0.001"
+    val bySrc = LlmOps.ddFunnelBySource(spark, dir).collect()
+    val corpus = LlmOps.ddCrawlFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_kept")).toMap
+    def s(c: String) = bySrc.map(_.getAs[Long](c)).sum
+    assert(s("n_fetched") == corpus("fetched"))
+    assert(s("n_url_kept") == corpus("url_dedup"))
+    assert(s("n_host_kept") == corpus("host_cap"))
+    assert(s("n_exact_kept") == corpus("exact_dedup"))
+    assert(s("n_clean") == corpus("near_dedup"))
+    assert(bySrc.length > 1, "single-source corpus makes the slice vacuous")
+    bySrc.foreach { r =>
+      val stages = Seq("n_fetched", "n_url_kept", "n_host_kept",
+        "n_exact_kept", "n_clean").map(r.getAs[Long](_))
+      assert(stages == stages.sortBy(x => -x),
+        s"non-monotone stages for ${r.getAs[String]("source")}: $stages")
+      assert(r.getAs[Double]("clean_frac") == stages.last.toDouble / stages.head)
+    }
+  }
+
   test("langid confusion matrix row-normalizes against the ground-truth label") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("langconf").toString
