@@ -184,6 +184,57 @@ private[analytics] trait DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental URL gate against a BUCKETED frontier table — the at-scale
+    * form of [[ddUrlIncremental]] (same admission set, same oracle), the
+    * URL-stage twin of [[IngestOps.ddIncrementalBucketed]], and the
+    * EXECUTION of the deployment claim the single-scan gate's scaladoc
+    * makes: the crawl frontier is materialized ONCE as a bucketed+sorted
+    * saved table on url_norm, so the per-batch anti-join reads the
+    * frontier side already hash-partitioned — the ONLY exchange is the
+    * small arriving batch shuffling into the bucket layout. At 100 TB the
+    * frontier is billions of URLs kept between crawl batches; never
+    * re-shuffling it per batch is the point. MERGE hint pins the
+    * sort-merge strategy the bucketing serves (the tiny test-SF frontier
+    * would otherwise broadcast and the plan under test would vanish);
+    * BucketingSpec asserts the single batch-side exchange. */
+  def ddUrlIncrementalBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val t = frontierTable(spark, dir)
+    urlNormalized(spark, dir)
+      .filter(expr("doc_id % 4 = 3"))
+      .join(spark.table(t).hint("merge"), Seq("url_norm"), "left_anti")
+      .select(col("doc_id"), col("url_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** Idempotently materialize the crawl frontier (fetches outside the
+    * mod-4 held-out batch, distinct normalized URL) bucketed+sorted on
+    * url_norm — [[IngestOps.fingerprintTable]]'s lifecycle applied to the
+    * URL stage: dir-tagged table name, stale-warehouse cleanup, single
+    * writer task at test SF (production repartitions on the bucket key
+    * instead). */
+  private[analytics] def frontierTable(spark: SparkSession, dir: String): String = synchronized {
+    val t = s"graft_frontier_bucketed_${Tables.dirTag(dir)}"
+    if (!spark.catalog.tableExists(t)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .stripPrefix("file:")
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      urlNormalized(spark, dir)
+        .filter(expr("doc_id % 4 <> 3"))
+        .select(col("url_norm")).distinct()
+        .repartition(1)
+        .write.bucketBy(8, "url_norm").sortBy("url_norm").saveAsTable(t)
+    }
+    t
+  }
+
+
   /** Per-HOST crawl census — the dashboard row a frontier operator reads:
     * fetches, distinct pages, and re-crawled fetches per normalized host.
     * The host key is deliberately skewed (host 0 ≈ 50% of fetches); the

@@ -55,6 +55,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "band_candidates" -> (() => { wideBandCandidates(spark, dir).count(); () }),
     "bpe_merges" -> (() => { bpeMergeTable(spark, dir).count(); () }),
     "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }),
+    "frontier_state" -> (() => { frontierTable(spark, dir); () }),
     "topk_cosine" -> (() => { bruteTruthTable(spark, dir).count(); () }),
     "ivf_assign" -> (() => { ivfAssignTable(spark, dir).count(); () }),
     "ivf_kmeans_assign" -> (() => { ivfKmeansAssignTable(spark, dir).count(); () }),
@@ -84,6 +85,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_url" -> ddUrl _,
     "dd_url_hosts" -> ddUrlHosts _,
     "dd_url_incremental" -> ddUrlIncremental _,
+    "dd_url_incremental_bucketed" -> ddUrlIncrementalBucketed _,
     "dd_host_cap" -> ddHostCap _,
     "dd_source_overlap" -> ddSourceOverlap _,
     "dd_crawl_funnel" -> ddCrawlFunnel _,

@@ -100,6 +100,16 @@ private[analytics] trait LlmOracles {
        |  LEFT JOIN drops dr ON dr.ib = d.doc_id)""".stripMargin
 
 
+  /** One admission-contract mirror for the single-scan gate and its
+    * bucketed-state twin (same rows by contract). */
+  private[analytics] lazy val urlIncrementalDuck: String =
+    s"""WITH $urlNormDuck,
+       |f AS (SELECT DISTINCT url_norm FROM n WHERE doc_id % 4 <> 3)
+       |SELECT doc_id, url_norm FROM n
+       |WHERE doc_id % 4 = 3 AND url_norm NOT IN (SELECT url_norm FROM f)
+       |ORDER BY doc_id""".stripMargin
+
+
   // ------------------------------------------------------- DuckDB oracles
 
 
@@ -728,13 +738,11 @@ private[analytics] trait LlmOracles {
          |FROM n GROUP BY 1 ORDER BY host""".stripMargin,
 
     // batch admission vs the frontier: mod-4 held-out split so planted
-    // page-pairs cross it (url_norm is never NULL, so NOT IN is exact)
-    "dd_url_incremental" ->
-      s"""WITH $urlNormDuck,
-         |f AS (SELECT DISTINCT url_norm FROM n WHERE doc_id % 4 <> 3)
-         |SELECT doc_id, url_norm FROM n
-         |WHERE doc_id % 4 = 3 AND url_norm NOT IN (SELECT url_norm FROM f)
-         |ORDER BY doc_id""".stripMargin,
+    // page-pairs cross it (url_norm is never NULL, so NOT IN is exact).
+    // The bucketed-state variant admits the same set by contract — one
+    // oracle text for both (the dd_incremental/_bucketed convention).
+    "dd_url_incremental" -> urlIncrementalDuck,
+    "dd_url_incremental_bucketed" -> urlIncrementalDuck,
 
     // per-host cap: the window formulation IS the oracle here — DuckDB
     // runs single-node where the skewed sort is harmless; the Spark side

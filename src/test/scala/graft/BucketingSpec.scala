@@ -103,6 +103,25 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("dd_url_incremental_bucketed shuffles only the arriving batch; frontier side co-located") {
+    // The URL-stage twin of the fingerprint state below: the crawl
+    // frontier persists bucketed on url_norm, the re-crawl batch anti-
+    // joins against it, and the only url_norm exchange feeds the batch.
+    // Admission set must equal the single-scan window gate's exactly.
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.analytics.LlmOps.ddUrlIncrementalBucketed(spark, dir)
+    val rows = df.collect().map(_.getAs[Long]("doc_id")).toSet
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
+    assert(plan.indexOf("Exchange hashpartitioning(url_norm") ==
+      plan.lastIndexOf("Exchange hashpartitioning(url_norm"), plan)
+    val expected = graft.analytics.LlmOps.ddUrlIncremental(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rows == expected && rows.nonEmpty,
+      s"bucketed gate diverged: extra=${rows -- expected} missing=${expected -- rows}")
+  }
+
   test("dd_incremental_bucketed (the DRIVER-path query) shuffles only the batch side") {
     // The shape BucketingSpec proves above, promoted to the oracle-checked
     // query surface: LlmOps.ddIncrementalBucketed materializes the corpus
