@@ -556,6 +556,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the streaming admission chain composes: URL gate into host quota in one query") {
+    // The two pre-content gates CHAIN in a single streaming DAG — the
+    // stateless frontier anti-join feeding the stateful per-host quota —
+    // and the composed verdicts equal the batch composition (URL-admitted
+    // fetches, then the cap's k smallest per host). Re-crawls refused by
+    // the gate must never spend quota.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("admchain").toString
+    (0L until 1024L).map(i => LlmDoc(i, s"doc $i", "en", "s", 6)).toDF()
+      .write.parquet(s"$d/documents.parquet")
+    val all = graft.analytics.LlmOps.urlNormalized(spark, d)
+    val frontier = all.filter($"doc_id" % 4 =!= 3).select($"url_norm").distinct()
+    val arriving = all.filter($"doc_id" % 4 === 3)
+      .select($"doc_id", $"url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val gated = EventStream.urlDedupeAgainstFrontier(
+      input.toDF().toDF("doc_id", "url"), frontier)
+    val q = EventStream.toMemorySink(
+      EventStream.hostCapAdmission(gated.select($"doc_id", $"url"),
+        graft.analytics.LlmOps.HostCap).toDF(),
+      "adm_chain", OutputMode.Append())
+    try {
+      arriving.grouped(64).foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val got = spark.table("adm_chain").collect()
+        .filter(_.getAs[Boolean]("admitted")).map(_.getAs[Long]("doc_id")).toSet
+      // batch twin of the composition
+      val urlAdmitted = graft.analytics.LlmOps.ddUrlIncremental(spark, d)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val hostOf = all.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("url_norm").split('/')(0)).toMap
+      val want = urlAdmitted.groupBy(hostOf).values
+        .flatMap(_.toSeq.sorted.take(16)).toSet
+      assert(urlAdmitted.size < arriving.size, "URL gate vacuous (no refusals)")
+      assert(want.size < urlAdmitted.size, "quota vacuous (never bites)")
+      assert(got == want,
+        s"chain diverged: extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
   test("streaming PII census equals the oracle-checked batch txt_pii_census per source") {
     // The privacy-health-consistency contract: the same documents, fed
     // as a stream in 4 micro-batches, scored with the same scan-side PII

@@ -48,6 +48,15 @@ class TopKAggSpec extends SparkSpec {
     assert(plan.contains("partial_topk_min"), plan)
   }
 
+  test("null inputs are skipped, not counted against k") {
+    import spark.implicits._
+    val got = Seq((1, Some(5L)), (1, None), (1, Some(3L)), (1, None), (2, None))
+      .toDF("g", "v").repartition(3)
+      .groupBy(col("g")).agg(TopKBridge.topkMin(col("v"), 2).as("kept"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got == Map(1 -> List(3L, 5L), 2 -> Nil))
+  }
+
   test("topk_min is callable from SQL text") {
     import spark.implicits._
     GraftFunctions.register(spark)
