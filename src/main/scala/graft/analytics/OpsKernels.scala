@@ -129,7 +129,7 @@ private[analytics] trait OpsKernels {
     * numerically identical to the left-folded HOF formulation AND to the
     * unrolled left-associated chain in [[dot]] used by the oracles (same
     * accumulation order from 0.0, same per-term double widening). */
-  private[analytics] def dotF(a: Column, b: Column): Column =
+  private[graft] def dotF(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       org.apache.spark.sql.graft.DotProductF(
         org.apache.spark.sql.graft.ColumnBridge.expression(a),

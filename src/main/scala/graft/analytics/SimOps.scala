@@ -235,7 +235,7 @@ private[analytics] trait SimOps {
 
   /** The k lowest-id corpus vectors as serve-index centroids —
     * deterministic (TakeOrdered, no global sort materialized). */
-  private[analytics] def serveCentroids(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def serveCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .filter(expr("vec_id % 4 <> 3"))
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))

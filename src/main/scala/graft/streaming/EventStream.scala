@@ -355,6 +355,72 @@ object EventStream {
       }
   }
 
+  case class ServeHit(qid: Long, rk: Int, cid: Long, cos: Double)
+
+  /** Streaming ANN SERVE — the similarity family's streaming twin,
+    * closing the last family without one: arriving query vectors probe
+    * the STATIC IVF serve index per micro-batch, verdicts pinned equal to
+    * the oracle-checked batch `LlmOps.simIvfServe`. Three stages, only
+    * the last stateful:
+    *
+    * 1. CELL ASSIGNMENT, row-local: the k centroids arrive packed as ONE
+    *    static row (collect_list sorted by cent_id), and an `aggregate`
+    *    higher-order fold picks the best cell. The fold's dot product —
+    *    `zip_with` double-casts then left-to-right double accumulation
+    *    from 0.0 — reproduces the `dot_f` kernel's arithmetic EXACTLY
+    *    (same widening, same order), and the strict `>` over ascending
+    *    cent_id reproduces the batch argmax's (cos desc, cent_id) tie
+    *    rule, so stream and batch assign every query to the same cell
+    *    bit-for-bit. A window (the batch formulation) is unavailable in a
+    *    streaming frame; this is its stream-native equal. k × dim doubles
+    *    per arriving row — the serve-path cost, independent of index
+    *    size.
+    * 2. CANDIDATE SCAN: stream-static equi-join on the assigned cell
+    *    against the corpus cell table (the memoized serve-index state,
+    *    re-read per micro-batch like every static state here); per
+    *    candidate, the exact cosine through the same codegen'd dot_f.
+    * 3. TOP-5: a stateless flatMapGroupsWithState reducer per query
+    *    (the near-dup probe's pattern — no state kept, the group exists
+    *    to reduce within the micro-batch; per query the work is one
+    *    cell's occupancy). Distinct-arrival precondition as there.
+    *
+    * `queries`: streaming (vec_id, embedding ARRAY<FLOAT>); `cents`:
+    * static (cent_id, cemb, cnrm); `corpus`: static (cid, ce, cn,
+    * ccell). */
+  def annServe(queries: DataFrame, cents: DataFrame, corpus: DataFrame): Dataset[ServeHit] = {
+    import queries.sparkSession.implicits._
+    import graft.analytics.LlmOps.dotF
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cemb"), col("cnrm"))))
+        .as("cents"))
+      .withColumn("one", lit(1))
+    val dotC = "aggregate(zip_with(embedding, c.cemb, (x, y) -> " +
+      "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val bestSql =
+      s"""aggregate(cents,
+         |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+         |  (acc, c) -> CASE WHEN ($dotC / sqrt(qn * c.cnrm)) > acc.cos
+         |    THEN named_struct('cos', $dotC / sqrt(qn * c.cnrm), 'cell', c.cent_id)
+         |    ELSE acc END)""".stripMargin
+    val cands = queries
+      .withColumn("qn", dotF(col("embedding"), col("embedding")))
+      .withColumn("one", lit(1))
+      .join(broadcast(packed), Seq("one"))
+      .withColumn("cell", expr(bestSql).getField("cell"))
+      .join(corpus, col("cell") === col("ccell"))
+      .select(col("vec_id").as("qid"), col("cid"),
+        (dotF(col("embedding"), col("ce")) / sqrt(col("qn") * col("cn"))).as("cos"))
+      .as[(Long, Long, Double)]
+    cands.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, ServeHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (qid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Int]) =>
+          rows.map { case (_, cid, cos) => (cid, cos) }.toSeq
+            .sortBy { case (cid, cos) => (-cos, cid) }.take(5).zipWithIndex
+            .map { case ((cid, cos), i) => ServeHit(qid, i + 1, cid, cos) }.iterator
+      }
+  }
+
   /** Wire a streaming DataFrame to a memory sink for tests/demos. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

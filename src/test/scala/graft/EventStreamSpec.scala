@@ -596,6 +596,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serve equals the oracle-checked batch sim_ivf_serve bit-for-bit") {
+    // The similarity family's streaming twin: arriving query vectors,
+    // micro-batched, probe the static serve index; the row-local HOF cell
+    // assignment must reproduce the dot_f kernel's arithmetic exactly, so
+    // every (qid, rk, cid, cos) — cos as a raw double — matches batch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.analytics.LlmOps.serveCentroids(spark, dir)
+    val corpus = graft.analytics.LlmOps.ivfServeAssignTable(spark, dir)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"),
+        $"nrm".as("cn"), $"cell".as("ccell"))
+    val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" % 200 === 3)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(qs.size >= 2, "need at least two held-out queries to micro-batch")
+    val chunks = qs.grouped((qs.size + 1) / 2).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.toMemorySink(
+      EventStream.annServe(input.toDF().toDF("vec_id", "embedding"), cents, corpus).toDF(),
+      "ann_serve", OutputMode.Append())
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val got = spark.table("ann_serve").collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk"),
+          r.getAs[Long]("cid"), r.getAs[Double]("cos"))).toSet
+      val want = graft.analytics.LlmOps.queries("sim_ivf_serve")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk"),
+          r.getAs[Long]("cid"), r.getAs[Double]("cos"))).toSet
+      assert(want.nonEmpty, "batch serve twin vacuous")
+      assert(got == want,
+        s"stream serve diverged:\n extra=${got -- want}\n missing=${want -- got}")
+    } finally q.stop()
+  }
+
   test("streaming PII census equals the oracle-checked batch txt_pii_census per source") {
     // The privacy-health-consistency contract: the same documents, fed
     // as a stream in 4 micro-batches, scored with the same scan-side PII
