@@ -209,30 +209,14 @@ private[analytics] trait DedupOps {
 
   /** Idempotently materialize the crawl frontier (fetches outside the
     * mod-4 held-out batch, distinct normalized URL) bucketed+sorted on
-    * url_norm — [[IngestOps.fingerprintTable]]'s lifecycle applied to the
-    * URL stage: dir-tagged table name, stale-warehouse cleanup, single
-    * writer task at test SF (production repartitions on the bucket key
-    * instead). */
-  private[analytics] def frontierTable(spark: SparkSession, dir: String): String = synchronized {
-    val t = s"graft_frontier_bucketed_${Tables.dirTag(dir)}"
-    if (!spark.catalog.tableExists(t)) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        .stripPrefix("file:")
-      val p = java.nio.file.Paths.get(wh, t)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+    * url_norm — the shared [[OpsKernels.bucketedStateTable]] lifecycle,
+    * same as the fingerprint state's. */
+  private[analytics] def frontierTable(spark: SparkSession, dir: String): String =
+    bucketedStateTable(spark, s"graft_frontier_bucketed_${Tables.dirTag(dir)}", "url_norm") {
       urlNormalized(spark, dir)
         .filter(expr("doc_id % 4 <> 3"))
         .select(col("url_norm")).distinct()
-        .repartition(1)
-        .write.bucketBy(8, "url_norm").sortBy("url_norm").saveAsTable(t)
     }
-    t
-  }
 
 
   /** Per-HOST crawl census — the dashboard row a frontier operator reads:
@@ -353,11 +337,10 @@ private[analytics] trait DedupOps {
     val counts = crawlFlags(spark, dir)
       .agg(
         count(lit(1)).as("n0"),
-        count(when(col("f_u"), 1)).as("n1"),
-        count(when(col("f_u") && col("f_h").isNotNull, 1)).as("n2"),
-        count(when(col("f_u") && col("f_h").isNotNull && col("f_x"), 1)).as("n3"),
-        count(when(col("f_u") && col("f_h").isNotNull && col("f_x") &&
-          col("f_n").isNull, 1)).as("n4"))
+        count(when(col("p1"), 1)).as("n1"),
+        count(when(col("p2"), 1)).as("n2"),
+        count(when(col("p3"), 1)).as("n3"),
+        count(when(col("p4"), 1)).as("n4"))
     counts.select(
       expr("""stack(5,
         0L, 'fetched',     n0, n0,
@@ -397,6 +380,14 @@ private[analytics] trait DedupOps {
       .join(hostKept, Seq("doc_id"), "left")
       .join(nearDropSet(spark, dir).withColumn("f_n", lit(1L)),
         col("doc_id") === col("ib"), "left")
+      // the CUMULATIVE stage predicates, defined once like the flags —
+      // both readouts count these columns, so neither can fork a stage
+      // composition on its own
+      .withColumn("p1", col("f_u"))
+      .withColumn("p2", col("f_u") && col("f_h").isNotNull)
+      .withColumn("p3", col("f_u") && col("f_h").isNotNull && col("f_x"))
+      .withColumn("p4", col("f_u") && col("f_h").isNotNull && col("f_x") &&
+        col("f_n").isNull)
   }
 
 
@@ -413,11 +404,10 @@ private[analytics] trait DedupOps {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_fetched"),
-        count(when(col("f_u"), 1)).as("n_url_kept"),
-        count(when(col("f_u") && col("f_h").isNotNull, 1)).as("n_host_kept"),
-        count(when(col("f_u") && col("f_h").isNotNull && col("f_x"), 1)).as("n_exact_kept"),
-        count(when(col("f_u") && col("f_h").isNotNull && col("f_x") &&
-          col("f_n").isNull, 1)).as("n_clean"))
+        count(when(col("p1"), 1)).as("n_url_kept"),
+        count(when(col("p2"), 1)).as("n_host_kept"),
+        count(when(col("p3"), 1)).as("n_exact_kept"),
+        count(when(col("p4"), 1)).as("n_clean"))
       .withColumn("clean_frac", col("n_clean") / col("n_fetched"))
       .orderBy(col("source"))
 

@@ -90,30 +90,12 @@ private[analytics] trait IngestOps {
     * layout; a stale warehouse directory from a previous JVM (the
     * in-memory catalog forgets tables across restarts but the files
     * persist) is deleted before the rewrite. */
-  private[analytics] def fingerprintTable(spark: SparkSession, dir: String): String = synchronized {
-    val t = s"graft_fp_bucketed_${Tables.dirTag(dir)}"
-    if (!spark.catalog.tableExists(t)) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        .stripPrefix("file:")
-      val p = java.nio.file.Paths.get(wh, t)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+  private[analytics] def fingerprintTable(spark: SparkSession, dir: String): String =
+    bucketedStateTable(spark, s"graft_fp_bucketed_${Tables.dirTag(dir)}", "fp") {
       Tables.documents(spark, dir)
         .filter(col("doc_id") < IncrementalSplit)
         .select(md5(col("text")).as("fp"))
-        // single writer task: N input partitions x 8 buckets would commit
-        // up to 8N tiny files for a 250-row state table. At production
-        // scale this repartitions on the bucket key instead, sized so each
-        // task writes one healthy file per bucket.
-        .repartition(1)
-        .write.bucketBy(8, "fp").sortBy("fp").saveAsTable(t)
     }
-    t
-  }
 
 
   /** INGESTION-HEALTH census — promotes [[graft.sources.JsonlDocs]]'s

@@ -87,7 +87,7 @@ private[analytics] trait LlmOracles {
        |$exactKeepDuck,
        |$shinglePairsDuck,
        |$nearDropsDuck,
-       |flags AS (
+       |flags0 AS (
        |  SELECT d.doc_id, d.source,
        |    (uk.doc_id IS NOT NULL) AS f_u,
        |    (hk.doc_id IS NOT NULL) AS f_h,
@@ -97,7 +97,13 @@ private[analytics] trait LlmOracles {
        |  LEFT JOIN uk ON uk.doc_id = d.doc_id
        |  LEFT JOIN hk ON hk.doc_id = d.doc_id
        |  LEFT JOIN ex ON ex.keep_id = d.doc_id
-       |  LEFT JOIN drops dr ON dr.ib = d.doc_id)""".stripMargin
+       |  LEFT JOIN drops dr ON dr.ib = d.doc_id),
+       |flags AS (
+       |  SELECT doc_id, source,
+       |    f_u AS p1, (f_u AND f_h) AS p2,
+       |    (f_u AND f_h AND f_x) AS p3,
+       |    (f_u AND f_h AND f_x AND NOT f_n) AS p4
+       |  FROM flags0)""".stripMargin
 
 
   /** One admission-contract mirror for the single-scan gate and its
@@ -766,10 +772,10 @@ private[analytics] trait LlmOracles {
          |$crawlFlagsDuck,
          |c AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n0,
-         |    CAST(count(*) FILTER (WHERE f_u) AS BIGINT) AS n1,
-         |    CAST(count(*) FILTER (WHERE f_u AND f_h) AS BIGINT) AS n2,
-         |    CAST(count(*) FILTER (WHERE f_u AND f_h AND f_x) AS BIGINT) AS n3,
-         |    CAST(count(*) FILTER (WHERE f_u AND f_h AND f_x AND NOT f_n) AS BIGINT) AS n4
+         |    CAST(count(*) FILTER (WHERE p1) AS BIGINT) AS n1,
+         |    CAST(count(*) FILTER (WHERE p2) AS BIGINT) AS n2,
+         |    CAST(count(*) FILTER (WHERE p3) AS BIGINT) AS n3,
+         |    CAST(count(*) FILTER (WHERE p4) AS BIGINT) AS n4
          |  FROM flags)
          |SELECT CAST(0 AS BIGINT) AS stage_id, 'fetched' AS stage,
          |  n0 AS n_in, n0 AS n_kept, n0 - n0 AS n_dropped, n0 / n0 AS kept_frac FROM c
@@ -785,11 +791,11 @@ private[analytics] trait LlmOracles {
          |$crawlFlagsDuck
          |SELECT source,
          |  CAST(count(*) AS BIGINT) AS n_fetched,
-         |  CAST(count(*) FILTER (WHERE f_u) AS BIGINT) AS n_url_kept,
-         |  CAST(count(*) FILTER (WHERE f_u AND f_h) AS BIGINT) AS n_host_kept,
-         |  CAST(count(*) FILTER (WHERE f_u AND f_h AND f_x) AS BIGINT) AS n_exact_kept,
-         |  CAST(count(*) FILTER (WHERE f_u AND f_h AND f_x AND NOT f_n) AS BIGINT) AS n_clean,
-         |  count(*) FILTER (WHERE f_u AND f_h AND f_x AND NOT f_n) / count(*) AS clean_frac
+         |  CAST(count(*) FILTER (WHERE p1) AS BIGINT) AS n_url_kept,
+         |  CAST(count(*) FILTER (WHERE p2) AS BIGINT) AS n_host_kept,
+         |  CAST(count(*) FILTER (WHERE p3) AS BIGINT) AS n_exact_kept,
+         |  CAST(count(*) FILTER (WHERE p4) AS BIGINT) AS n_clean,
+         |  count(*) FILTER (WHERE p4) / count(*) AS clean_frac
          |FROM flags GROUP BY source ORDER BY source""".stripMargin,
 
     "dd_source_overlap" ->

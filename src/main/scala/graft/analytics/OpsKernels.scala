@@ -129,6 +129,34 @@ private[analytics] trait OpsKernels {
     * numerically identical to the left-folded HOF formulation AND to the
     * unrolled left-associated chain in [[dot]] used by the oracles (same
     * accumulation order from 0.0, same per-term double widening). */
+  /** ONE idempotent bucketed-state-table lifecycle, shared by the
+    * fingerprint and frontier states (previously two drifting copies):
+    * dir-tagged table name supplied by the caller, stale-warehouse
+    * cleanup (the in-memory catalog forgets tables across restarts but
+    * the files persist — and the walk stream is CLOSED, unlike the
+    * copies this replaces), single writer task at test SF (production
+    * repartitions on the bucket key instead, sized so each task writes
+    * one healthy file per bucket). */
+  private[analytics] def bucketedStateTable(spark: SparkSession, name: String,
+      key: String)(build: => DataFrame): String = synchronized {
+    if (!spark.catalog.tableExists(name)) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .stripPrefix("file:")
+      val p = java.nio.file.Paths.get(wh, name)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        } finally walk.close()
+      }
+      build.repartition(1).write.bucketBy(8, key).sortBy(key).saveAsTable(name)
+    }
+    name
+  }
+
+
   private[graft] def dotF(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       org.apache.spark.sql.graft.DotProductF(

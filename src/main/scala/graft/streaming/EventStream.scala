@@ -394,14 +394,20 @@ object EventStream {
       .agg(sort_array(collect_list(struct(col("cent_id"), col("cemb"), col("cnrm"))))
         .as("cents"))
       .withColumn("one", lit(1))
+    // each cosine computed ONCE (transform), then a strict-> fold over the
+    // ascending-cent_id structs — the (cos desc, cent_id asc) argmax.
+    // PRECONDITION: centroid norms are nonzero (serveCentroids draws them
+    // from corpus vectors) — a zero-norm centroid yields a NaN cosine,
+    // which `>` never selects while the batch window's NaN-first DESC
+    // order would.
     val dotC = "aggregate(zip_with(embedding, c.cemb, (x, y) -> " +
       "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     val bestSql =
-      s"""aggregate(cents,
+      s"""aggregate(
+         |  transform(cents, c -> named_struct(
+         |    'cos', $dotC / sqrt(qn * c.cnrm), 'cell', c.cent_id)),
          |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
-         |  (acc, c) -> CASE WHEN ($dotC / sqrt(qn * c.cnrm)) > acc.cos
-         |    THEN named_struct('cos', $dotC / sqrt(qn * c.cnrm), 'cell', c.cent_id)
-         |    ELSE acc END)""".stripMargin
+         |  (acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END)""".stripMargin
     val cands = queries
       .withColumn("qn", dotF(col("embedding"), col("embedding")))
       .withColumn("one", lit(1))
@@ -415,8 +421,14 @@ object EventStream {
       .flatMapGroupsWithState[Int, ServeHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (qid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Int]) =>
+          // Spark's DESC double ordering puts NaN FIRST; Scala's default
+          // negate-and-sort would put it last — use the explicit reversed
+          // TotalOrdering so a NaN cosine ranks exactly as the batch
+          // window does
           rows.map { case (_, cid, cos) => (cid, cos) }.toSeq
-            .sortBy { case (cid, cos) => (-cos, cid) }.take(5).zipWithIndex
+            .sortBy { case (cid, cos) => (cos, cid) }(
+              Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+            .take(5).zipWithIndex
             .map { case ((cid, cos), i) => ServeHit(qid, i + 1, cid, cos) }.iterator
       }
   }

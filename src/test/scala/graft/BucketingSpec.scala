@@ -116,6 +116,8 @@ class BucketingSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
     assert(plan.indexOf("Exchange hashpartitioning(url_norm") ==
       plan.lastIndexOf("Exchange hashpartitioning(url_norm"), plan)
+    assert(plan.indexOf("Exchange hashpartitioning(url_norm") >= 0, plan)
+    assert(plan.contains("Bucketed: true"), plan)
     val expected = graft.analytics.LlmOps.ddUrlIncremental(spark, dir)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(rows == expected && rows.nonEmpty,

@@ -522,7 +522,8 @@ class EventStreamSpec extends SparkSpec {
       val byHost = verdicts.groupBy(_.getAs[String]("host"))
       for ((h, vs) <- byHost) {
         val adm = vs.count(_.getAs[Boolean]("admitted"))
-        assert(adm == math.min(vs.length, 16), s"host $h spent $adm of ${vs.length}")
+        assert(adm == math.min(vs.length, graft.analytics.LlmOps.HostCap),
+          s"host $h spent $adm of ${vs.length}")
       }
     } finally q.stop()
   }
@@ -588,7 +589,7 @@ class EventStreamSpec extends SparkSpec {
       val hostOf = all.collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("url_norm").split('/')(0)).toMap
       val want = urlAdmitted.groupBy(hostOf).values
-        .flatMap(_.toSeq.sorted.take(16)).toSet
+        .flatMap(_.toSeq.sorted.take(graft.analytics.LlmOps.HostCap)).toSet
       assert(urlAdmitted.size < arriving.size, "URL gate vacuous (no refusals)")
       assert(want.size < urlAdmitted.size, "quota vacuous (never bites)")
       assert(got == want,
