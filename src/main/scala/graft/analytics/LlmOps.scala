@@ -93,6 +93,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "txt_langid_confusion" -> txtLangidConfusion _,
     "txt_pii" -> txtPii _,
     "txt_pii_census" -> txtPiiCensus _,
+    "txt_sample_exec" -> txtSampleExec _,
     "dd_dedup_keep" -> ddDedupKeep _,
     "dd_dedup_keep_best" -> ddDedupKeepBest _,
     "dd_cluster" -> ddCluster _,

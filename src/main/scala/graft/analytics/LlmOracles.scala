@@ -106,6 +106,25 @@ private[analytics] trait LlmOracles {
        |  FROM flags0)""".stripMargin
 
 
+  /** The budget-plan CTE chain (per-source availability → weights →
+    * corpus totals), ONE definition shared by the planner readout
+    * (txt_data_budget) and the manifest execution (txt_sample_exec) so
+    * the plan a manifest executes cannot drift from the plan reported.
+    * Expects `base` in scope; closes with `g`. */
+  private[analytics] lazy val budgetChainDuck: String =
+    s"""persrc AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(toks)) AS BIGINT) AS avail_toks
+       |  FROM base GROUP BY source),
+       |w AS (
+       |  SELECT *, $sourceWeightSql AS weight
+       |  FROM persrc),
+       |g AS (
+       |  SELECT *, $DataBudgetEpochs * CAST(sum(avail_toks) OVER () AS BIGINT) AS budget_toks,
+       |    CAST(sum(weight) OVER () AS BIGINT) AS w_total
+       |  FROM w)""".stripMargin
+
+
   /** One admission-contract mirror for the single-scan gate and its
     * bucketed-state twin (same rows by contract). */
   private[analytics] lazy val urlIncrementalDuck: String =
@@ -1393,23 +1412,32 @@ private[analytics] trait LlmOracles {
     // all-BIGINT floor-div chain; weights = the txt_mixture parity
     // convention as integers (even 3 / odd 1); budget = 2x total tokens
     "txt_data_budget" ->
-      s"""WITH $baseDuck, persrc AS (
-         |  SELECT source, count(*) AS n_docs,
-         |    CAST(sum(len(toks)) AS BIGINT) AS avail_toks
-         |  FROM base GROUP BY source),
-         |w AS (
-         |  SELECT *, $sourceWeightSql AS weight
-         |  FROM persrc),
-         |g AS (
-         |  SELECT *, $DataBudgetEpochs * CAST(sum(avail_toks) OVER () AS BIGINT) AS budget_toks,
-         |    CAST(sum(weight) OVER () AS BIGINT) AS w_total
-         |  FROM w)
+      s"""WITH $baseDuck, $budgetChainDuck
          |SELECT source, weight, n_docs, avail_toks, budget_toks,
          |  (budget_toks * weight) // w_total AS requested_toks,
          |  ((budget_toks * weight) // w_total) // avail_toks AS full_epochs,
          |  ((budget_toks * weight) // w_total) % avail_toks AS rem_toks,
          |  (budget_toks * weight) // w_total > avail_toks AS must_repeat
          |FROM g ORDER BY source""".stripMargin,
+
+    // the plan EXECUTED: per-doc multiplicity, deterministic hash-shuffle
+    // partial-epoch prefix, multiplicity-0 docs excluded
+    "txt_sample_exec" ->
+      s"""WITH $baseDuck, $budgetChainDuck,
+         |plan AS (SELECT source,
+         |    ((budget_toks * weight) // w_total) // avail_toks AS full_epochs,
+         |    ((budget_toks * weight) // w_total) % avail_toks AS rem_toks
+         |  FROM g),
+         |d AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM base),
+         |o AS (SELECT d.source, d.doc_id, d.n_toks, p.full_epochs, p.rem_toks,
+         |    CAST(sum(d.n_toks) OVER (PARTITION BY d.source
+         |      ORDER BY md5('sample:' || CAST(d.doc_id AS STRING)), d.doc_id) AS BIGINT) AS cum
+         |  FROM d JOIN plan p ON d.source = p.source)
+         |SELECT source, doc_id, n_toks,
+         |  CAST(full_epochs + CASE WHEN cum - n_toks < rem_toks THEN 1 ELSE 0 END AS BIGINT) AS mult
+         |FROM o
+         |WHERE full_epochs + CASE WHEN cum - n_toks < rem_toks THEN 1 ELSE 0 END > 0
+         |ORDER BY source, doc_id""".stripMargin,
 
     "mm_join" ->
       s"""SELECT d.doc_id, d.lang, d.n_chars, e.label,

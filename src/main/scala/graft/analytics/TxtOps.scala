@@ -1067,6 +1067,40 @@ private[analytics] trait TxtOps {
   }
 
 
+  /** EXECUTE the token-budget plan into the training-set MANIFEST — the
+    * data-constrained mixture (Muennighoff et al. 2023) made concrete:
+    * every doc of a source appears [[txtDataBudget]]'s `full_epochs`
+    * times, plus once more if it falls inside the partial epoch covering
+    * `rem_toks`. The partial-epoch membership is a DETERMINISTIC
+    * hash-shuffle prefix: docs order by md5('sample:' || doc_id) within
+    * their source (re-running the pipeline anywhere yields the identical
+    * manifest — the txt_shards argument applied to sampling) and enter
+    * until the tokens before them reach the remainder (a doc may
+    * overshoot it — the packer's next-fit boundary convention). Docs with
+    * multiplicity 0 (under-weighted source, past the cut) are excluded:
+    * the manifest IS the training set. Scale shape: the plan side is
+    * O(sources) riding an AQE broadcast; the cut is one running total per
+    * source partition — the packer's shape, run once per training job. */
+  def txtSampleExec(spark: SparkSession, dir: String): DataFrame = {
+    val plan = txtDataBudget(spark, dir)
+      .select(col("source"), col("full_epochs"), col("rem_toks"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("sample:"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("n_toks", size(expr(toksSpark)).cast("long"))
+      .select(col("source"), col("doc_id"), col("n_toks"))
+      .join(plan, Seq("source"))
+      .withColumn("cum", sum(col("n_toks")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("mult", col("full_epochs") +
+        when(col("cum") - col("n_toks") < col("rem_toks"), 1L).otherwise(0L))
+      .filter(col("mult") > 0)
+      .select(col("source"), col("doc_id"), col("n_toks"), col("mult"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+
   /** Unigram RARITY / LM-quality score — the CCNet-style signal (Wenzek
     * et al. 2020 score docs by LM perplexity; the unigram degenerate case
     * needs no model): each doc's tokens are weighted by their CORPUS

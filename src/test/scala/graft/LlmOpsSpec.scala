@@ -1823,6 +1823,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(n1 < n0 && n2 < n1 && n4 < n3, s"stages vacuous: $n0 $n1 $n2 $n3 $n4")
   }
 
+  test("sample-exec manifest repeats the over-requested source and cuts the partial epoch deterministically") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("sampleexec").toString
+    def txt(k: Int) = Seq.fill(k)("tok").mkString(" ")
+    // totals: 110 toks, budget 2x = 220, weights 3 (src0, even) / 1 (src1)
+    // src0: 2x10 = 20 avail, requested 165 -> 8 full epochs + 5 rem
+    //   (one doc gets mult 9, the other 8 — hash order decides which)
+    // src1: 3x30 = 90 avail, requested 55 -> 0 full + 55 rem
+    //   (two docs enter the partial epoch, the third is EXCLUDED)
+    Seq(Doc(0, txt(10), "en", "src0", 0), Doc(1, txt(10), "en", "src0", 0),
+        Doc(2, txt(30), "en", "src1", 0), Doc(3, txt(30), "en", "src1", 0),
+        Doc(4, txt(30), "en", "src1", 0))
+      .toDF().write.parquet(s"$d/documents.parquet")
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"sample:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def manifest(ids: Seq[Long], per: Long, full: Long, rem: Long): Map[Long, Long] = {
+      var cum = 0L
+      ids.sortBy(i => (h(i), i)).map { i =>
+        val in = cum < rem; cum += per
+        i -> (full + (if (in) 1L else 0L))
+      }.filter(_._2 > 0).toMap
+    }
+    val want = manifest(Seq(0L, 1L), 10, 8, 5) ++ manifest(Seq(2L, 3L, 4L), 30, 0, 55)
+    val got = LlmOps.txtSampleExec(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("mult")).toMap
+    assert(got == want, s"got $got want $want")
+    // both regimes really exercised: a repeat > 1 and an excluded doc
+    assert(want.values.exists(_ > 1) && want.size == 4)
+    assert(want.filter(_._1 < 2).values.sum == 17)   // src0: 8 + 9 epochs
+    assert(want.filter(_._1 >= 2).values.sum == 2)   // src1: two partial docs
+  }
+
   test("per-source funnel slice sums to the corpus funnel at every stage") {
     // the two readouts share one flag definition (crawlFlags), so the
     // slice must reconcile with the corpus stage table exactly — and each
