@@ -1432,12 +1432,12 @@ private[analytics] trait LlmOracles {
          |o AS (SELECT d.source, d.doc_id, d.n_toks, p.full_epochs, p.rem_toks,
          |    CAST(sum(d.n_toks) OVER (PARTITION BY d.source
          |      ORDER BY md5('sample:' || CAST(d.doc_id AS STRING)), d.doc_id) AS BIGINT) AS cum
-         |  FROM d JOIN plan p ON d.source = p.source)
-         |SELECT source, doc_id, n_toks,
-         |  CAST(full_epochs + CASE WHEN cum - n_toks < rem_toks THEN 1 ELSE 0 END AS BIGINT) AS mult
-         |FROM o
-         |WHERE full_epochs + CASE WHEN cum - n_toks < rem_toks THEN 1 ELSE 0 END > 0
-         |ORDER BY source, doc_id""".stripMargin,
+         |  FROM d JOIN plan p ON d.source = p.source),
+         |m AS (SELECT source, doc_id, n_toks,
+         |    CAST(full_epochs + CASE WHEN cum - n_toks < rem_toks THEN 1 ELSE 0 END AS BIGINT) AS mult
+         |  FROM o)
+         |SELECT source, doc_id, n_toks, mult FROM m
+         |WHERE mult > 0 ORDER BY source, doc_id""".stripMargin,
 
     "mm_join" ->
       s"""SELECT d.doc_id, d.lang, d.n_chars, e.label,

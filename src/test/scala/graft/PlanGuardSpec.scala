@@ -139,6 +139,31 @@ class PlanGuardSpec extends SparkSpec {
       s"a window partitions by the skewed host key:\n${windowLines.mkString("\n")}")
   }
 
+  test("the sample-exec manifest plans two scans and a source-partitioned running total") {
+    // the documented shape: documents scanned once per side (plan +
+    // manifest), and the per-doc epoch cut runs as a running total
+    // PARTITIONED BY SOURCE — never an unpartitioned doc-level window
+    // (the budget side's global windows run over the O(sources)
+    // aggregated frame only and are identified by their lack of the
+    // doc-level md5 sort key)
+    val qe = graft.analytics.LlmOps.txtSampleExec(spark, "/root/testdata/sf0.001")
+      .queryExecution
+    val fmt = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = fmt.linesIterator.map(_.trim).count(_.startsWith("ReadSchema"))
+    assert(scans == 2, s"expected two documents scans, saw $scans")
+    // the md5 sort key is projected to _w0 pre-window, so identify the
+    // doc-level window as the PARTITIONED one (the budget side's global
+    // windows open with specifiedwindowframe — no partition columns)
+    val wls = qe.executedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    val partitioned = wls.filterNot(_.contains("windowspecdefinition(specifiedwindowframe"))
+    assert(partitioned.nonEmpty &&
+      partitioned.forall(l => l.contains("windowspecdefinition(source") &&
+        l.contains("sum(n_toks")),
+      s"doc-level cut not a source-partitioned running total:\n${partitioned.mkString("\n")}")
+  }
+
   test("the host cap plans as a bounded map-side top-k aggregate, not a window sort") {
     // dd_host_cap's scale claim: under the ~50%-mass hot host, a
     // row_number() window would sort half the corpus on one reducer; the
