@@ -212,7 +212,7 @@ private[analytics] trait DedupOps {
     * url_norm — the shared [[OpsKernels.bucketedStateTable]] lifecycle,
     * same as the fingerprint state's. */
   private[analytics] def frontierTable(spark: SparkSession, dir: String): String =
-    bucketedStateTable(spark, s"graft_frontier_bucketed_${Tables.dirTag(dir)}", "url_norm") {
+    bucketedStateTable(spark, s"graft_frontier_bucketed_${Tables.dirTag(dir)}", "url_norm", dir) {
       urlNormalized(spark, dir)
         .filter(expr("doc_id % 4 <> 3"))
         .select(col("url_norm")).distinct()

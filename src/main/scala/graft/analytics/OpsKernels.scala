@@ -136,10 +136,24 @@ private[analytics] trait OpsKernels {
     * the files persist — and the walk stream is CLOSED, unlike the
     * copies this replaces), single writer task at test SF (production
     * repartitions on the bucket key instead, sized so each task writes
-    * one healthy file per bucket). */
+    * one healthy file per bucket).
+    *
+    * Like [[memoCell]], the lifecycle is SOURCE-FINGERPRINTED: the
+    * [[dirFingerprint]] observed at build time is recorded session-side,
+    * and a call that observes a strictly NEWER fingerprint (the driver
+    * regenerates testdata dirs mid-session) drops and rebuilds the table
+    * instead of serving stale frontier/fingerprint state to the
+    * incremental queries. Strictly-newer, not `!=`, for the same
+    * monotonic-mtime race reason memoCell documents. */
+  private[analytics] lazy val bucketedFpMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+
+
   private[analytics] def bucketedStateTable(spark: SparkSession, name: String,
-      key: String)(build: => DataFrame): String = synchronized {
-    if (!spark.catalog.tableExists(name)) {
+      key: String, dir: String)(build: => DataFrame): String = synchronized {
+    val fp = dirFingerprint(spark, dir)
+    val stale = Option(bucketedFpMemo.get((spark, name))).exists(_.longValue < fp)
+    if (stale || !spark.catalog.tableExists(name)) {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         .stripPrefix("file:")
@@ -152,6 +166,7 @@ private[analytics] trait OpsKernels {
         } finally walk.close()
       }
       build.repartition(1).write.bucketBy(8, key).sortBy(key).saveAsTable(name)
+      bucketedFpMemo.put((spark, name), java.lang.Long.valueOf(fp))
     }
     name
   }

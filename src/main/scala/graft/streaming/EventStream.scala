@@ -396,10 +396,14 @@ object EventStream {
       .withColumn("one", lit(1))
     // each cosine computed ONCE (transform), then a strict-> fold over the
     // ascending-cent_id structs — the (cos desc, cent_id asc) argmax.
-    // PRECONDITION: centroid norms are nonzero (serveCentroids draws them
-    // from corpus vectors) — a zero-norm centroid yields a NaN cosine,
-    // which `>` never selects while the batch window's NaN-first DESC
-    // order would.
+    // PRECONDITION (bit-exact parity): centroid AND query norms are
+    // nonzero (serveCentroids draws centroids from corpus vectors; real
+    // embeddings are non-degenerate) — a zero norm on either side yields
+    // NaN cosines, which `>` never selects while the batch window's
+    // NaN-first DESC order would. A query whose cosines are ALL NaN
+    // keeps the (-2.0, -1) sentinel cell, joins no corpus cell below,
+    // and surfaces as an EXPLICIT rejected verdict (rk 0, cid -1,
+    // cos NaN) rather than silently disappearing from the stream.
     val dotC = "aggregate(zip_with(embedding, c.cemb, (x, y) -> " +
       "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     val bestSql =
@@ -408,24 +412,33 @@ object EventStream {
          |    'cos', $dotC / sqrt(qn * c.cnrm), 'cell', c.cent_id)),
          |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
          |  (acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END)""".stripMargin
+    // LEFT join: a degenerate query (sentinel cell -1, or a cell with no
+    // members) still reaches the reducer, which emits the explicit
+    // rejected verdict — loud, not lost.
     val cands = queries
       .withColumn("qn", dotF(col("embedding"), col("embedding")))
       .withColumn("one", lit(1))
       .join(broadcast(packed), Seq("one"))
       .withColumn("cell", expr(bestSql).getField("cell"))
-      .join(corpus, col("cell") === col("ccell"))
+      .join(corpus, col("cell") === col("ccell"), "left")
       .select(col("vec_id").as("qid"), col("cid"),
-        (dotF(col("embedding"), col("ce")) / sqrt(col("qn") * col("cn"))).as("cos"))
-      .as[(Long, Long, Double)]
+        when(col("cid").isNotNull,
+          dotF(col("embedding"), col("ce")) / sqrt(col("qn") * col("cn"))).as("cos"))
+      .as[(Long, Option[Long], Option[Double])]
     cands.groupByKey(_._1)
       .flatMapGroupsWithState[Int, ServeHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (qid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Int]) =>
+        (qid: Long, rows: Iterator[(Long, Option[Long], Option[Double])],
+         state: GroupState[Int]) =>
           // Spark's DESC double ordering puts NaN FIRST; Scala's default
           // negate-and-sort would put it last — use the explicit reversed
           // TotalOrdering so a NaN cosine ranks exactly as the batch
           // window does
-          rows.map { case (_, cid, cos) => (cid, cos) }.toSeq
+          val hits = rows.collect { case (_, Some(cid), Some(cos)) => (cid, cos) }.toSeq
+          if (hits.isEmpty)
+            // rejected-query marker: rk 0 never collides with real ranks
+            Iterator.single(ServeHit(qid, 0, -1L, Double.NaN))
+          else hits
             .sortBy { case (cid, cos) => (cos, cid) }(
               Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
             .take(5).zipWithIndex

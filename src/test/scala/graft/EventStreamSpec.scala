@@ -632,6 +632,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serve rejects a degenerate (zero-norm) query LOUDLY") {
+    // The ADVICE r15 hole: a query whose cosines are all NaN (zero-norm
+    // vector) used to keep the sentinel cell -1, join nothing, and vanish
+    // from the stream. It must now surface as an explicit rejected
+    // verdict (rk 0, cid -1, cos NaN) while normal queries in the same
+    // micro-batch still serve their top-5.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.analytics.LlmOps.serveCentroids(spark, dir)
+    val corpus = graft.analytics.LlmOps.ivfServeAssignTable(spark, dir)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"),
+        $"nrm".as("cn"), $"cell".as("ccell"))
+    val normal = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" % 200 === 3)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].head()
+    val degenerate = (-7L, Seq.fill(64)(0.0f))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.toMemorySink(
+      EventStream.annServe(input.toDF().toDF("vec_id", "embedding"), cents, corpus).toDF(),
+      "ann_serve_degen", OutputMode.Append())
+    try {
+      input.addData(Seq(normal, degenerate)); q.processAllAvailable()
+      val rows = spark.table("ann_serve_degen").collect()
+      val rejected = rows.filter(_.getAs[Long]("qid") == -7L)
+      assert(rejected.length == 1, s"expected ONE rejected verdict, got ${rejected.toSeq}")
+      assert(rejected.head.getAs[Int]("rk") == 0 &&
+        rejected.head.getAs[Long]("cid") == -1L &&
+        rejected.head.getAs[Double]("cos").isNaN,
+        s"rejected verdict malformed: ${rejected.head}")
+      val served = rows.filter(_.getAs[Long]("qid") == normal._1)
+      assert(served.length == 5 && served.map(_.getAs[Int]("rk")).sorted.toSeq == Seq(1, 2, 3, 4, 5),
+        s"normal query no longer serves top-5: ${served.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming PII census equals the oracle-checked batch txt_pii_census per source") {
     // The privacy-health-consistency contract: the same documents, fed
     // as a stream in 4 micro-batches, scored with the same scan-side PII
