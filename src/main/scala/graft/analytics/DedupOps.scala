@@ -412,6 +412,141 @@ private[analytics] trait DedupOps {
       .orderBy(col("source"))
 
 
+  // ------------------------------------------------------------- takedown
+
+
+  /** Deterministic TAKEDOWN list — doc_id ≡ 11 (mod 23), the planted
+    * convention of the family (quarantine damage %10, held-out batch %4,
+    * serve tombstones %5, snapshot splits %7 — 23 is prime and coprime to
+    * all of them, so the list intersects every derived state at every
+    * SF). ONE fragment interpolated into the Spark filters AND the Duck
+    * mirror, like the band/cap constants. */
+  private[graft] lazy val takedownSql = "doc_id % 23 = 11"
+
+
+  /** ONE documents pass behind the doc-keyed takedown states: per doc —
+    * the takedown flag, membership in the fingerprint state (doc_id <
+    * [[IngestOps.IncrementalSplit]], the corpus split every incremental
+    * query uses), and the token weight the shard manifest accounts in. */
+  private[graft] def takedownDocFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), expr(takedownSql).as("gone"),
+        (col("doc_id") < IncrementalSplit).as("in_fp"),
+        size(col("toks")).cast("long").as("n_toks"))
+
+
+  /** The takedown's per-STATE flagged frames — (state_id, state, frame)
+    * where each frame is (key, gone, w): every row the state physically
+    * holds, whether the takedown removes it, and the unit it is accounted
+    * in (rows everywhere; TOKENS for the shard manifest — the readout a
+    * training plan needs). ONE kernel consumed by BOTH the census
+    * ([[ddTakedown]]) and the post-state parity spec, so the counts
+    * published and the rows actually deleted can never disagree.
+    *
+    *  - corpus: every document; gone = on the list.
+    *  - fingerprints: the bucketed fingerprint state's rows (one per
+    *    corpus-split doc). Physical-row semantics: a fp row leaves with
+    *    its doc; content shared with a surviving doc keeps that doc's own
+    *    row, so re-ingest admission is unaffected.
+    *  - band_state: the incremental probe's capped LSH band rows
+    *    ([[nearDupCorpusState]]'s (doc_id, band, bh) layout) — rows of
+    *    taken-down docs leave; freed bucket slots refill at the next
+    *    state rebuild, not here (the sim family's compact-vs-delete
+    *    split).
+    *  - frontier: a normalized URL leaves ONLY when every fetch that
+    *    contributed it is taken down (bool_and) — a URL with a surviving
+    *    holder must keep refusing re-crawls.
+    *  - shard_manifest: the doc→shard assignment, weighted by tokens. */
+  private[graft] def takedownStates(spark: SparkSession, dir: String): Seq[(Long, String, DataFrame)] = {
+    val doc = takedownDocFlags(spark, dir)
+    val corpus = doc.select(col("doc_id").cast("string").as("key"), col("gone"), lit(1L).as("w"))
+    val fps = doc.filter(col("in_fp"))
+      .select(col("doc_id").cast("string").as("key"), col("gone"), lit(1L).as("w"))
+    val band = cappedWideBands(
+        minhashWideSig(spark, dir).filter(col("doc_id") < IncrementalSplit), IncrementalProbeCap)
+      .select(col("doc_id").cast("string").as("key"), expr(takedownSql).as("gone"), lit(1L).as("w"))
+    val frontier = urlNormalized(spark, dir).filter(expr("doc_id % 4 <> 3"))
+      .groupBy(col("url_norm"))
+      .agg(bool_and(expr(takedownSql)).as("gone"))
+      .select(col("url_norm").as("key"), col("gone"), lit(1L).as("w"))
+    val manifest = doc.select(col("doc_id").cast("string").as("key"), col("gone"), col("n_toks").as("w"))
+    Seq((0L, "corpus", corpus), (1L, "fingerprints", fps), (2L, "band_state", band),
+      (3L, "frontier", frontier), (4L, "shard_manifest", manifest))
+  }
+
+
+  /** TAKEDOWN propagation census — the right-to-be-forgotten pass a
+    * production corpus legally needs: a deterministic deletion list
+    * ([[takedownSql]]) is removed from the corpus AND every derived state
+    * the pipeline keeps (content fingerprints, LSH band state, crawl
+    * frontier, shard manifest), and the census publishes per-state
+    * CONSERVATION — n_before, n_removed, n_after, each counted
+    * independently (removed = rows flagged gone, after = rows flagged
+    * not-gone; before = the whole frame), so before = removed + after is
+    * a checked identity in both engines, not an arithmetic tautology of
+    * one. The text side's analogue of the sim family's tombstone/compact
+    * pair ([[SimOps.simIvfServeDelete]]/[[SimOps.simIvfCompact]]).
+    *
+    * Scale shape: five map-side-combinable aggregations, one per state —
+    * the doc-keyed states share the [[takedownDocFlags]] projection, the
+    * frontier folds per-URL with the two-phase bool_and, the band state
+    * aggregates the memoized signature spine; nothing shuffles but the
+    * frontier's (url_norm, flag) pairs. Constant 5-row output at any
+    * corpus size. */
+  def ddTakedown(spark: SparkSession, dir: String): DataFrame =
+    takedownStates(spark, dir).map { case (id, name, df) =>
+      df.agg(
+          sum(col("w")).as("n_before"),
+          sum(when(col("gone"), col("w")).otherwise(0L)).as("n_removed"),
+          sum(when(!col("gone"), col("w")).otherwise(0L)).as("n_after"))
+        .select(lit(id).as("state_id"), lit(name).as("state"),
+          col("n_before"), col("n_removed"), col("n_after"))
+    }.reduce(_ unionByName _).orderBy(col("state_id"))
+
+
+  // --------------------------------------------------------- snapshot diff
+
+
+  /** Snapshot mod-splits + the planted content revision, shared VERBATIM
+    * with the Duck mirror: crawl v1 lacks the %7=2 docs (added in v2),
+    * v2 lacks the %7=5 docs (removed since v1), and the %7=3 docs
+    * changed content between the two snapshots (the in-query plant, like
+    * the PII contact block — the corpus itself has no second version). */
+  private[graft] lazy val snapV1Pred = "doc_id % 7 <> 2"
+  private[graft] lazy val snapV2Pred = "doc_id % 7 <> 5"
+  private[graft] lazy val snapRev2Sql = "CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END"
+
+
+  /** CORPUS SNAPSHOT DIFF — the readout a periodic re-crawl publishes:
+    * between crawl v1 and crawl v2, how many docs were added, removed,
+    * content-changed, and unchanged. The full-outer-join shape the
+    * incremental family deliberately does not cover (it answers "new
+    * batch vs frozen corpus"; this answers "version vs version" — absence
+    * on EITHER side is a category). Change detection by content
+    * fingerprint (md5), not byte compare: the fingerprints are computed
+    * IN the scan projection, so only (doc_id, fp) pairs ever shuffle —
+    * text never crosses the exchange however wide the corpus. At
+    * deployment the two snapshots are separate crawl tables bucketed on
+    * doc_id and the join is zero-exchange; here both sides derive from
+    * the one documents table (the mod-split plant), which is the harness
+    * artifact, not the operator's shape. Constant 4-row output; frac is
+    * one long/long IEEE division against the window total. */
+  def ddSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(expr(snapV1Pred)).select(col("doc_id"), md5(col("text")).as("fp1"))
+    val v2 = docs.filter(expr(snapV2Pred)).select(col("doc_id"), md5(expr(snapRev2Sql)).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(when(col("fp1").isNull, "added")
+        .when(col("fp2").isNull, "removed")
+        .when(col("fp1") =!= col("fp2"), "changed")
+        .otherwise("unchanged").as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("frac", col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()))
+      .orderBy(col("category"))
+  }
+
+
   /** The thresholded containment pair table — memoized on the family's
     * fingerprint spine and prewarmed as explicitly-timed state (see
     * [[stateBuilders]]), like the jaccard pairs it parallels. */

@@ -165,6 +165,50 @@ private[analytics] trait IngestOps {
   // ------------------------------------------------------------ multimodal
 
 
+  /** The pair-curation keep threshold — LAION's CLIP-similarity cutoff
+    * (Schuhmann et al. 2021 used 0.28 for ViT-B/32 scores); explicit
+    * DOUBLE so neither engine parses a DECIMAL. Shared verbatim by the
+    * Spark filter and the Duck mirror. */
+  private[graft] lazy val ClipThresholdSql = "CAST(0.28 AS DOUBLE)"
+
+
+  /** Multimodal PAIR-CURATION gate — the LAION-style image-text filter,
+    * the multimodal analogue of `txt_classifier`: each text doc joins its
+    * pair's image embedding, the cross-modal cosine is scored with the
+    * same codegen'd dot kernel the sim family uses, and pairs below the
+    * CLIP threshold are cut; the readout is per-source keep fractions
+    * (the curation table a captioning pipeline acts on). Pairing is the
+    * deterministic plant: docs (2k, 2k+1) share image 2k, so every even
+    * doc is a MATCHED pair (its own embedding, cos = 1) and every odd doc
+    * a candidate MISMATCH scored against its neighbor's image — the
+    * centered synthetic embeddings put odd-pair cosines around 0, so the
+    * 0.28 gate genuinely separates (spec pins both populations).
+    *
+    * Scale shape: two equi-joins on id — text⋈embedding co-partitioned on
+    * doc_id, then the image side keyed on the even partner (fanout ≤ 2
+    * per image, no skew); the three dot products run in the join
+    * projection via [[OpsKernels.dotF]] (whole-stage codegen), and the
+    * census is one map-side-combinable O(sources) aggregation. Nothing
+    * wide ever shuffles but (id, embedding) rows. */
+  def mmClipFilter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val txt = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(e.select(col("vec_id"), col("embedding").as("temb")),
+        col("doc_id") === col("vec_id"))
+      .withColumn("img_id", col("doc_id") - (col("doc_id") % 2))
+    val img = e.select(col("vec_id").as("img_id"), col("embedding").as("iemb"))
+    txt.join(img, Seq("img_id"))
+      .withColumn("cos", dotF(col("temb"), col("iemb")) /
+        sqrt(dotF(col("temb"), col("temb")) * dotF(col("iemb"), col("iemb"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("cos") >= expr(ClipThresholdSql), 1)).as("n_kept"))
+      .withColumn("kept_frac", col("n_kept") / col("n_pairs"))
+      .orderBy(col("source"))
+  }
+
+
   /** Multimodal column plumbing: treat content as opaque binary + typed
     * metadata (byte length, sha256 digest) — the schema/partitioning layer
     * under decode UDFs (see [[Multimodal]] for the batch decode path). */

@@ -90,6 +90,9 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_source_overlap" -> ddSourceOverlap _,
     "dd_crawl_funnel" -> ddCrawlFunnel _,
     "dd_funnel_by_source" -> ddFunnelBySource _,
+    "dd_takedown" -> ddTakedown _,
+    "dd_snapshot_diff" -> ddSnapshotDiff _,
+    "mm_clip_filter" -> mmClipFilter _,
     "txt_langid_confusion" -> txtLangidConfusion _,
     "txt_pii" -> txtPii _,
     "txt_pii_census" -> txtPiiCensus _,

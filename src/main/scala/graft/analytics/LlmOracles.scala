@@ -817,6 +817,67 @@ private[analytics] trait LlmOracles {
          |  count(*) FILTER (WHERE p4) / count(*) AS clean_frac
          |FROM flags GROUP BY source ORDER BY source""".stripMargin,
 
+    // takedown propagation: each state censused independently — the
+    // doc-keyed states from one documents pass, the frontier per-URL
+    // bool_and, the band state over the capped-band CTE the incremental
+    // probe's mirror uses
+    "dd_takedown" ->
+      s"""WITH $baseDuck, $urlNormDuck, ${wideSigStackDuck()},
+         |cb0 AS (
+         |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
+         |cb AS (
+         |  SELECT doc_id, band, bh FROM (
+         |    SELECT doc_id, band, bh,
+         |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+         |    FROM cb0)
+         |  WHERE rn <= $IncrementalProbeCap),
+         |s_doc AS (
+         |  SELECT
+         |    CAST(count(*) AS BIGINT) AS c_b,
+         |    CAST(count(*) FILTER (WHERE $takedownSql) AS BIGINT) AS c_r,
+         |    CAST(count(*) FILTER (WHERE NOT ($takedownSql)) AS BIGINT) AS c_a,
+         |    CAST(count(*) FILTER (WHERE doc_id < $IncrementalSplit) AS BIGINT) AS f_b,
+         |    CAST(count(*) FILTER (WHERE doc_id < $IncrementalSplit AND ($takedownSql)) AS BIGINT) AS f_r,
+         |    CAST(count(*) FILTER (WHERE doc_id < $IncrementalSplit AND NOT ($takedownSql)) AS BIGINT) AS f_a,
+         |    CAST(sum(len(toks)) AS BIGINT) AS m_b,
+         |    CAST(sum(CASE WHEN $takedownSql THEN len(toks) ELSE 0 END) AS BIGINT) AS m_r,
+         |    CAST(sum(CASE WHEN NOT ($takedownSql) THEN len(toks) ELSE 0 END) AS BIGINT) AS m_a
+         |  FROM base),
+         |s_band AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS b,
+         |    CAST(count(*) FILTER (WHERE $takedownSql) AS BIGINT) AS r,
+         |    CAST(count(*) FILTER (WHERE NOT ($takedownSql)) AS BIGINT) AS a
+         |  FROM cb),
+         |s_fr0 AS (SELECT url_norm, bool_and($takedownSql) AS gone
+         |  FROM n WHERE doc_id % 4 <> 3 GROUP BY url_norm),
+         |s_fr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS b,
+         |    CAST(count(*) FILTER (WHERE gone) AS BIGINT) AS r,
+         |    CAST(count(*) FILTER (WHERE NOT gone) AS BIGINT) AS a
+         |  FROM s_fr0)
+         |SELECT CAST(0 AS BIGINT) AS state_id, 'corpus' AS state,
+         |  c_b AS n_before, c_r AS n_removed, c_a AS n_after FROM s_doc
+         |UNION ALL SELECT 1, 'fingerprints', f_b, f_r, f_a FROM s_doc
+         |UNION ALL SELECT 2, 'band_state', b, r, a FROM s_band
+         |UNION ALL SELECT 3, 'frontier', b, r, a FROM s_fr
+         |UNION ALL SELECT 4, 'shard_manifest', m_b, m_r, m_a FROM s_doc
+         |ORDER BY state_id""".stripMargin,
+
+    // snapshot diff: v1/v2 mod-splits + the %7=3 content revision shared
+    // verbatim with the Spark side; category off the fp full outer join
+    "dd_snapshot_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents WHERE $snapV1Pred),
+         |v2 AS (SELECT doc_id, md5($snapRev2Sql) AS fp2 FROM documents WHERE $snapV2Pred),
+         |c AS (
+         |  SELECT CASE WHEN fp1 IS NULL THEN 'added'
+         |              WHEN fp2 IS NULL THEN 'removed'
+         |              WHEN fp1 <> fp2 THEN 'changed'
+         |              ELSE 'unchanged' END AS category
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT category, count(*) AS n_docs,
+         |  count(*) / CAST(sum(count(*)) OVER () AS BIGINT) AS frac
+         |FROM c GROUP BY category ORDER BY category""".stripMargin,
+
     "dd_source_overlap" ->
       s"""WITH $baseDuck, $shinglePairsDuck,
          |pr AS (
@@ -1444,6 +1505,24 @@ private[analytics] trait LlmOracles {
          |  ${dot("e.embedding", "e.embedding", 1)} AS nrm
          |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // pair curation: the (2k, 2k+1)-share-image-2k plant, cross-modal
+    // cosine through the explicit left-associated dot chain (bit-equal
+    // to the Spark side's dot_f), LAION 0.28 gate
+    "mm_clip_filter" ->
+      s"""WITH t AS (
+         |  SELECT d.doc_id, d.source, e.embedding AS temb,
+         |    d.doc_id - (d.doc_id % 2) AS img_id
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |p AS (
+         |  SELECT t.source,
+         |    (${dot("t.temb", "i.embedding", 1)}) /
+         |      sqrt((${dot("t.temb", "t.temb", 1)}) * (${dot("i.embedding", "i.embedding", 1)})) AS cos
+         |  FROM t JOIN embeddings i ON t.img_id = i.vec_id)
+         |SELECT source, count(*) AS n_pairs,
+         |  count(*) FILTER (WHERE cos >= $ClipThresholdSql) AS n_kept,
+         |  count(*) FILTER (WHERE cos >= $ClipThresholdSql) / count(*) AS kept_frac
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH d AS (

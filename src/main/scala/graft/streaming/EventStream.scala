@@ -446,6 +446,24 @@ object EventStream {
       }
   }
 
+  /** LATE-DATA loss census — the one streaming loss mode the family had
+    * no accounting for: rows arriving behind the watermark are dropped
+    * BEFORE the stateful operator, so they appear in no sink and no
+    * census row. Spark meters exactly that drop per micro-batch
+    * (`numRowsDroppedByWatermark` on each stateful operator's progress);
+    * this folds the query's progress history into the one number an
+    * ingestion dashboard alarms on — the no-silent-drops rule
+    * (quarantine census, cap accounting) applied to event time. Bounded
+    * by the progress retention window (`spark.sql.streaming
+    * .numRecentProgressUpdates`, default 100 micro-batches); a deployment
+    * accumulates the per-batch values into its metrics store instead.
+    * EventStreamSpec plants late arrivals and pins the admitted windows
+    * equal to a batch recomputation minus exactly the planted rows, with
+    * this census equal to the planted count. */
+  def lateDrops(q: StreamingQuery): Long =
+    q.recentProgress.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+
+
   /** Wire a streaming DataFrame to a memory sink for tests/demos. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -36,6 +36,53 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-data census: watermark drops are counted, admitted windows equal the batch cutoff") {
+    // The one streaming loss mode without accounting until now: rows
+    // behind the watermark vanish BEFORE the aggregation. Plant late
+    // arrivals in later micro-batches and pin (a) the admitted window
+    // table equal to the SAME transform run in batch over the events
+    // minus exactly the planted rows, (b) lateDrops == the planted count.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.toMemorySink(
+      EventStream.windowedCounts(input.toDF()), "late_census", OutputMode.Append())
+    val onTime = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 2.0),
+      Event(3, ts(6), 2, "error", 3.0),
+      Event(4, ts(30), 1, "click", 1.0),   // batch 1 tail: watermark → 10:20
+      Event(6, ts(31), 2, "view", 2.0),    // batch 2 on-time companion
+      Event(8, ts(55), 1, "click", 4.0))   // batch 3: closes the 10:30 window
+    val late = Seq(
+      Event(5, ts(3), 1, "click", 8.0),    // batch 2: 10:03 < watermark 10:20
+      Event(7, ts(12), 2, "error", 9.0))   // batch 3: 10:12 < watermark 10:21
+    try {
+      input.addData(onTime(0), onTime(1), onTime(2), onTime(3))
+      q.processAllAvailable()
+      input.addData(late(0), onTime(4))
+      q.processAllAvailable()
+      input.addData(late(1), onTime(5))
+      q.processAllAvailable()
+      // one more advance (watermark → 11:20) so every on-time window,
+      // the 10:55 one included, has closed and emitted
+      input.addData(Event(9, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(EventStream.lateDrops(q) == late.size.toLong,
+        s"late census: got ${EventStream.lateDrops(q)}, planted ${late.size}")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Timestamp]("w_start").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))
+      val got = spark.table("late_census").collect().map(key).toSet
+      // batch recomputation with the same cutoff: the transform itself
+      // over the on-time rows only (the unified-model twin below), minus
+      // the final barrier event's still-open window
+      val want = EventStream.windowedCounts(onTime.toDF()).collect().map(key).toSet
+      assert(want.nonEmpty && got == want,
+        s"admitted windows diverged:\n extra=${got -- want}\n missing=${want -- got}")
+    } finally q.stop()
+  }
+
   test("streaming transform run in batch mode equals the batch tumbling query (unified semantics)") {
     // Spark's unified model: the SAME windowedCounts transform accepts a
     // bounded DataFrame (withWatermark is a no-op in batch). Running it

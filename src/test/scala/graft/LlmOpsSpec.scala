@@ -1897,4 +1897,118 @@ class LlmOpsSpec extends SparkSpec {
       ("en", "en") -> ((1L, 1L, 1.0)), ("es", "es") -> ((1L, 1L, 1.0)),
       ("zh", "en") -> ((1L, 1L, 1.0))))
   }
+
+  test("takedown: census conserves per state, list absent from every post-state, control present in all") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = LlmOps.ddTakedown(spark, dir).collect().sortBy(_.getAs[Long]("state_id"))
+    assert(rows.map(_.getAs[String]("state")).toSeq ==
+      Seq("corpus", "fingerprints", "band_state", "frontier", "shard_manifest"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_before") ==
+        r.getAs[Long]("n_removed") + r.getAs[Long]("n_after"),
+        s"conservation broken at ${r.getAs[String]("state")}: $r")
+      assert(r.getAs[Long]("n_removed") > 0,
+        s"takedown vacuous at ${r.getAs[String]("state")}")
+      assert(r.getAs[Long]("n_after") > 0,
+        s"takedown emptied ${r.getAs[String]("state")}")
+    }
+    // census vs first principles for the states recomputable from a raw read
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong
+    def td(id: Long) = id % 23 == 11
+    val byState = rows.map(r => r.getAs[String]("state") ->
+      ((r.getAs[Long]("n_before"), r.getAs[Long]("n_removed")))).toMap
+    assert(byState("corpus") == ((docs.length.toLong, docs.count(d => td(d._1)).toLong)))
+    assert(byState("fingerprints") ==
+      ((docs.count(_._1 < 250).toLong, docs.count(d => d._1 < 250 && td(d._1)).toLong)))
+    assert(byState("shard_manifest") ==
+      ((docs.map(d => toks(d._2)).sum, docs.filter(d => td(d._1)).map(d => toks(d._2)).sum)))
+    // doc-keyed post-states: every listed doc gone from ALL of them, the
+    // control doc (takedown doc - 1, never on a %23 list) in all it was in
+    val frames = LlmOps.takedownStates(spark, dir)
+      .map { case (_, name, df) => name -> df }.toMap
+    val takedownDoc = docs.map(_._1).filter(td).filter(_ < 250).min
+    val control = takedownDoc - 1
+    Seq("corpus", "fingerprints", "band_state", "shard_manifest").foreach { st =>
+      val df = frames(st)
+      val survivors = df.filter(!org.apache.spark.sql.functions.col("gone"))
+        .collect().map(_.getAs[String]("key")).toSet
+      val removed = df.filter(org.apache.spark.sql.functions.col("gone"))
+        .collect().map(_.getAs[String]("key")).toSet
+      assert((survivors & removed).isEmpty, s"$st: a key both survives and leaves")
+      assert(!survivors.contains(takedownDoc.toString), s"$st still holds doc $takedownDoc")
+      if (st != "band_state") // band rows exist only for shingled docs
+        assert(survivors.contains(control.toString), s"$st lost control doc $control")
+    }
+    // frontier: a URL leaves only when EVERY holder is on the list
+    val holders = LlmOps.urlNormalized(spark, dir)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 4 <> 3"))
+      .collect().groupBy(_.getAs[String]("url_norm"))
+      .map { case (u, rs) => u -> rs.map(_.getAs[Long]("doc_id")).toSeq }
+    val frontierSurvivors = frames("frontier")
+      .filter(!org.apache.spark.sql.functions.col("gone"))
+      .collect().map(_.getAs[String]("key")).toSet
+    holders.foreach { case (u, ids) =>
+      assert(frontierSurvivors.contains(u) == ids.exists(!td(_)),
+        s"frontier wrong for $u (holders $ids)")
+    }
+  }
+
+  test("snapshot diff recovers exactly the planted add/remove/change categories") {
+    val dir = "/root/testdata/sf0.001"
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id"))
+    val want = Map(
+      "added" -> ids.count(_ % 7 == 2).toLong,
+      "removed" -> ids.count(_ % 7 == 5).toLong,
+      "changed" -> ids.count(_ % 7 == 3).toLong,
+      "unchanged" -> ids.count(i => i % 7 != 2 && i % 7 != 5 && i % 7 != 3).toLong)
+    val total = want.values.sum
+    val got = LlmOps.ddSnapshotDiff(spark, dir).collect()
+      .map(r => r.getAs[String]("category") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("frac")))).toMap
+    assert(got.keySet == want.keySet, s"categories: ${got.keySet}")
+    want.foreach { case (cat, n) =>
+      assert(got(cat) == ((n, n.toDouble / total)), s"$cat: ${got(cat)} want $n/$total")
+      assert(n > 0, s"planted category $cat vacuous")
+    }
+  }
+
+  test("clip filter keeps every matched (even) pair, cuts mismatches, and matches a scalar recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    // the dot_f contract: left-to-right double accumulation from 0.0
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val want = src.keys.toSeq.flatMap { id =>
+      emb.get(id).flatMap { t =>
+        emb.get(id - id % 2).map { im =>
+          val cos = dot(t, im) / math.sqrt(dot(t, t) * dot(im, im))
+          (src(id), cos >= 0.28)
+        }
+      }
+    }.groupBy(_._1).map { case (s, ps) =>
+      s -> ((ps.size.toLong, ps.count(_._2).toLong))
+    }
+    val got = LlmOps.mmClipFilter(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept")))).toMap
+    assert(got == want, s"clip census diverged:\n got=$got\nwant=$want")
+    // matched pairs (even ids, self-image) all survive; the gate bites
+    val evens = src.keys.count(id => id % 2 == 0 && emb.contains(id)).toLong
+    val kept = got.values.map(_._2).sum
+    val pairs = got.values.map(_._1).sum
+    assert(kept >= evens, "a matched pair was cut")
+    assert(kept < pairs, "gate vacuous: nothing cut")
+  }
 }
