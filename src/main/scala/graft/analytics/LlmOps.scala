@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   *    shingles in > 0.1% of docs) bounds the worst key.
   */
 object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
-    with IngestOps with LlmOracles {
+    with IngestOps with LlmOracles
+    with TxtOracles with DedupOracles with SimOracles with IngestOracles {
 
 
   /** One-time family STATE builds, exposed so Bench can time them as an
