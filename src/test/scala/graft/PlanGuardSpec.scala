@@ -100,6 +100,23 @@ class PlanGuardSpec extends SparkSpec {
       s"unexpected join in the single-scan gate:\n${plan.take(600)}")
   }
 
+  test("the snapshot diff shuffles fingerprints only — text never crosses an exchange") {
+    // the operator's scale claim: md5 folds into the scan projection, so
+    // the full-outer join moves (doc_id, fp) pairs, never document text
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val qe = graft.analytics.LlmOps.ddSnapshotDiff(spark, "/root/testdata/sf0.001")
+      .queryExecution
+    val leaky = qe.executedPlan.collect {
+      case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
+    }
+    assert(leaky.isEmpty, s"text column crosses an exchange:\n${leaky.headOption}")
+    // and the scans read only the two columns the fingerprint needs
+    val fmt = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = fmt.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty && schemas.forall(_.contains("struct<doc_id:bigint,text:string>")),
+      s"documents scan not pruned to (doc_id, text):\n$schemas")
+  }
+
   test("the forward as-of window keeps the GROWING frame, never the shrinking one") {
     // q37's 302s sf1z lesson: (1, unboundedFollowing) is a SHRINKING frame
     // that WindowExec recomputes from scratch per row — O(rows²) in the
