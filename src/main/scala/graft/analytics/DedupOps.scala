@@ -128,6 +128,16 @@ private[analytics] trait DedupOps {
   private[graft] lazy val hostOfSql = "split_part(url_norm, '/', 1)"
 
 
+  /** The URL family's held-out-batch / frontier split — ONE pair of
+    * negated fragments (the takedownSql convention) shared by the two
+    * incremental gates, the frontier state, the takedown census, and
+    * their Duck mirrors; a drifted copy of this predicate would let the
+    * census and the state it claims to census disagree while every
+    * oracle stayed green. */
+  private[graft] lazy val urlBatchPredSql = "doc_id % 4 = 3"
+  private[graft] lazy val urlFrontierPredSql = "doc_id % 4 <> 3"
+
+
   /** Shared derivation: doc_id → (doc_id, url, url_norm). Spec-visible so
     * the planted twins' RAW urls can be asserted messy. */
   private[graft] def urlNormalized(spark: SparkSession, dir: String): DataFrame =
@@ -178,8 +188,8 @@ private[analytics] trait DedupOps {
     val w = Window.partitionBy(col("url_norm"))
     urlNormalized(spark, dir)
       .withColumn("n_frontier",
-        sum(when(expr("doc_id % 4 <> 3"), 1L).otherwise(0L)).over(w))
-      .filter(expr("doc_id % 4 = 3") && col("n_frontier") === 0L)
+        sum(when(expr(urlFrontierPredSql), 1L).otherwise(0L)).over(w))
+      .filter(expr(urlBatchPredSql) && col("n_frontier") === 0L)
       .select(col("doc_id"), col("url_norm"))
       .orderBy(col("doc_id"))
   }
@@ -200,7 +210,7 @@ private[analytics] trait DedupOps {
   def ddUrlIncrementalBucketed(spark: SparkSession, dir: String): DataFrame = {
     val t = frontierTable(spark, dir)
     urlNormalized(spark, dir)
-      .filter(expr("doc_id % 4 = 3"))
+      .filter(expr(urlBatchPredSql))
       .join(spark.table(t).hint("merge"), Seq("url_norm"), "left_anti")
       .select(col("doc_id"), col("url_norm"))
       .orderBy(col("doc_id"))
@@ -214,7 +224,7 @@ private[analytics] trait DedupOps {
   private[analytics] def frontierTable(spark: SparkSession, dir: String): String =
     bucketedStateTable(spark, s"graft_frontier_bucketed_${Tables.dirTag(dir)}", "url_norm", dir) {
       urlNormalized(spark, dir)
-        .filter(expr("doc_id % 4 <> 3"))
+        .filter(expr(urlFrontierPredSql))
         .select(col("url_norm")).distinct()
     }
 
@@ -466,7 +476,7 @@ private[analytics] trait DedupOps {
     val band = cappedWideBands(
         minhashWideSig(spark, dir).filter(col("doc_id") < IncrementalSplit), IncrementalProbeCap)
       .select(col("doc_id").cast("string").as("key"), expr(takedownSql).as("gone"), lit(1L).as("w"))
-    val frontier = urlNormalized(spark, dir).filter(expr("doc_id % 4 <> 3"))
+    val frontier = urlNormalized(spark, dir).filter(expr(urlFrontierPredSql))
       .groupBy(col("url_norm"))
       .agg(bool_and(expr(takedownSql)).as("gone"))
       .select(col("url_norm").as("key"), col("gone"), lit(1L).as("w"))
@@ -488,21 +498,44 @@ private[analytics] trait DedupOps {
     * one. The text side's analogue of the sim family's tombstone/compact
     * pair ([[SimOps.simIvfServeDelete]]/[[SimOps.simIvfCompact]]).
     *
-    * Scale shape: five map-side-combinable aggregations, one per state —
-    * the doc-keyed states share the [[takedownDocFlags]] projection, the
-    * frontier folds per-URL with the two-phase bool_and, the band state
-    * aggregates the memoized signature spine; nothing shuffles but the
-    * frontier's (url_norm, flag) pairs. Constant 5-row output at any
-    * corpus size. */
-  def ddTakedown(spark: SparkSession, dir: String): DataFrame =
-    takedownStates(spark, dir).map { case (id, name, df) =>
-      df.agg(
-          sum(col("w")).as("n_before"),
-          sum(when(col("gone"), col("w")).otherwise(0L)).as("n_removed"),
-          sum(when(!col("gone"), col("w")).otherwise(0L)).as("n_after"))
-        .select(lit(id).as("state_id"), lit(name).as("state"),
-          col("n_before"), col("n_removed"), col("n_after"))
-    }.reduce(_ unionByName _).orderBy(col("state_id"))
+    * Scale shape: the three doc-keyed states (corpus, fingerprints,
+    * token-weighted manifest) fold into ONE documents pass — nine
+    * conditional aggregates over the shared [[takedownDocFlags]]
+    * projection, unpivoted with stack() (the crawl-funnel pattern) — so
+    * the text column is read once, not per state; the frontier folds
+    * per-URL with the two-phase bool_and, the band state aggregates the
+    * memoized signature spine. All branches map-side combinable; nothing
+    * shuffles but the frontier's (url_norm, flag) pairs. Constant 5-row
+    * output at any corpus size. The census and the spec's post-state
+    * frames ([[takedownStates]]) both derive from takedownDocFlags, so
+    * the counts published and the rows deleted share one kernel. */
+  def ddTakedown(spark: SparkSession, dir: String): DataFrame = {
+    val docRows = takedownDocFlags(spark, dir)
+      .agg(
+        count(lit(1)).as("c_b"),
+        count(when(col("gone"), 1)).as("c_r"),
+        count(when(!col("gone"), 1)).as("c_a"),
+        count(when(col("in_fp"), 1)).as("f_b"),
+        count(when(col("in_fp") && col("gone"), 1)).as("f_r"),
+        count(when(col("in_fp") && !col("gone"), 1)).as("f_a"),
+        sum(col("n_toks")).as("m_b"),
+        sum(when(col("gone"), col("n_toks")).otherwise(0L)).as("m_r"),
+        sum(when(!col("gone"), col("n_toks")).otherwise(0L)).as("m_a"))
+      .select(expr("""stack(3,
+        0L, 'corpus',         c_b, c_r, c_a,
+        1L, 'fingerprints',   f_b, f_r, f_a,
+        4L, 'shard_manifest', m_b, m_r, m_a) AS (state_id, state, n_before, n_removed, n_after)"""))
+    val rest = takedownStates(spark, dir)
+      .collect { case (id, name, df) if name == "band_state" || name == "frontier" =>
+        df.agg(
+            sum(col("w")).as("n_before"),
+            sum(when(col("gone"), col("w")).otherwise(0L)).as("n_removed"),
+            sum(when(!col("gone"), col("w")).otherwise(0L)).as("n_after"))
+          .select(lit(id).as("state_id"), lit(name).as("state"),
+            col("n_before"), col("n_removed"), col("n_after"))
+      }
+    (docRows +: rest).reduce(_ unionByName _).orderBy(col("state_id"))
+  }
 
 
   // --------------------------------------------------------- snapshot diff

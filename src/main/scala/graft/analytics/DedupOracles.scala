@@ -98,14 +98,7 @@ private[analytics] trait DedupOracles {
     // probe's mirror uses
     "dd_takedown" ->
       s"""WITH $baseDuck, $urlNormDuck, ${wideSigStackDuck()},
-         |cb0 AS (
-         |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
-         |cb AS (
-         |  SELECT doc_id, band, bh FROM (
-         |    SELECT doc_id, band, bh,
-         |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
-         |    FROM cb0)
-         |  WHERE rn <= $IncrementalProbeCap),
+         |$probeCappedBandsDuck,
          |s_doc AS (
          |  SELECT
          |    CAST(count(*) AS BIGINT) AS c_b,
@@ -124,7 +117,7 @@ private[analytics] trait DedupOracles {
          |    CAST(count(*) FILTER (WHERE NOT ($takedownSql)) AS BIGINT) AS a
          |  FROM cb),
          |s_fr0 AS (SELECT url_norm, bool_and($takedownSql) AS gone
-         |  FROM n WHERE doc_id % 4 <> 3 GROUP BY url_norm),
+         |  FROM n WHERE $urlFrontierPredSql GROUP BY url_norm),
          |s_fr AS (
          |  SELECT CAST(count(*) AS BIGINT) AS b,
          |    CAST(count(*) FILTER (WHERE gone) AS BIGINT) AS r,
@@ -476,14 +469,7 @@ private[analytics] trait DedupOracles {
     // (the probe's wider one) mirrored
     "dd_incremental_near" ->
       s"""WITH $baseDuck, ${wideSigStackDuck()},
-         |cb0 AS (
-         |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
-         |cb AS (
-         |  SELECT doc_id, band, bh FROM (
-         |    SELECT doc_id, band, bh,
-         |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
-         |    FROM cb0)
-         |  WHERE rn <= $IncrementalProbeCap),
+         |$probeCappedBandsDuck,
          |bb AS (
          |  ${wideBandsDuckBranches(s" WHERE doc_id >= $IncrementalSplit")}),
          |cand AS (
@@ -510,8 +496,7 @@ private[analytics] trait DedupOracles {
     // bucket cap cut (pinned to zero on the synthetic corpora)
     "dd_incremental_capped" ->
       s"""WITH $baseDuck, ${wideSigStackDuck()},
-         |cb0 AS (
-         |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
+         |$probeCappedBandsDuck,
          |buckets AS (
          |  SELECT band, bh, count(*) AS cnt FROM cb0 GROUP BY band, bh)
          |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_buckets,

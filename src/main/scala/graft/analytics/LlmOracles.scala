@@ -128,13 +128,31 @@ private[analytics] trait LlmOracles {
        |  FROM w)""".stripMargin
 
 
+  /** The INCREMENTAL probe's corpus-side capped band chain (cb0 → cb):
+    * band rows of the sub-split corpus, per-(band, bucket)
+    * keep-smallest-doc_ids cap at [[DedupOps.IncrementalProbeCap]] — ONE
+    * site for the probe-width band geometry, shared by the
+    * dd_incremental_near, dd_incremental_capped (cb0 only; the unused cb
+    * CTE is lazy in DuckDB) and dd_takedown mirrors, so the takedown
+    * census can never drift from the band state it claims to census. */
+  private[analytics] def probeCappedBandsDuck: String =
+    s"""cb0 AS (
+       |  ${wideBandsDuckBranches(s" WHERE doc_id < $IncrementalSplit")}),
+       |cb AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh,
+       |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+       |    FROM cb0)
+       |  WHERE rn <= $IncrementalProbeCap)""".stripMargin
+
+
   /** One admission-contract mirror for the single-scan gate and its
     * bucketed-state twin (same rows by contract). */
   private[analytics] lazy val urlIncrementalDuck: String =
     s"""WITH $urlNormDuck,
-       |f AS (SELECT DISTINCT url_norm FROM n WHERE doc_id % 4 <> 3)
+       |f AS (SELECT DISTINCT url_norm FROM n WHERE $urlFrontierPredSql)
        |SELECT doc_id, url_norm FROM n
-       |WHERE doc_id % 4 = 3 AND url_norm NOT IN (SELECT url_norm FROM f)
+       |WHERE $urlBatchPredSql AND url_norm NOT IN (SELECT url_norm FROM f)
        |ORDER BY doc_id""".stripMargin
 
 

@@ -139,20 +139,25 @@ private[analytics] trait OpsKernels {
     * one healthy file per bucket).
     *
     * Like [[memoCell]], the lifecycle is SOURCE-FINGERPRINTED: the
-    * [[dirFingerprint]] observed at build time is recorded session-side,
+    * [[dirFingerprint]] observed at build time is recorded JVM-side,
     * and a call that observes a strictly NEWER fingerprint (the driver
     * regenerates testdata dirs mid-session) drops and rebuilds the table
     * instead of serving stale frontier/fingerprint state to the
     * incremental queries. Strictly-newer, not `!=`, for the same
-    * monotonic-mtime race reason memoCell documents. */
+    * monotonic-mtime race reason memoCell documents. The memo is keyed
+    * by TABLE NAME alone (dir-tagged, so distinct dirs never collide):
+    * sessions sharing one SharedState/catalog live in one JVM, so a
+    * session-keyed memo would miss for a sibling session and serve it
+    * the pre-regeneration table; across JVM restarts the in-memory
+    * catalog forgets the table and the build path runs anyway. */
   private[analytics] lazy val bucketedFpMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
 
 
   private[analytics] def bucketedStateTable(spark: SparkSession, name: String,
       key: String, dir: String)(build: => DataFrame): String = synchronized {
     val fp = dirFingerprint(spark, dir)
-    val stale = Option(bucketedFpMemo.get((spark, name))).exists(_.longValue < fp)
+    val stale = Option(bucketedFpMemo.get(name)).exists(_.longValue < fp)
     if (stale || !spark.catalog.tableExists(name)) {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
@@ -166,7 +171,7 @@ private[analytics] trait OpsKernels {
         } finally walk.close()
       }
       build.repartition(1).write.bucketBy(8, key).sortBy(key).saveAsTable(name)
-      bucketedFpMemo.put((spark, name), java.lang.Long.valueOf(fp))
+      bucketedFpMemo.put(name, java.lang.Long.valueOf(fp))
     }
     name
   }
