@@ -446,6 +446,52 @@ private[analytics] trait DedupOps {
         size(col("toks")).cast("long").as("n_toks"))
 
 
+  /** The incremental probe's capped band-state frame ((doc_id, band, bh)
+    * rows) — hoisted so the batch takedown census and the streaming twin's
+    * static side ([[takedownDocStateRows]]) count the same physical band
+    * rows. */
+  private[graft] def takedownBandState(spark: SparkSession, dir: String): DataFrame =
+    cappedWideBands(
+      minhashWideSig(spark, dir).filter(col("doc_id") < IncrementalSplit), IncrementalProbeCap)
+
+
+  /** STATIC side of the streaming takedown ledger
+    * ([[graft.streaming.EventStream.takedownCensus]]): one row per
+    * physical row of each DOC-keyed takedown state, keyed by the
+    * contributing doc_id — (state_id, state, doc_id, w). Derived from the
+    * SAME [[takedownDocFlags]] projection and capped-band frame the batch
+    * census aggregates, so the streaming ledger and [[ddTakedown]] count
+    * identical physical rows. The url-keyed frontier (all-holders
+    * semantics) is the separate [[takedownFrontierHolders]]. */
+  private[graft] def takedownDocStateRows(spark: SparkSession, dir: String): DataFrame = {
+    val doc = takedownDocFlags(spark, dir)
+      .select(col("doc_id"), expr(
+        """stack(3,
+             0L, 'corpus',         1L,
+             1L, 'fingerprints',   IF(in_fp, 1L, CAST(NULL AS BIGINT)),
+             4L, 'shard_manifest', n_toks) AS (state_id, state, w)"""))
+      .filter(col("w").isNotNull)
+      .select(col("state_id"), col("state"), col("doc_id"), col("w"))
+    val band = takedownBandState(spark, dir)
+      .select(lit(2L).as("state_id"), lit("band_state").as("state"),
+        col("doc_id"), lit(1L).as("w"))
+    doc.unionByName(band)
+  }
+
+
+  /** The frontier's holder graph — (doc_id, url_norm, n_holders), one row
+    * per fetch contributing a frontier URL, the URL's total holder count
+    * precomputed so the streaming side
+    * ([[graft.streaming.EventStream.frontierTakedown]]) can detect "last
+    * holder tombstoned" with one long of per-URL state. Same URL universe
+    * as [[takedownStates]]'s frontier frame (urlNormalized ∘
+    * urlFrontierPredSql). */
+  private[graft] def takedownFrontierHolders(spark: SparkSession, dir: String): DataFrame =
+    urlNormalized(spark, dir).filter(expr(urlFrontierPredSql))
+      .select(col("doc_id"), col("url_norm"))
+      .withColumn("n_holders", count(lit(1)).over(Window.partitionBy(col("url_norm"))))
+
+
   /** The takedown's per-STATE flagged frames — (state_id, state, frame)
     * where each frame is (key, gone, w): every row the state physically
     * holds, whether the takedown removes it, and the unit it is accounted
@@ -473,8 +519,7 @@ private[analytics] trait DedupOps {
     val corpus = doc.select(col("doc_id").cast("string").as("key"), col("gone"), lit(1L).as("w"))
     val fps = doc.filter(col("in_fp"))
       .select(col("doc_id").cast("string").as("key"), col("gone"), lit(1L).as("w"))
-    val band = cappedWideBands(
-        minhashWideSig(spark, dir).filter(col("doc_id") < IncrementalSplit), IncrementalProbeCap)
+    val band = takedownBandState(spark, dir)
       .select(col("doc_id").cast("string").as("key"), expr(takedownSql).as("gone"), lit(1L).as("w"))
     val frontier = urlNormalized(spark, dir).filter(expr(urlFrontierPredSql))
       .groupBy(col("url_norm"))

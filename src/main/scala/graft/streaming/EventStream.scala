@@ -511,6 +511,64 @@ object EventStream {
       .withColumn("pii_doc_frac", col("n_docs_pii") / col("n_docs"))
   }
 
+  /** Streaming TAKEDOWN LEDGER — the right-to-be-forgotten sweep
+    * (`LlmOps.ddTakedown`) run as requests ARRIVE instead of as a batch
+    * pass: each micro-batch of takedown requests (doc_id rows) joins the
+    * static per-row state layout
+    * ([[graft.analytics.LlmOps.takedownDocStateRows]] — built from the
+    * same kernels the batch census aggregates) and accumulates per-state
+    * REMOVED units in complete mode. The running state is the O(states)
+    * ledger itself (4 rows), bounded at any request volume, and every
+    * micro-batch's emitted table is the cumulative deletion accounting a
+    * compliance dashboard polls; after the full list drains it equals the
+    * batch census's n_removed column exactly (EventStreamSpec pins it).
+    * The url-keyed frontier needs all-holders semantics and cross-batch
+    * per-URL state — that is the separate [[frontierTakedown]].
+    * Precondition: each doc_id arrives at most once (the family's
+    * distinct-arrival convention; a re-delivered request would
+    * double-count its rows). Input schema (doc_id). */
+  def takedownCensus(requests: DataFrame, docStateRows: DataFrame): DataFrame =
+    requests.join(docStateRows, "doc_id")
+      .groupBy(col("state_id"), col("state"))
+      .agg(sum(col("w")).as("n_removed"))
+
+  case class FrontierRemoval(url_norm: String, n_holders: Long, last_doc: Long)
+
+  /** Streaming FRONTIER takedown — the one takedown state the stateless
+    * ledger cannot express: a normalized URL leaves the crawl frontier
+    * only when EVERY fetch that contributed it is taken down (the batch
+    * census's bool_and), and the holders may be tombstoned in DIFFERENT
+    * micro-batches. Arriving requests join the static holder graph
+    * ([[graft.analytics.LlmOps.takedownFrontierHolders]] — each holder
+    * row carries its URL's total holder count), then per-URL state counts
+    * tombstoned holders: one long per URL ever named by a request
+    * (O(requested URLs), never fetch volume), emitting the removal event
+    * exactly once, in the micro-batch where the LAST holder arrives — so
+    * a URL with a surviving holder keeps refusing re-crawls, and the
+    * crawler can drop it the moment it may. Precondition: each doc_id
+    * arrives at most once (distinct-arrival convention), so the count
+    * reaches n_holders only when every holder is genuinely tombstoned.
+    * Input schema (doc_id). */
+  def frontierTakedown(requests: DataFrame, holders: DataFrame): Dataset[FrontierRemoval] = {
+    import requests.sparkSession.implicits._
+    requests.join(holders, "doc_id")
+      .select(col("url_norm"), col("doc_id"), col("n_holders"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, FrontierRemoval](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (url: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          val rs = rows.toArray
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rs.length
+          state.update(after)
+          val total = rs.head._3
+          if (before < total && after >= total)
+            Iterator(FrontierRemoval(url, total, rs.map(_._2).max))
+          else Iterator.empty
+      }
+  }
+
   case class HostCapVerdict(doc_id: Long, host: String, admitted: Boolean, host_admitted: Long)
 
   /** Streaming per-HOST admission QUOTA — the streaming twin of the batch

@@ -745,4 +745,93 @@ class EventStreamSpec extends SparkSpec {
       assert(got == want, s"stream PII census diverged:\n got=$got\nwant=$want")
     } finally q.stop()
   }
+
+  test("streaming takedown ledger accumulates to the batch census's removed column") {
+    // The compliance-consistency contract: the planted takedown list,
+    // delivered as requests over 3 micro-batches, joined to the SAME
+    // per-row state layout the batch census aggregates, must accumulate
+    // (complete mode — the 4-row ledger IS the stream state) to exactly
+    // dd_takedown's n_removed for every doc-keyed state.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val states = graft.analytics.LlmOps.takedownDocStateRows(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq // static snapshot,
+      .toDF("state_id", "state", "doc_id", "w")       // as a deployed ledger would hold
+    val list = graft.analytics.LlmOps.takedownDocFlags(spark, dir)
+      .filter($"gone").select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(list.size > 3, s"takedown list too small to micro-batch: $list")
+    val input = MemoryStream[Long]
+    val q = EventStream.toMemorySink(
+      EventStream.takedownCensus(input.toDF().toDF("doc_id"), states),
+      "takedown_ledger", OutputMode.Complete())
+    try {
+      list.grouped((list.size + 2) / 3).foreach { ch =>
+        input.addData(ch); q.processAllAvailable()
+      }
+      val got = spark.table("takedown_ledger").collect()
+        .map(r => r.getAs[String]("state") -> r.getAs[Long]("n_removed")).toMap
+      val want = graft.analytics.LlmOps.ddTakedown(spark, dir).collect()
+        .filter(_.getAs[String]("state") != "frontier")
+        .map(r => r.getAs[String]("state") -> r.getAs[Long]("n_removed")).toMap
+      assert(want.keySet == Set("corpus", "fingerprints", "band_state", "shard_manifest")
+        && want.values.forall(_ > 0), s"parity vacuous: batch census $want")
+      assert(got == want, s"stream ledger $got diverged from batch census $want")
+    } finally q.stop()
+  }
+
+  test("streaming frontier takedown emits each URL exactly when its LAST holder is tombstoned") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Part 1 — parity on the real corpus: after the full planted list
+    // drains, the removed-URL set equals the batch frontier frame's
+    // bool_and(gone) rows.
+    val dir = "/root/testdata/sf0.001"
+    val holders = graft.analytics.LlmOps.takedownFrontierHolders(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+      .toDF("doc_id", "url_norm", "n_holders")
+    val list = graft.analytics.LlmOps.takedownDocFlags(spark, dir)
+      .filter($"gone").select($"doc_id").as[Long].collect().sorted.toSeq
+    val input = MemoryStream[Long]
+    val q = EventStream.toMemorySink(
+      EventStream.frontierTakedown(input.toDF().toDF("doc_id"), holders).toDF(),
+      "frontier_takedown", OutputMode.Append())
+    try {
+      list.grouped((list.size + 2) / 3).foreach { ch =>
+        input.addData(ch); q.processAllAvailable()
+      }
+      val got = spark.table("frontier_takedown").collect()
+        .map(_.getAs[String]("url_norm")).toSet
+      val frontier = graft.analytics.LlmOps.takedownStates(spark, dir)
+        .collectFirst { case (_, "frontier", df) => df }.get.collect()
+      val want = frontier.filter(_.getAs[Boolean]("gone"))
+        .map(_.getAs[String]("key")).toSet
+      assert(want.nonEmpty && want.size < frontier.length,
+        "parity vacuous: takedown removes nothing (or everything) from the frontier")
+      assert(got == want,
+        s"removed-URL sets diverged: extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+
+    // Part 2 — the cross-batch all-holders semantics on a planted holder
+    // graph: url "u" has two holders split across micro-batches and must
+    // be emitted only in the SECOND batch; single-holder "v" emits in the
+    // first; "w" keeps a surviving holder and must never emit.
+    val g = Seq((1L, "u", 2L), (2L, "u", 2L), (3L, "v", 1L), (4L, "w", 2L), (5L, "w", 2L))
+      .toDF("doc_id", "url_norm", "n_holders")
+    val input2 = MemoryStream[Long]
+    val q2 = EventStream.toMemorySink(
+      EventStream.frontierTakedown(input2.toDF().toDF("doc_id"), g).toDF(),
+      "frontier_takedown2", OutputMode.Append())
+    try {
+      input2.addData(1L, 3L, 4L); q2.processAllAvailable()
+      val afterB1 = spark.table("frontier_takedown2").collect()
+        .map(_.getAs[String]("url_norm")).toSet
+      assert(afterB1 == Set("v"), s"batch 1 should remove only v, got $afterB1")
+      input2.addData(2L); q2.processAllAvailable()
+      val afterB2 = spark.table("frontier_takedown2").collect()
+        .map(r => r.getAs[String]("url_norm") -> r.getAs[Long]("last_doc")).toMap
+      assert(afterB2 == Map("v" -> 3L, "u" -> 2L),
+        s"after batch 2 expected u (last holder doc 2) and v, got $afterB2")
+    } finally q2.stop()
+  }
 }
