@@ -172,6 +172,27 @@ private[analytics] trait IngestOps {
   private[graft] lazy val ClipThresholdSql = "CAST(0.28 AS DOUBLE)"
 
 
+  /** Shared pair-scoring kernel of the CLIP gate: a (doc_id, source)
+    * frame joins its own embedding, derives the pair's image id (docs
+    * (2k, 2k+1) share image 2k), joins the image embedding and scores
+    * the cross-modal cosine with the codegen'd dot kernel — used
+    * verbatim by the batch census ([[mmClipFilter]]) and the streaming
+    * admission twin ([[graft.streaming.EventStream.clipAdmission]]), so
+    * the two engines' pair derivation and arithmetic cannot drift. Both
+    * joins are id-equi (stream-static on the streaming side); fanout ≤ 2
+    * per image, no skew. */
+  private[graft] def clipScored(txt: DataFrame, e: DataFrame): DataFrame = {
+    val t = txt
+      .join(e.select(col("vec_id"), col("embedding").as("temb")),
+        col("doc_id") === col("vec_id"))
+      .withColumn("img_id", col("doc_id") - (col("doc_id") % 2))
+    val img = e.select(col("vec_id").as("img_id"), col("embedding").as("iemb"))
+    t.join(img, Seq("img_id"))
+      .withColumn("cos", dotF(col("temb"), col("iemb")) /
+        sqrt(dotF(col("temb"), col("temb")) * dotF(col("iemb"), col("iemb"))))
+  }
+
+
   /** Multimodal PAIR-CURATION gate — the LAION-style image-text filter,
     * the multimodal analogue of `txt_classifier`: each text doc joins its
     * pair's image embedding, the cross-modal cosine is scored with the
@@ -190,23 +211,14 @@ private[analytics] trait IngestOps {
     * projection via [[OpsKernels.dotF]] (whole-stage codegen), and the
     * census is one map-side-combinable O(sources) aggregation. Nothing
     * wide ever shuffles but (id, embedding) rows. */
-  def mmClipFilter(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val txt = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .join(e.select(col("vec_id"), col("embedding").as("temb")),
-        col("doc_id") === col("vec_id"))
-      .withColumn("img_id", col("doc_id") - (col("doc_id") % 2))
-    val img = e.select(col("vec_id").as("img_id"), col("embedding").as("iemb"))
-    txt.join(img, Seq("img_id"))
-      .withColumn("cos", dotF(col("temb"), col("iemb")) /
-        sqrt(dotF(col("temb"), col("temb")) * dotF(col("iemb"), col("iemb"))))
+  def mmClipFilter(spark: SparkSession, dir: String): DataFrame =
+    clipScored(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Tables.embeddings(spark, dir))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_pairs"),
         count(when(col("cos") >= expr(ClipThresholdSql), 1)).as("n_kept"))
       .withColumn("kept_frac", col("n_kept") / col("n_pairs"))
       .orderBy(col("source"))
-  }
 
 
   /** Multimodal column plumbing: treat content as opaque binary + typed

@@ -493,14 +493,20 @@ object Relational {
     val e = pagerankEdges(spark, dir)
     var ranks = e.select(col("src")).distinct()
       .select(col("src").as("node"), lit(Scale).as("pr"))
+    // BROADCAST the rank table while it genuinely fits: it is |nodes|
+    // rows (8+8 bytes each) — tiny next to the edge table at the bench
+    // SFs — so each iteration is a map-side join over the checkpointed
+    // edges plus ONE map-side-combinable aggregation, and the edge table
+    // is never re-shuffled. Past ~1M nodes the forced hint is the scale
+    // bug (the sf10 probe measured it: a ~3.5M-row broadcast next to the
+    // cached edges exhausts executor memory), so the hint is DATA-AWARE:
+    // large graphs fall back to shuffling both sides on the node key —
+    // the standard distributed PageRank round. The gate costs one count
+    // over the distinct-src projection of the memoized edge state.
+    val fitsBroadcast = ranks.count() <= PagerankBroadcastNodeCap
     for (_ <- 1 to 3) {
-      // BROADCAST the rank table: it is |nodes| rows (8+8 bytes each) —
-      // tiny next to the edge table — so each iteration is a map-side
-      // join over the checkpointed edges plus ONE map-side-combinable
-      // aggregation; the edge table itself is never re-shuffled. (Past
-      // broadcast scale, drop the hint and both tables shuffle on the
-      // node key — the standard distributed PageRank round.)
-      ranks = e.join(broadcast(ranks), col("src") === col("node"))
+      ranks = e.join(if (fitsBroadcast) broadcast(ranks) else ranks,
+          col("src") === col("node"))
         .select(col("dst"), expr("pr div deg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
         .select(col("dst").as("node"),
@@ -512,6 +518,13 @@ object Relational {
       .orderBy(col("pr").desc, col("node_type"), col("node_id"))
       .limit(100)
   }
+
+  /** Broadcast cap for [[q38Pagerank]]'s rank table (~50 B/row hashed →
+    * ~50 MB at the cap; the sf10 probe's 3.5M-node graph OOMed the forced
+    * hint). A spec-visible var so RelationalParitySpec can force the
+    * shuffle path on a small graph and pin it equal to the broadcast
+    * path. */
+  private[graft] var PagerankBroadcastNodeCap = 1000000L
 
   /** The symmetrized purchase graph with per-source out-degrees,
     * (src, dst, deg) — checkpointed ONCE and memoized on the shared

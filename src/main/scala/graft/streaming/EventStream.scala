@@ -511,6 +511,25 @@ object EventStream {
       .withColumn("pii_doc_frac", col("n_docs_pii") / col("n_docs"))
   }
 
+  /** Streaming CLIP-gate admission — the multimodal family's streaming
+    * twin (the last family without one): arriving image-text pairs
+    * (doc_id, source) are scored against the static embedding table with
+    * the SAME shared pair-derivation/cosine kernel the batch census
+    * aggregates ([[graft.analytics.LlmOps.clipScored]] — two stream-static
+    * id-equi joins + the codegen'd dot product, all stateless), and each
+    * pair gets an explicit admit/cut verdict at the LAION threshold. A
+    * captioning pipeline runs this at ingest so mismatched pairs never
+    * reach the corpus; the batch `mm_clip_filter` is the census of the
+    * same gate. EventStreamSpec pins every verdict equal to a batch
+    * recompute and the accumulated per-source admitted counts equal to
+    * the oracle-checked census. Input schema (doc_id, source). */
+  def clipAdmission(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    import graft.analytics.LlmOps
+    LlmOps.clipScored(docs, embeddings)
+      .select(col("doc_id"), col("source"), col("cos"),
+        (col("cos") >= expr(LlmOps.ClipThresholdSql)).as("admitted"))
+  }
+
   /** Streaming TAKEDOWN LEDGER — the right-to-be-forgotten sweep
     * (`LlmOps.ddTakedown`) run as requests ARRIVE instead of as a batch
     * pass: each micro-batch of takedown requests (doc_id rows) joins the

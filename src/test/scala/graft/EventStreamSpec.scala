@@ -746,6 +746,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CLIP gate verdicts accumulate to the oracle-checked batch census") {
+    // The multimodal family's streaming twin: image-text pairs arriving
+    // over 3 micro-batches, scored with the shared pair/cosine kernel
+    // against the static embedding table, must admit exactly what the
+    // batch mm_clip_filter census counts — matched (even-doc) pairs all
+    // admitted, and the 0.28 gate must genuinely cut some odd pairs.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.analytics.Tables.embeddings(spark, dir)
+    val arriving = graft.analytics.Tables.documents(spark, dir)
+      .select($"doc_id", $"source").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.toMemorySink(
+      EventStream.clipAdmission(input.toDF().toDF("doc_id", "source"), emb),
+      "clip_gate", OutputMode.Append())
+    try {
+      arriving.grouped((arriving.size + 2) / 3).foreach { ch =>
+        input.addData(ch); q.processAllAvailable()
+      }
+      val verdicts = spark.table("clip_gate").collect()
+      val gotPairs = verdicts.groupBy(_.getAs[String]("source"))
+        .map { case (s, vs) => s -> (vs.length.toLong,
+          vs.count(_.getAs[Boolean]("admitted")).toLong) }
+      val want = graft.analytics.LlmOps.mmClipFilter(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"))).toMap
+      assert(want.values.map(_._1).sum > want.values.map(_._2).sum,
+        s"parity vacuous: the gate cuts nothing at this SF: $want")
+      assert(gotPairs == want, s"stream gate $gotPairs diverged from batch census $want")
+      val evens = verdicts.filter(_.getAs[Long]("doc_id") % 2 == 0)
+      assert(evens.nonEmpty && evens.forall(_.getAs[Boolean]("admitted")),
+        "matched (even-doc) pairs must all pass the gate (cos = 1)")
+    } finally q.stop()
+  }
+
   test("streaming takedown ledger accumulates to the batch census's removed column") {
     // The compliance-consistency contract: the planted takedown list,
     // delivered as requests over 3 micro-batches, joined to the SAME

@@ -73,6 +73,15 @@ class RelationalParitySpec extends SparkSpec {
     // sanity: the doubly-connected part 11 outranks the leaf part 12
     val rank = got.map(t => (t._1, t._2) -> t._3).toMap
     assert(rank(("part", 11L)) > rank(("part", 12L)))
+    // the data-aware hint's SHUFFLE path (rank table past broadcast
+    // scale — the sf10 regime) must produce the identical ranking
+    val cap = graft.analytics.Relational.PagerankBroadcastNodeCap
+    try {
+      graft.analytics.Relational.PagerankBroadcastNodeCap = 0L
+      val shuffled = graft.analytics.Relational.q38Pagerank(spark, d).collect()
+        .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("node_id"), r.getAs[Long]("pr")))
+      assert(shuffled.toSeq == want, s"shuffle-path PageRank diverged: ${shuffled.toSeq}")
+    } finally graft.analytics.Relational.PagerankBroadcastNodeCap = cap
   }
 
   test("weekly cohort retention equals an in-memory recompute and anchors offset 0 at 1.0") {
