@@ -27,9 +27,7 @@ private[analytics] trait DedupOps {
   /** N-gram Jaccard near-dup detection, blocked on (lang, length-bucket):
     * shingle-join within blocks → common counts → |A∩B| / |A∪B|. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(spark, dir)
-      .filter(col("jaccard") >= 0.2)
-      .select(col("ia"), col("ib"), col("jaccard"))
+    jaccardPairs02(spark, dir)
       .orderBy(col("jaccard").desc, col("ia"), col("ib"))
       .limit(200)
 
@@ -301,8 +299,7 @@ private[analytics] trait DedupOps {
     * O(pairs) and O(sources²). A naive twin would join documents twice —
     * the q39 double-scan lesson (PLANS.md) applied at design time. */
   def ddSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val pr = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.2)
-      .select(col("ia"), col("ib"))
+    val pr = jaccardPairs02(spark, dir).select(col("ia"), col("ib"))
     val sides = pr.select(col("ia"), col("ib"),
       explode(array(col("ia"), col("ib"))).as("doc_id"))
     Tables.documents(spark, dir).select(col("doc_id"), col("source"))
@@ -699,6 +696,44 @@ private[analytics] trait DedupOps {
     memoRaw(spark, dir, "jaccard_pairs")(buildJaccardPairs(spark, dir))
 
 
+  /** Eager RDD-level local checkpoint of a derived frame — the
+    * buildJaccardPairs materialization pattern as a helper: consumers
+    * plan over a LEAF, and the tracked RDD handle keeps the release
+    * real. */
+  private def checkpointLeaf(spark: SparkSession, plan: DataFrame): DataFrame = {
+    val rdd = plan.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    trackRdd(rdd)
+    spark.createDataFrame(rdd, plan.schema)
+  }
+
+
+  /** The REPORTING slice of the pair state — (ia, ib, jaccard) at the
+    * family's lowest consumed threshold (0.2) — memoized as its own
+    * checkpointed leaf. The sf10 probe measured why: the full pair state
+    * is block-bounded but grows superlinearly on the saturated synthetic
+    * vocabulary (~10^8 rows at 500k docs), and every consumer that
+    * re-scanned it just to keep a few hundred rows paid 20-60 s PER
+    * QUERY. The two-level memo scans the big state exactly once; the six
+    * thresholded consumers plan over leaves of a few KB. The full state
+    * remains the input of [[jaccardBins]] (the minhash truth censuses
+    * genuinely need every bin). */
+  private[analytics] def jaccardPairs02(spark: SparkSession, dir: String): DataFrame =
+    memoRaw(spark, dir, "jaccard_pairs_02")(checkpointLeaf(spark,
+      jaccardPairs(spark, dir).filter(col("jaccard") >= 0.2)
+        .select(col("ia"), col("ib"), col("jaccard"))))
+
+
+  /** The CC/action EDGE set — (ia, ib) at the dedup threshold (0.8) —
+    * second level of the pair memo chain; feeds [[ddCluster]],
+    * [[ddDedupKeepBest]], [[nearDropSet]] and the passage aligner. */
+  private[analytics] def jaccardEdges08(spark: SparkSession, dir: String): DataFrame =
+    memoRaw(spark, dir, "jaccard_edges_08")(checkpointLeaf(spark,
+      jaccardPairs02(spark, dir).filter(col("jaccard") >= 0.8)
+        .select(col("ia"), col("ib"))))
+
+
   /** Note `sizes` counts the FULL shingle set (the Jaccard denominator),
     * while the join runs on the stop-shingle-capped set. */
   private[analytics] def buildJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -806,9 +841,7 @@ private[analytics] trait DedupOps {
     * shared by [[ddDedupKeep]], [[txtCleanCorpus]], and
     * [[txtCurationFunnel]]; [[nearDropsDuck]] is its mirror. */
   private[analytics] def nearDropSet(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(spark, dir)
-      .filter(col("jaccard") >= 0.8)
-      .select(col("ib")).distinct()
+    jaccardEdges08(spark, dir).select(col("ib")).distinct()
 
 
   /** The dedup ACTION: emit the kept corpus after dropping near-duplicates
@@ -844,7 +877,7 @@ private[analytics] trait DedupOps {
     * runtime size and picks broadcast when small, shuffle join when
     * not — degraded to a shuffle, never to a failure. */
   def ddDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val edges = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
+    val edges = jaccardEdges08(spark, dir)
       .select(col("ia").as("a"), col("ib").as("b"))
     val (labels, _) = connectedComponents(spark, edges)
     val lbl = labels().toDF("doc_id", "cluster_id")
@@ -877,11 +910,10 @@ private[analytics] trait DedupOps {
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
     val debug = sys.env.contains("GRAFT_CLUSTER_DEBUG")
     val dbgT = System.nanoTime()
-    val jp = jaccardPairs(spark, dir)
+    val jp = jaccardEdges08(spark, dir)
     if (debug)
-      println(f"CLUSTER jaccardPairs-build ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
-    val edges = jp.filter(col("jaccard") >= 0.8)
-      .select(col("ia").as("a"), col("ib").as("b"))
+      println(f"CLUSTER jaccardEdges-build ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
+    val edges = jp.select(col("ia").as("a"), col("ib").as("b"))
     val (labels, _) = connectedComponents(spark, edges)
     val sizes = labels().toDF("sd", "slbl")
       .groupBy(col("slbl")).agg(count(lit(1)).as("cluster_size"))
@@ -1785,9 +1817,7 @@ private[analytics] trait DedupOps {
             org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 8))))
       .filter(col("col").isNotNull)
       .select(col("doc_id"), col("pos"), col("col").as("w"))
-    val pairs = jaccardPairs(spark, dir)
-      .filter(col("jaccard") >= 0.8)
-      .select(col("ia"), col("ib"))
+    val pairs = jaccardEdges08(spark, dir).select(col("ia"), col("ib"))
     val wa = w.toDF("ia", "pa", "wa")
     val wb = w.toDF("ib", "pb", "wb")
     val matches = pairs.join(wa, Seq("ia")).join(wb,
