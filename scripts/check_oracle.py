@@ -3,18 +3,97 @@
 parquet, run the corresponding oracle SQL in DuckDB over the same testdata
 parquet tables and compare (columns sorted by name, exact value compare).
 
-Usage: check_oracle.py <verify_out_dir> <sf_dir>
+Usage: check_oracle.py <verify_out_dir> <sf_dir> [--staged] [names...]
+
+--staged runs every oracle through the CTE stager (below); with names given,
+only those queries are checked. In default mode a query whose monolithic SQL
+fails (DuckDB out-of-temp-disk at big SFs — the round-16 sf10 gate lost 5
+mirrors this way) is automatically retried staged.
+
+Staging: the oracle SQL is a single WITH-chain by contract. The stager
+materializes each top-level CTE as a TEMP TABLE in order — so a CTE
+referenced N times is computed once, and each intermediate spills or frees
+independently instead of one monolithic pipeline holding every hash table at
+once. Staging stops at the first self-referencing (recursive) CTE: it and
+everything after it stay a WITH-prefix on the final SELECT (a recursive CTE
+cannot be a temp table, and later CTEs may reference it). Environment:
+DUCKDB_MEM / DUCKDB_TMP set memory_limit / temp_directory for big runs.
 
 Driver-side tooling only (duckdb/pandas/pyarrow are not available to the
 Scala library) — this script exists so the builder can self-check before the
 driver runs the real gate.
 """
-import json, sys, glob, os
+import json, re, sys, glob, os
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def split_ctes(sql):
+    """Parse `WITH [RECURSIVE] n1 AS (...), n2 AS (...) <final>` into
+    (recursive, [(name, body), ...], final). Returns None when the SQL is
+    not a plain top-level WITH-chain (no CTE column lists — the oracle
+    convention). Quote- and paren-aware; '' escapes inside strings."""
+    s = sql.lstrip()
+    m = re.match(r'(?is)^WITH\s+(RECURSIVE\s+)?', s)
+    if not m:
+        return None
+    recursive = bool(m.group(1))
+    i = m.end()
+    ctes = []
+    while True:
+        mm = re.match(r'\s*("?[A-Za-z_][A-Za-z0-9_]*"?)\s+AS\s*\(', s[i:], re.I | re.S)
+        if not mm:
+            return None
+        name = mm.group(1)
+        j = i + mm.end()
+        depth, k, n, in_sq = 1, i + mm.end(), len(s), False
+        while k < n and depth:
+            c = s[k]
+            if in_sq:
+                if c == "'":
+                    if k + 1 < n and s[k + 1] == "'":
+                        k += 1
+                    else:
+                        in_sq = False
+            elif c == "'":
+                in_sq = True
+            elif c == '(':
+                depth += 1
+            elif c == ')':
+                depth -= 1
+            k += 1
+        if depth:
+            return None
+        ctes.append((name, s[j:k - 1]))
+        mm2 = re.match(r'\s*,', s[k:])
+        if mm2:
+            i = k + mm2.end()
+        else:
+            return recursive, ctes, s[k:].lstrip()
+
+def run_staged(make_con, sql):
+    """Execute a WITH-chain oracle with each stageable CTE materialized as a
+    TEMP TABLE on a FRESH connection (temp tables are per-connection, so
+    queries never see each other's). Returns the final DataFrame, or None
+    when the SQL isn't a stageable WITH-chain."""
+    parsed = split_ctes(sql)
+    if not parsed:
+        return None
+    recursive, ctes, final = parsed
+    con = make_con()
+    rest = []
+    for name, body in ctes:
+        selfref = recursive and re.search(r'\b%s\b' % re.escape(name.strip('"')), body)
+        if rest or selfref:
+            rest.append((name, body))  # recursive tail stays a WITH-prefix
+        else:
+            con.execute('CREATE TEMP TABLE %s AS %s' % (name, body))
+    if rest:
+        prefix = 'WITH RECURSIVE ' if recursive else 'WITH '
+        final = prefix + ', '.join('%s AS (%s)' % (n, b) for n, b in rest) + ' ' + final
+    return con.execute(final).df()
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -30,15 +109,24 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
     return df.reset_index(drop=True)
 
-def main(out_dir: str, sf_dir: str) -> int:
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+def main(out_dir: str, sf_dir: str, staged_all: bool = False, only=()) -> int:
+    def make_con():
+        c = duckdb.connect()
+        if os.environ.get("DUCKDB_MEM"):
+            c.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+        if os.environ.get("DUCKDB_TMP"):
+            c.execute(f"SET temp_directory='{os.environ['DUCKDB_TMP']}'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+    con = make_con()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         qdir = f"{out_dir}/{name}"
         parts = sorted(glob.glob(f"{qdir}/*.parquet"))
         if not parts:
@@ -47,7 +135,22 @@ def main(out_dir: str, sf_dir: str) -> int:
             continue
         try:
             spark_df = norm(pd.concat([pd.read_parquet(p) for p in parts]))
-            duck_df = norm(con.execute(sql).df())
+            if staged_all:
+                duck = run_staged(make_con, sql)
+                if duck is None:  # not a WITH-chain: nothing to stage
+                    duck = con.execute(sql).df()
+                else:
+                    name = f"{name} [staged]"
+                duck_df = norm(duck)
+            else:
+                try:
+                    duck_df = norm(con.execute(sql).df())
+                except Exception as e1:
+                    duck = run_staged(make_con, sql)  # out-of-temp-disk retry
+                    if duck is None:
+                        raise e1
+                    print(f"  ({name}: monolithic oracle failed [{e1}]; staged retry)")
+                    duck_df = norm(duck)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
@@ -76,4 +179,7 @@ def main(out_dir: str, sf_dir: str) -> int:
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = sys.argv[3:]
+    staged = "--staged" in args
+    names = tuple(a for a in args if a != "--staged")
+    sys.exit(main(sys.argv[1], sys.argv[2], staged_all=staged, only=names))

@@ -488,7 +488,8 @@ object Relational {
     * Every node has out-degree >= 1 by construction (the graph is the
     * symmetrized purchase relation), so no dangling-mass correction is
     * needed. */
-  def q38Pagerank(spark: SparkSession, dir: String): DataFrame = {
+  def q38Pagerank(spark: SparkSession, dir: String,
+      broadcastNodeCap: Long = PagerankBroadcastNodeCap): DataFrame = {
     val Scale = 1000000L
     val e = pagerankEdges(spark, dir)
     var ranks = e.select(col("src")).distinct()
@@ -503,7 +504,7 @@ object Relational {
     // large graphs fall back to shuffling both sides on the node key —
     // the standard distributed PageRank round. The gate costs one count
     // over the distinct-src projection of the memoized edge state.
-    val fitsBroadcast = ranks.count() <= PagerankBroadcastNodeCap
+    val fitsBroadcast = ranks.count() <= broadcastNodeCap
     for (_ <- 1 to 3) {
       ranks = e.join(if (fitsBroadcast) broadcast(ranks) else ranks,
           col("src") === col("node"))
@@ -521,10 +522,11 @@ object Relational {
 
   /** Broadcast cap for [[q38Pagerank]]'s rank table (~50 B/row hashed →
     * ~50 MB at the cap; the sf10 probe's 3.5M-node graph OOMed the forced
-    * hint). A spec-visible var so RelationalParitySpec can force the
-    * shuffle path on a small graph and pin it equal to the broadcast
-    * path. */
-  private[graft] var PagerankBroadcastNodeCap = 1000000L
+    * hint). Immutable — RelationalParitySpec forces the shuffle path by
+    * passing `broadcastNodeCap = 0` instead of mutating shared object
+    * state, so concurrent suites in one JVM can never observe a
+    * temporarily-zeroed cap (the round-16 ADVICE race). */
+  private[graft] val PagerankBroadcastNodeCap = 1000000L
 
   /** The symmetrized purchase graph with per-source out-degrees,
     * (src, dst, deg) — checkpointed ONCE and memoized on the shared
@@ -1060,7 +1062,7 @@ object Relational {
     "q27_json" -> q27Json _,
     "q23_asof_attr" -> q23AsofAttr _,
     "q37_asof_forward" -> q37AsofForward _,
-    "q38_pagerank" -> q38Pagerank _,
+    "q38_pagerank" -> ((s: SparkSession, d: String) => q38Pagerank(s, d)),
     "q39_retention" -> q39Retention _,
     "q40_funnel" -> q40Funnel _,
     "q24_pivot" -> q24Pivot _,

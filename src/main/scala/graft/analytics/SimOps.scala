@@ -1199,7 +1199,9 @@ private[analytics] trait SimOps {
     * same max·cells/total skew signal the decision reads on both sides —
     * the evidence the maintenance pass actually repaired the drift it was
     * triggered by. Cost: one pass to sum centroids (map-side combinable),
-    * one N × k broadcast re-assignment — the price of any re-train — and
+    * one MAP-ONLY re-assignment via [[retrainReassign]]'s packed-centroid
+    * fold — N × k dot products with NO row expansion, no per-vec_id
+    * window sort, no Exchange on the re-assignment subtree — and
     * two k-row censuses; the arrivals' assignment is the memoized
     * [[serveInsertAssign]] table (built once per session). The
     * skew globals ride window aggregates over the k-row census, not a
@@ -1213,12 +1215,7 @@ private[analytics] trait SimOps {
     val members = corpus.union(inserted)
     val cents = kmCentroids(members)
       .select(col("cell").as("ncell"), col("svec"), col("snrm"))
-    val wRef = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("ncell"))
-    val after = members.crossJoin(broadcast(cents))
-      .withColumn("cos_c", dotFL(col("embedding"), col("svec")) / sqrt(col("nrm") * col("snrm")))
-      .withColumn("ark", row_number().over(wRef))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("ncell"))
+    val after = retrainReassign(members, cents)
     val before = members.groupBy(col("cell")).agg(count(lit(1)).as("n_before"))
     val afterC = after.groupBy(col("ncell").as("cell"))
       .agg(count(lit(1)).as("n_after"))
@@ -1234,6 +1231,44 @@ private[analytics] trait SimOps {
           / sum(col("n_after")).over(wAll))
       .withColumn("rebalanced", col("skew_after") <= col("skew_before"))
       .orderBy(col("cell"))
+  }
+
+
+  /** MAP-ONLY full-corpus re-assignment — the k retrained centroids fold
+    * into ONE broadcast array-of-structs row (ascending `ncell` via
+    * sort_array), and each member row computes its argmax cell with a
+    * strict-`>` SQL `aggregate` fold over that array: the same shape, and
+    * the same bit-exactness contract, as the streaming serve path
+    * ([[graft.streaming.EventStream.annServe]]). This replaces the
+    * previous N × k `crossJoin(broadcast(cents))` + `row_number` window,
+    * whose k-fold row expansion was shuffled on vec_id just to take an
+    * argmax — at 3.5M vectors that Exchange IS the re-train cost; the
+    * fold makes re-assignment a projection over the member scan
+    * (PlanGuardSpec pins the subtree Window- and Exchange-free).
+    *
+    * Parity with the window path, by construction: cosines use the SAME
+    * registered `dot_fl` codegen expression the window variant called
+    * through [[OpsKernels.dotFL]]; the structs arrive in ascending-ncell
+    * order; and strict `>` keeps the FIRST struct on an exact tie —
+    * precisely the `(cos_c DESC, ncell ASC)` row_number argmax.
+    * PRECONDITION (inherited from annServe): centroid norms are nonzero —
+    * [[kmCentroids]] only emits cells that have members and real
+    * embeddings are non-degenerate — so no cosine is NaN; the (-2.0, -1)
+    * sentinel is unreachable for any member with a real embedding. */
+  private[graft] def retrainReassign(members: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("ncell"), col("svec"), col("snrm"))))
+        .as("cents"))
+      .withColumn("one", lit(1))
+    val bestSql =
+      """aggregate(
+        |  transform(cents, c -> named_struct(
+        |    'cos', dot_fl(embedding, c.svec) / sqrt(nrm * c.snrm), 'cell', c.ncell)),
+        |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+        |  (acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END)""".stripMargin
+    members.withColumn("one", lit(1))
+      .join(broadcast(packed), Seq("one"))
+      .select(col("vec_id"), expr(bestSql).getField("cell").as("ncell"))
   }
 
 

@@ -543,15 +543,43 @@ object EventStream {
     * batch census's n_removed column exactly (EventStreamSpec pins it).
     * The url-keyed frontier needs all-holders semantics and cross-batch
     * per-URL state — that is the separate [[frontierTakedown]].
-    * Precondition: each doc_id arrives at most once (the family's
-    * distinct-arrival convention; a re-delivered request would
-    * double-count its rows). Input schema (doc_id). */
+    *
+    * Re-delivery is ENFORCED away, not assumed: a streaming
+    * `dropDuplicates(doc_id)` ahead of the join swallows any re-delivered
+    * request across micro-batches (at-least-once transports re-deliver;
+    * a double-counted deletion ledger overstates compliance). Its state
+    * is one entry per REQUESTED doc — bounded by the takedown list, never
+    * the corpus. A state the drained requests never touch emits no row
+    * (streaming can't union a static seed into the stream); dashboards
+    * wanting the fixed 4-row ledger apply [[ledgerWithSeeds]] at
+    * read-back. Input schema (doc_id). */
   def takedownCensus(requests: DataFrame, docStateRows: DataFrame): DataFrame =
-    requests.join(docStateRows, "doc_id")
+    requests.dropDuplicates("doc_id")
+      .join(docStateRows, "doc_id")
       .groupBy(col("state_id"), col("state"))
       .agg(sum(col("w")).as("n_removed"))
 
+  /** Read-back seeding for the [[takedownCensus]] ledger: left-join the
+    * drained (complete-mode) sink onto the full state dimension so every
+    * doc-keyed state publishes a row even when zero of its units were
+    * removed — row-for-row comparable with the batch [[ddTakedown]]
+    * census, whose aggregation always emits all states. Batch-side (runs
+    * on the sink table, not inside the stream) because Structured
+    * Streaming cannot preserve a static side into a streaming result. */
+  def ledgerWithSeeds(drained: DataFrame, docStateRows: DataFrame): DataFrame =
+    docStateRows.select(col("state_id"), col("state")).distinct()
+      .join(drained, Seq("state_id", "state"), "left")
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+
   case class FrontierRemoval(url_norm: String, n_holders: Long, last_doc: Long)
+
+  /** Per-URL takedown progress for [[frontierTakedown]]: the tombstoned
+    * holder doc_ids seen so far while the URL is pending, collapsing to
+    * an O(1) tombstone (`done=true`, empty seen) the moment the last
+    * holder lands — completed URLs cost one boolean forever, pending ones
+    * cost their holder set (bounded by the URL's holder count, never
+    * fetch volume). */
+  case class FrontierState(done: Boolean, seen: Seq[Long])
 
   /** Streaming FRONTIER takedown — the one takedown state the stateless
     * ledger cannot express: a normalized URL leaves the crawl frontier
@@ -560,35 +588,56 @@ object EventStream {
     * micro-batches. Arriving requests join the static holder graph
     * ([[graft.analytics.LlmOps.takedownFrontierHolders]] — each holder
     * row carries its URL's total holder count), then per-URL state counts
-    * tombstoned holders: one long per URL ever named by a request
-    * (O(requested URLs), never fetch volume), emitting the removal event
-    * exactly once, in the micro-batch where the LAST holder arrives — so
-    * a URL with a surviving holder keeps refusing re-crawls, and the
-    * crawler can drop it the moment it may. Precondition: each doc_id
-    * arrives at most once (distinct-arrival convention), so the count
-    * reaches n_holders only when every holder is genuinely tombstoned.
-    * Input schema (doc_id). */
+    * tombstoned holders — a [[FrontierState]] seen-set per URL ever named
+    * by a request (O(requested URLs), never fetch volume) — emitting the
+    * removal event exactly once, in the micro-batch where the LAST
+    * holder arrives — so a URL with a surviving holder keeps refusing
+    * re-crawls, and the crawler can drop it the moment it may.
+    *
+    * Re-delivery is ENFORCED away, not assumed: an arriving doc_id
+    * already in the URL's seen-set (or duplicated within one batch) is
+    * ignored, so the count reaches n_holders only when every holder is
+    * GENUINELY tombstoned. On completion the state collapses to an O(1)
+    * tombstone rather than `state.remove()` — a removed entry would
+    * forget the URL completed, and a re-delivered holder arriving after
+    * completion would then re-emit the removal (breaking this function's
+    * exactly-once contract); the tombstone refuses it for the cost of
+    * one boolean. Input schema (doc_id). */
   def frontierTakedown(requests: DataFrame, holders: DataFrame): Dataset[FrontierRemoval] = {
     import requests.sparkSession.implicits._
     requests.join(holders, "doc_id")
       .select(col("url_norm"), col("doc_id"), col("n_holders"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, FrontierRemoval](
+      .flatMapGroupsWithState[FrontierState, FrontierRemoval](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (url: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
-          val rs = rows.toArray
-          val before = state.getOption.getOrElse(0L)
-          val after = before + rs.length
-          state.update(after)
-          val total = rs.head._3
-          if (before < total && after >= total)
-            Iterator(FrontierRemoval(url, total, rs.map(_._2).max))
-          else Iterator.empty
+        (url: String, rows: Iterator[(String, Long, Long)], state: GroupState[FrontierState]) =>
+          val st = state.getOption.getOrElse(FrontierState(done = false, Nil))
+          if (st.done) Iterator.empty // completed: any arrival is a re-delivery
+          else {
+            val rs = rows.toArray
+            val total = rs.head._3 // per-URL constant on every holder row
+            val seen = st.seen.toSet
+            val fresh = rs.map(_._2).distinct.filterNot(seen)
+            val after = seen.size + fresh.length
+            if (after >= total) {
+              state.update(FrontierState(done = true, Nil))
+              Iterator(FrontierRemoval(url, total, fresh.max))
+            } else {
+              state.update(FrontierState(done = false, st.seen ++ fresh))
+              Iterator.empty
+            }
+          }
       }
   }
 
   case class HostCapVerdict(doc_id: Long, host: String, admitted: Boolean, host_admitted: Long)
+
+  /** Per-host quota state for [[hostCapAdmission]]: quota spent so far
+    * plus the highest doc_id ever verdict-ed — the O(1) re-delivery
+    * watermark (fetches replay in doc_id order, so an arrival at or
+    * below `maxSeen` is a duplicate that already holds a verdict). */
+  case class HostQuota(spent: Long, maxSeen: Long)
 
   /** Streaming per-HOST admission QUOTA — the streaming twin of the batch
     * cap `LlmOps.ddHostCap` and the only admission stage that genuinely
@@ -602,11 +651,20 @@ object EventStream {
     * the quota spends deterministically, and the per-batch sort is
     * bounded by that host's share of the micro-batch, never the corpus.
     *
-    * Parity contract: when fetches arrive in doc_id order (chronological
-    * replay — each doc_id arriving once), the admitted set equals the
-    * batch cap's kept set EXACTLY, however the stream is micro-batched:
-    * the batch keeps the k smallest doc_ids per host, and an in-order
-    * quota admits precisely those. EventStreamSpec pins it against the
+    * Parity contract: when NEW fetches arrive in doc_id order
+    * (chronological replay), the admitted set equals the batch cap's kept
+    * set EXACTLY, however the stream is micro-batched: the batch keeps
+    * the k smallest doc_ids per host, and an in-order quota admits
+    * precisely those. Re-delivery is ENFORCED away, not assumed: the
+    * per-host [[HostQuota]] carries the highest doc_id ever verdict-ed,
+    * and an arrival at or below it — a transport re-delivery, or a
+    * duplicate within one batch — is dropped without spending quota or
+    * re-emitting (its verdict already shipped). The watermark deliberately
+    * conflates "re-delivered" with "genuinely out-of-order new fetch":
+    * under the in-order replay contract the latter cannot occur, and the
+    * conflation is what keeps the state O(1) per host instead of a
+    * per-host seen-set growing with fetch volume.
+    * EventStreamSpec pins it against the
     * oracle-checked dd_host_cap on the same corpus, with a host whose
     * quota exhausts in an EARLY micro-batch and must refuse in later
     * ones (the cross-batch property the stateless gates cannot express).
@@ -621,16 +679,22 @@ object EventStream {
       .select(col("doc_id"), expr(LlmOps.hostOfSql).as("host"))
       .as[(Long, String)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState[Long, HostCapVerdict](
+      .flatMapGroupsWithState[HostQuota, HostCapVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (host: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
-          var spent = state.getOption.getOrElse(0L)
-          val out = rows.map(_._1).toArray.sorted.map { id =>
-            val admit = spent < cap
-            if (admit) spent += 1
-            HostCapVerdict(id, host, admit, spent)
+        (host: String, rows: Iterator[(Long, String)], state: GroupState[HostQuota]) =>
+          val st = state.getOption.getOrElse(HostQuota(0L, Long.MinValue))
+          var spent = st.spent
+          var maxSeen = st.maxSeen
+          val out = rows.map(_._1).toArray.sorted.flatMap { id =>
+            if (id <= maxSeen) None // re-delivery (or in-batch duplicate): verdict already shipped
+            else {
+              maxSeen = id
+              val admit = spent < cap
+              if (admit) spent += 1
+              Some(HostCapVerdict(id, host, admit, spent))
+            }
           }
-          state.update(spent)
+          state.update(HostQuota(spent, maxSeen))
           out.iterator
       }
   }

@@ -870,4 +870,85 @@ class EventStreamSpec extends SparkSpec {
         s"after batch 2 expected u (last holder doc 2) and v, got $afterB2")
     } finally q2.stop()
   }
+
+  test("re-delivered requests never double-count: ledger, frontier, host quota") {
+    // The round-16 verdict's ask #4: the stateful streaming twins must
+    // ENFORCE the distinct-arrival precondition, not document it — an
+    // at-least-once transport re-delivers, and a double-counted deletion
+    // ledger / re-emitted frontier removal / double-spent quota is a
+    // compliance bug. Every chunk below is delivered TWICE.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    // 1. takedown ledger: duplicate deliveries within AND across batches
+    val states = graft.analytics.LlmOps.takedownDocStateRows(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+      .toDF("state_id", "state", "doc_id", "w")
+    val list = graft.analytics.LlmOps.takedownDocFlags(spark, dir)
+      .filter($"gone").select($"doc_id").as[Long].collect().sorted.toSeq
+    val input = MemoryStream[Long]
+    val q = EventStream.toMemorySink(
+      EventStream.takedownCensus(input.toDF().toDF("doc_id"), states),
+      "takedown_ledger_rd", OutputMode.Complete())
+    try {
+      list.grouped((list.size + 2) / 3).foreach { ch =>
+        input.addData(ch ++ ch); q.processAllAvailable() // in-batch duplicates
+      }
+      input.addData(list.take(2)); q.processAllAvailable() // cross-batch re-delivery
+      val got = spark.table("takedown_ledger_rd").collect()
+        .map(r => r.getAs[String]("state") -> r.getAs[Long]("n_removed")).toMap
+      val want = graft.analytics.LlmOps.ddTakedown(spark, dir).collect()
+        .filter(_.getAs[String]("state") != "frontier")
+        .map(r => r.getAs[String]("state") -> r.getAs[Long]("n_removed")).toMap
+      assert(got == want, s"re-delivery double-counted the ledger: $got vs $want")
+      // read-back seeding: a drained sink missing a state still publishes
+      // the full batch-comparable ledger, absent states at 0
+      val partial = spark.table("takedown_ledger_rd").filter($"state" =!= "corpus")
+      val seeded = EventStream.ledgerWithSeeds(partial, states).collect()
+        .map(r => r.getAs[String]("state") -> r.getAs[Long]("n_removed")).toMap
+      assert(seeded == want + ("corpus" -> 0L),
+        s"seeded ledger must publish every state: $seeded")
+    } finally q.stop()
+
+    // 2. frontier: re-delivery before completion must not advance the
+    // count; re-delivery after completion must not re-emit the removal
+    val g = Seq((1L, "u", 2L), (2L, "u", 2L), (3L, "w", 2L))
+      .toDF("doc_id", "url_norm", "n_holders")
+    val input2 = MemoryStream[Long]
+    val q2 = EventStream.toMemorySink(
+      EventStream.frontierTakedown(input2.toDF().toDF("doc_id"), g).toDF(),
+      "frontier_rd", OutputMode.Append())
+    try {
+      input2.addData(1L, 1L); q2.processAllAvailable() // in-batch duplicate
+      input2.addData(1L); q2.processAllAvailable()     // cross-batch re-delivery
+      assert(spark.table("frontier_rd").isEmpty,
+        "re-delivered first holder must not complete u (1 of 2 tombstoned)")
+      input2.addData(2L); q2.processAllAvailable()     // genuine last holder
+      input2.addData(2L, 1L); q2.processAllAvailable() // re-delivery AFTER completion
+      val rows = spark.table("frontier_rd").collect()
+        .map(r => r.getAs[String]("url_norm") -> r.getAs[Long]("last_doc"))
+      assert(rows.toSeq == Seq("u" -> 2L),
+        s"frontier removal must emit exactly once: ${rows.toSeq}")
+    } finally q2.stop()
+
+    // 3. host quota: a re-delivered fetch neither re-spends quota nor
+    // re-emits a verdict; later NEW fetches still spend correctly
+    val input3 = MemoryStream[(Long, String)]
+    val q3 = EventStream.toMemorySink(
+      EventStream.hostCapAdmission(input3.toDF().toDF("doc_id", "url"), 2).toDF(),
+      "host_quota_rd", OutputMode.Append())
+    try {
+      input3.addData((1L, "http://a.com/1"), (2L, "http://a.com/2"), (2L, "http://a.com/2"))
+      q3.processAllAvailable()
+      input3.addData((2L, "http://a.com/2"), (3L, "http://a.com/3")) // re-delivery + new
+      q3.processAllAvailable()
+      val vs = spark.table("host_quota_rd").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted")).toMap
+      assert(spark.table("host_quota_rd").count() == 3,
+        "exactly one verdict per unique fetch")
+      assert(vs == Map(1L -> true, 2L -> true, 3L -> false),
+        s"cap-2 quota must admit {1,2} and refuse 3: $vs")
+    } finally q3.stop()
+  }
 }

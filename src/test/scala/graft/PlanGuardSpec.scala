@@ -240,4 +240,44 @@ class PlanGuardSpec extends SparkSpec {
     assert("hashpartitioning\\(".r.findAllIn(plan).length == 1,
       s"the window chain and per-user collapse must share one hash exchange:\n${plan.take(600)}")
   }
+
+  test("retrain re-assignment is map-only: no Window, no member-side exchange, window-parity") {
+    // The round-16 verdict's top ask: simIvfRetrainExec's full-corpus
+    // re-assignment must be the packed-centroid row-local fold (the
+    // annServe shape), NOT an N x k crossJoin + row_number shuffle. The
+    // only exchanges allowed are the SinglePartition packing of the k-row
+    // centroid side (it feeds a broadcast) — members never shuffle.
+    import spark.implicits._
+    val members = Seq(
+      (1L, Array(1.0f, 0.0f), 1.0, 0L),
+      (2L, Array(0.0f, 1.0f), 1.0, 1L),
+      (3L, Array(0.6f, 0.8f), 1.0, 0L),
+      (4L, Array(1.0f, 1.0f), 2.0, 1L) // exact tie: both cosines equal -> lowest ncell
+    ).toDF("vec_id", "embedding", "nrm", "cell")
+    val cents = Seq(
+      (0L, Array(10L, 0L), 100.0),
+      (1L, Array(0L, 10L), 100.0)
+    ).toDF("ncell", "svec", "snrm")
+    val re = graft.analytics.LlmOps.retrainReassign(members, cents)
+    val plan = re.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"re-assignment must not sort a window:\n${plan.take(600)}")
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.forall(_.contains("SinglePartition")),
+      s"members must not shuffle — only the k-row centroid packing may:\n${shuffles.mkString("\n")}")
+    // Bit-exact parity with the retired window formulation on the same
+    // inputs, tie included: (cos DESC, ncell ASC) row_number argmax.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wRef = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("ncell"))
+    val windowed = members.crossJoin(broadcast(cents))
+      .withColumn("cos_c", expr("dot_fl(embedding, svec)") / sqrt(col("nrm") * col("snrm")))
+      .withColumn("ark", row_number().over(wRef))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("ncell"))
+      .as[(Long, Long)].collect().toMap
+    val folded = re.as[(Long, Long)].collect().toMap
+    assert(folded == windowed, s"fold=$folded window=$windowed")
+    assert(folded(4L) == 0L, "exact tie must keep the lowest ncell")
+  }
 }

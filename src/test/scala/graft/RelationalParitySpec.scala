@@ -74,14 +74,13 @@ class RelationalParitySpec extends SparkSpec {
     val rank = got.map(t => (t._1, t._2) -> t._3).toMap
     assert(rank(("part", 11L)) > rank(("part", 12L)))
     // the data-aware hint's SHUFFLE path (rank table past broadcast
-    // scale — the sf10 regime) must produce the identical ranking
-    val cap = graft.analytics.Relational.PagerankBroadcastNodeCap
-    try {
-      graft.analytics.Relational.PagerankBroadcastNodeCap = 0L
-      val shuffled = graft.analytics.Relational.q38Pagerank(spark, d).collect()
-        .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("node_id"), r.getAs[Long]("pr")))
-      assert(shuffled.toSeq == want, s"shuffle-path PageRank diverged: ${shuffled.toSeq}")
-    } finally graft.analytics.Relational.PagerankBroadcastNodeCap = cap
+    // scale — the sf10 regime) must produce the identical ranking; the
+    // cap rides a call parameter, not shared mutable state, so this
+    // cannot race a concurrent q38 call in the same JVM
+    val shuffled = graft.analytics.Relational
+      .q38Pagerank(spark, d, broadcastNodeCap = 0L).collect()
+      .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("node_id"), r.getAs[Long]("pr")))
+    assert(shuffled.toSeq == want, s"shuffle-path PageRank diverged: ${shuffled.toSeq}")
   }
 
   test("weekly cohort retention equals an in-memory recompute and anchors offset 0 at 1.0") {

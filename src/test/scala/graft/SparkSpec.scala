@@ -21,6 +21,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     s
   }
 }
