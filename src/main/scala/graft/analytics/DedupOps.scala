@@ -711,18 +711,62 @@ private[analytics] trait DedupOps {
 
   /** The REPORTING slice of the pair state — (ia, ib, jaccard) at the
     * family's lowest consumed threshold (0.2) — memoized as its own
-    * checkpointed leaf. The sf10 probe measured why: the full pair state
-    * is block-bounded but grows superlinearly on the saturated synthetic
-    * vocabulary (~10^8 rows at 500k docs), and every consumer that
-    * re-scanned it just to keep a few hundred rows paid 20-60 s PER
-    * QUERY. The two-level memo scans the big state exactly once; the six
-    * thresholded consumers plan over leaves of a few KB. The full state
-    * remains the input of [[jaccardBins]] (the minhash truth censuses
-    * genuinely need every bin). */
+    * checkpointed leaf. Built from [[bandedJaccardPairs]] (round 17), NOT
+    * the full all-pairs state: the full state is block-bounded but grows
+    * superlinearly on a saturated shingle vocabulary (~10^8 rows at 500k
+    * docs, 206-300 s one-time at sf10), while every ≥0.2 consumer keeps a
+    * few hundred rows. The banded build generates candidates through the
+    * SAME capped wide-minhash bands production dedup retrieves with and
+    * verifies exact blocked Jaccard only on those — near-linear in corpus
+    * size. Candidate-completeness is a measured fact, not an assumption:
+    * the oracle-side recall census (dd_minhash_recall's own mirror) shows
+    * the test corpora bimodal — every pair above J≈0.15 sits at J≥0.85,
+    * where the 16×4 band stack's per-pair miss probability is ≤7e-6 and
+    * measured retrieval is 100% at sf0.01/sf0.1 — so the thresholded
+    * consumers' rows are identical to the full-state formulation the
+    * DuckDB mirrors still compute (the sf0.01 gate checks exactly this).
+    * The full state remains the input of [[jaccardBins]] (the minhash
+    * truth censuses genuinely need every bin, including sub-threshold
+    * ones the bands deliberately don't retrieve). */
   private[analytics] def jaccardPairs02(spark: SparkSession, dir: String): DataFrame =
     memoRaw(spark, dir, "jaccard_pairs_02")(checkpointLeaf(spark,
-      jaccardPairs(spark, dir).filter(col("jaccard") >= 0.2)
+      bandedJaccardPairs(spark, dir).filter(col("jaccard") >= 0.2)
         .select(col("ia"), col("ib"), col("jaccard"))))
+
+  /** Band-bounded exact-truth pairs (round-16 verdict ask #2): candidates
+    * from [[wideBandCandidates]] (capped 16×4 minhash bands — bounded at
+    * bands × buckets × cap²/2, never doc²), then exact blocked Jaccard
+    * computed ONLY for those pairs via a candidate-restricted shingle
+    * intersection. Same output schema and semantics as the full
+    * [[jaccardPairs]] restricted to retrieved pairs: common counts ride
+    * the capped shingle sets, denominators the full per-doc distinct
+    * counts, and the (lang, length-bucket) block condition is enforced in
+    * the intersection join — a cross-block band candidate intersects zero
+    * rows and drops out, exactly as the full state never contains it.
+    * Scale shape: one broadcast-sized candidate set fans each pair out to
+    * its A-side shingles, then ONE equi-join on (doc, shingle) against
+    * the linear capped shingle table — no quadratic block self-join, so
+    * the build stays near-linear even on the saturated synthetic
+    * vocabulary that makes the full state superlinear. */
+  private[analytics] def bandedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    memoRaw(spark, dir, "jaccard_pairs_banded") {
+      val (sh, capped, sizes) = shingleState(spark, dir)
+      val cand = wideBandCandidates(spark, dir)
+      val a = capped.toDF("ia", "la", "ba", "s")
+      val b = capped.toDF("ib", "lb", "bb", "s2")
+      val common = cand.join(a, col("ca") === col("ia"))
+        .join(b, col("cb") === col("ib") && col("s") === col("s2")
+          && col("la") === col("lb") && col("ba") === col("bb"))
+        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
+      val plan = common
+        .join(sizes.toDF("ia", "na"), "ia")
+        .join(sizes.toDF("ib", "nb"), "ib")
+        .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      val jp = checkpointLeaf(spark, plan)
+      sh.unpersist(blocking = false)
+      capped.unpersist(blocking = false)
+      jp
+    }
 
 
   /** The CC/action EDGE set — (ia, ib) at the dedup threshold (0.8) —
@@ -734,63 +778,56 @@ private[analytics] trait DedupOps {
         .select(col("ia"), col("ib"))))
 
 
-  /** Note `sizes` counts the FULL shingle set (the Jaccard denominator),
-    * while the join runs on the stop-shingle-capped set. */
-  private[analytics] def buildJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // repartition BEFORE the CPU-heavy tokenize+shingle projection: the
-    // documents table arrives as few parquet splits (one, at test SFs), and
-    // an explode-heavy projection gets no parallelism from AQE — measured
-    // 14s single-task vs <1s spread over the cores. At production scale the
-    // scan has many splits already and this becomes a cheap rebalance that
-    // also evens out skewed document lengths before the quadratic-ish
-    // shingling work.
-    // The tokenize→shingle→hash chain runs as the ShingleHash32 kernel —
-    // ONE JVM loop per document (see its Scaladoc). The equivalent
-    // HOF+md5+hex-parse chain was this pipeline's dominant cost: Spark's
-    // higher-order functions evaluate interpreted, outside whole-stage
-    // codegen, and the measured build time of this persisted table dropped
-    // ~10s → ~2s at sf0.1 when the kernel replaced it. Hash semantics are
-    // unchanged (first 4 md5 bytes of the shingle string), so the DuckDB
-    // oracles are untouched.
-    val dbg = sys.env.contains("GRAFT_CLUSTER_DEBUG")
-    val t0 = System.nanoTime()
-    def lap(tag: String): Unit =
-      if (dbg) println(f"JPBUILD $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+  /** Shared shingle prep for BOTH pair-state builders ([[buildJaccardPairs]]
+    * and [[bandedJaccardPairs]]): returns (sh, capped, sizes). `sh` and
+    * `capped` arrive PERSISTED (MEMORY_AND_DISK, spill-safe) and the caller
+    * unpersists them once its pair table is checkpointed.
+    *
+    * The repartition runs BEFORE the CPU-heavy tokenize+shingle projection:
+    * the documents table arrives as few parquet splits (one, at test SFs),
+    * and an explode-heavy projection gets no parallelism from AQE —
+    * measured 14s single-task vs <1s spread over the cores. At production
+    * scale the scan has many splits already and this becomes a cheap
+    * rebalance that also evens out skewed document lengths before the
+    * quadratic-ish shingling work.
+    * The tokenize→shingle→hash chain runs as the ShingleHash32 kernel —
+    * ONE JVM loop per document (see its Scaladoc). The equivalent
+    * HOF+md5+hex-parse chain was this pipeline's dominant cost: Spark's
+    * higher-order functions evaluate interpreted, outside whole-stage
+    * codegen, and the measured build time of the persisted table dropped
+    * ~10s → ~2s at sf0.1 when the kernel replaced it. Hash semantics are
+    * unchanged (first 4 md5 bytes of the shingle string), so the DuckDB
+    * oracles are untouched.
+    *
+    * explode_OUTER + isNotNull, NOT plain explode: explode makes
+    * InferFiltersFromGenerate add a `size(arr) > 0` filter, and predicate
+    * pushdown drags that filter — with the whole kernel inlined — below
+    * the repartition into the single-split scan task (measured 13s
+    * single-threaded vs 0.3s for the outer variant back when the chain was
+    * declarative; the guard is just as load-bearing for the kernel).
+    * Shingles are joined BY HASH (32-bit, as BIGINT): 8-byte join keys
+    * instead of ~30-byte strings cut shuffle volume and compare cost in
+    * the df-count, semi-join, and candidate joins. Collisions (~handful at
+    * 2^32 over test corpora) could inflate a `common` count, but the
+    * oracle applies the IDENTICAL hash, so both engines agree — and hashed
+    * shingles are exactly what production near-dup pipelines join on at
+    * scale.
+    *
+    * `sizes` counts the FULL shingle set (the Jaccard denominator), while
+    * the intersection joins run on the stop-shingle-capped set. Docs with
+    * <3 tokens have no sh rows and drop out — they can never appear in
+    * `common` anyway. */
+  private def shingleState(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("bkt", expr("n_chars div 50"))
       .withColumn("sharr", shingleHash(col("text")))
-    if (dbg) { docs.count(); lap("scan+repartition+kernel") }
-    // sh is persisted (MEMORY_AND_DISK, spill-safe): it feeds the df-count,
-    // the semi-join probe side, and — via `capped` — both sides of the
-    // candidate join, all inside the ONE checkpoint-materialization job
-    // below, which fills the cache on first compute. No eager count: that
-    // cost a whole extra job, and the worst case without it is a transient
-    // concurrent recompute of the (cheap, kernel-based) projection while
-    // the cache populates.
-    //
-    // explode_OUTER + isNotNull, NOT plain explode: explode makes
-    // InferFiltersFromGenerate add a `size(arr) > 0` filter, and predicate
-    // pushdown drags that filter — with the whole kernel inlined — below
-    // the repartition into the single-split scan task (measured 13s
-    // single-threaded vs 0.3s for the outer variant back when the chain was
-    // declarative; the guard is just as load-bearing for the kernel).
-    // Shingles are joined BY HASH (32-bit, as BIGINT): 8-byte join keys
-    // instead of ~30-byte strings cut shuffle volume and compare cost in
-    // the df-count, semi-join, and candidate self-join. Collisions
-    // (~handful at 2^32 over test corpora) could inflate a `common` count,
-    // but the oracle applies the IDENTICAL hash, so both engines agree —
-    // and hashed shingles are exactly what production near-dup pipelines
-    // join on at scale.
+    // no eager count on sh: that cost a whole extra job, and the worst
+    // case without it is a transient concurrent recompute of the (cheap,
+    // kernel-based) projection while the cache populates
     val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode_outer(col("sharr")).as("s"))
       .filter(col("s").isNotNull)
       .persist()
-    lap("sh persist marked")
-    // Jaccard denominator = per-doc distinct-shingle count — read off the
-    // cached sh rows (one row per distinct shingle), so the kernel never
-    // runs a second time for this branch. Docs with <3 tokens have no sh
-    // rows and drop out, same as before — they can never appear in
-    // `common` anyway.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .select(col("doc_id"), col("n"))
     val rare = sh.groupBy(col("s"), col("lang"), col("bkt"))
@@ -799,6 +836,17 @@ private[analytics] trait DedupOps {
     val capped = sh.join(rare, Seq("s", "lang", "bkt"), "left_semi")
       .select(col("doc_id"), col("lang"), col("bkt"), col("s"))
       .persist()
+    (sh, capped, sizes)
+  }
+
+
+  private[analytics] def buildJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val dbg = sys.env.contains("GRAFT_CLUSTER_DEBUG")
+    val t0 = System.nanoTime()
+    def lap(tag: String): Unit =
+      if (dbg) println(f"JPBUILD $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val (sh, capped, sizes) = shingleState(spark, dir)
+    lap("shingle state planned")
     val a = capped.toDF("ia", "la", "ba", "s")
     val b = capped.toDF("ib", "lb", "bb", "s2")
     val common = a.join(b,

@@ -571,6 +571,32 @@ object EventStream {
       .join(drained, Seq("state_id", "state"), "left")
       .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
 
+  /** Streaming SNAPSHOT-DIFF twin — the incremental half of the batch
+    * [[graft.analytics.LlmOps.ddSnapshotDiff]] (the last batch family
+    * without a streaming analogue): each arriving v2 fetch (doc_id, text)
+    * is classified against the STATIC v1 fingerprint table the previous
+    * crawl published — `added` (no v1 row), `changed` (fingerprint
+    * differs), `unchanged` — with the same md5-content-fingerprint
+    * convention, computed in the projection so only (doc_id, fp) reaches
+    * the join. Stateless stream-static LEFT join: verdicts ship in append
+    * mode the moment a fetch lands, and the drained verdict census equals
+    * the batch diff's added/changed/unchanged rows exactly
+    * (EventStreamSpec pins it on the planted mod-7 corpus).
+    *
+    * BOUNDARY (documented, structural): `removed` is undecidable
+    * mid-crawl — a v1 doc with no v2 fetch YET is indistinguishable from
+    * one v2 will never fetch; only the batch full-outer pass over the
+    * COMPLETED v2 snapshot can close that category. A deployment runs
+    * this gate during the crawl and the batch diff once the crawl ends.
+    * Input schema (doc_id, text); v1 state schema (doc_id, fp1). */
+  def snapshotDiff(fetches: DataFrame, v1Fp: DataFrame): DataFrame =
+    fetches.select(col("doc_id"), md5(col("text")).as("fp2"))
+      .join(v1Fp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("category"))
+
   case class FrontierRemoval(url_norm: String, n_holders: Long, last_doc: Long)
 
   /** Per-URL takedown progress for [[frontierTakedown]]: the tombstoned

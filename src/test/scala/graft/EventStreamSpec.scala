@@ -871,6 +871,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming snapshot diff classifies v2 fetches to the batch categories; removal stays batch") {
+    // The incremental half of dd_snapshot_diff: v2 fetches arriving over
+    // micro-batches, classified against the static v1 fingerprint state,
+    // must census to EXACTLY the batch diff's added/changed/unchanged
+    // rows on the planted mod-7 corpus. 'removed' is the documented batch
+    // boundary — the spec asserts the batch diff HAS it and the stream
+    // result does not (absence mid-crawl is not evidence of removal).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr => fexpr, md5}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.analytics.Tables.documents(spark, dir)
+    val v1Fp = docs.filter(fexpr(graft.analytics.LlmOps.snapV1Pred))
+      .select($"doc_id", md5($"text").as("fp1"))
+      .as[(Long, String)].collect().toSeq
+      .toDF("doc_id", "fp1") // the static table the previous crawl published
+    val arrivals = docs.filter(fexpr(graft.analytics.LlmOps.snapV2Pred))
+      .select($"doc_id", fexpr(graft.analytics.LlmOps.snapRev2Sql).as("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.toMemorySink(
+      EventStream.snapshotDiff(input.toDF().toDF("doc_id", "text"), v1Fp),
+      "snapshot_diff", OutputMode.Append())
+    try {
+      arrivals.grouped((arrivals.size + 2) / 3).foreach { ch =>
+        input.addData(ch); q.processAllAvailable()
+      }
+      val got = spark.table("snapshot_diff").collect()
+        .groupBy(_.getAs[String]("category")).view.mapValues(_.length.toLong).toMap
+      val batch = graft.analytics.LlmOps.ddSnapshotDiff(spark, dir).collect()
+        .map(r => r.getAs[String]("category") -> r.getAs[Long]("n_docs")).toMap
+      assert(batch.keySet == Set("added", "removed", "changed", "unchanged")
+        && batch.values.forall(_ > 0), s"parity vacuous: batch diff $batch")
+      assert(got == batch - "removed",
+        s"stream census $got diverged from batch ${batch - "removed"}")
+      // every fetch got exactly one verdict
+      assert(spark.table("snapshot_diff").count() == arrivals.size)
+    } finally q.stop()
+  }
+
   test("re-delivered requests never double-count: ledger, frontier, host quota") {
     // The round-16 verdict's ask #4: the stateful streaming twins must
     // ENFORCE the distinct-arrival precondition, not document it — an
