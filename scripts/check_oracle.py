@@ -31,10 +31,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def split_ctes(sql):
-    """Parse `WITH [RECURSIVE] n1 AS (...), n2 AS (...) <final>` into
-    (recursive, [(name, body), ...], final). Returns None when the SQL is
-    not a plain top-level WITH-chain (no CTE column lists — the oracle
-    convention). Quote- and paren-aware; '' escapes inside strings."""
+    """Parse `WITH [RECURSIVE] n1 AS (...), n2(cols) AS (...) <final>` into
+    (recursive, [(name, collist_or_None, body), ...], final). Returns None
+    when the SQL is not a plain top-level WITH-chain. Quote- and
+    paren-aware; '' escapes inside strings."""
     s = sql.lstrip()
     m = re.match(r'(?is)^WITH\s+(RECURSIVE\s+)?', s)
     if not m:
@@ -43,10 +43,11 @@ def split_ctes(sql):
     i = m.end()
     ctes = []
     while True:
-        mm = re.match(r'\s*("?[A-Za-z_][A-Za-z0-9_]*"?)\s+AS\s*\(', s[i:], re.I | re.S)
+        mm = re.match(r'\s*("?[A-Za-z_][A-Za-z0-9_]*"?)\s*(\([^()]*\))?\s+AS\s*\(',
+                      s[i:], re.I | re.S)
         if not mm:
             return None
-        name = mm.group(1)
+        name, cols = mm.group(1), mm.group(2)
         j = i + mm.end()
         depth, k, n, in_sq = 1, i + mm.end(), len(s), False
         while k < n and depth:
@@ -66,7 +67,7 @@ def split_ctes(sql):
             k += 1
         if depth:
             return None
-        ctes.append((name, s[j:k - 1]))
+        ctes.append((name, cols, s[j:k - 1]))
         mm2 = re.match(r'\s*,', s[k:])
         if mm2:
             i = k + mm2.end()
@@ -84,15 +85,19 @@ def run_staged(make_con, sql):
     recursive, ctes, final = parsed
     con = make_con()
     rest = []
-    for name, body in ctes:
+    for name, cols, body in ctes:
         selfref = recursive and re.search(r'\b%s\b' % re.escape(name.strip('"')), body)
         if rest or selfref:
-            rest.append((name, body))  # recursive tail stays a WITH-prefix
+            rest.append((name, cols, body))  # recursive tail stays a WITH-prefix
+        elif cols:  # rename via a derived-table alias when a column list rides the CTE
+            con.execute('CREATE TEMP TABLE %s AS SELECT * FROM (%s) _t%s' % (name, body, cols))
         else:
             con.execute('CREATE TEMP TABLE %s AS %s' % (name, body))
     if rest:
         prefix = 'WITH RECURSIVE ' if recursive else 'WITH '
-        final = prefix + ', '.join('%s AS (%s)' % (n, b) for n, b in rest) + ' ' + final
+        final = (prefix
+                 + ', '.join('%s%s AS (%s)' % (n, c or '', b) for n, c, b in rest)
+                 + ' ' + final)
     return con.execute(final).df()
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -116,6 +121,14 @@ def main(out_dir: str, sf_dir: str, staged_all: bool = False, only=()) -> int:
             c.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
         if os.environ.get("DUCKDB_TMP"):
             c.execute(f"SET temp_directory='{os.environ['DUCKDB_TMP']}'")
+        if os.environ.get("DUCKDB_THREADS"):
+            c.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+        if os.environ.get("DUCKDB_NO_ORDER"):
+            # safe for the oracle contract: every oracle's FINAL select has
+            # a deterministic ORDER BY, which still applies; this only
+            # releases insertion-order guarantees inside joins/aggregates
+            # (a large spill-pressure win on the temp-disk-bound mirrors)
+            c.execute("SET preserve_insertion_order=false")
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             if os.path.exists(p):

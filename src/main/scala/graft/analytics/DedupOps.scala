@@ -299,7 +299,7 @@ private[analytics] trait DedupOps {
     * O(pairs) and O(sources²). A naive twin would join documents twice —
     * the q39 double-scan lesson (PLANS.md) applied at design time. */
   def ddSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val pr = jaccardPairs02(spark, dir).select(col("ia"), col("ib"))
+    val pr = jaccardPairsFull02(spark, dir).select(col("ia"), col("ib"))
     val sides = pr.select(col("ia"), col("ib"),
       explode(array(col("ia"), col("ib"))).as("doc_id"))
     Tables.documents(spark, dir).select(col("doc_id"), col("source"))
@@ -718,19 +718,36 @@ private[analytics] trait DedupOps {
     * few hundred rows. The banded build generates candidates through the
     * SAME capped wide-minhash bands production dedup retrieves with and
     * verifies exact blocked Jaccard only on those — near-linear in corpus
-    * size. Candidate-completeness is a measured fact, not an assumption:
-    * the oracle-side recall census (dd_minhash_recall's own mirror) shows
-    * the test corpora bimodal — every pair above J≈0.15 sits at J≥0.85,
-    * where the 16×4 band stack's per-pair miss probability is ≤7e-6 and
-    * measured retrieval is 100% at sf0.01/sf0.1 — so the thresholded
-    * consumers' rows are identical to the full-state formulation the
-    * DuckDB mirrors still compute (the sf0.01 gate checks exactly this).
-    * The full state remains the input of [[jaccardBins]] (the minhash
-    * truth censuses genuinely need every bin, including sub-threshold
-    * ones the bands deliberately don't retrieve). */
+    * size. Candidate-completeness is MEASURED per consumer, not assumed:
+    * the ≥0.8 region (edges08 → cluster/keep/keep-best/align/near-drops)
+    * and the top-200 report hash-matched the full-state DuckDB mirrors at
+    * sf0.01, sf0.1 AND the sf10 staged gate (464-member cluster set,
+    * 500k docs) — per-pair band miss probability at J≥0.8 is ≤2.2e-4 and
+    * zero misses occur on the deterministic test corpora. The one
+    * consumer whose contract needs the mid-J region the bands
+    * deliberately under-retrieve ([[ddSourceOverlap]], every pair ≥0.2)
+    * reads [[jaccardPairsFull02]] instead — the sf10 gate caught its
+    * banded variant missing 25 of 47 source-pair groups. The full state
+    * also remains the input of [[jaccardBins]] (the minhash truth
+    * censuses genuinely need every bin, including sub-threshold ones). */
   private[analytics] def jaccardPairs02(spark: SparkSession, dir: String): DataFrame =
     memoRaw(spark, dir, "jaccard_pairs_02")(checkpointLeaf(spark,
       bandedJaccardPairs(spark, dir).filter(col("jaccard") >= 0.2)
+        .select(col("ia"), col("ib"), col("jaccard"))))
+
+  /** The FULL-state ≥0.2 slice — [[ddSourceOverlap]]'s input, and the one
+    * thresholded consumer that must NOT ride the banded build: its
+    * contract is a census of EVERY qualifying pair, and mid-range Jaccard
+    * (0.2–0.8) is exactly the region the 16×4 band stack deliberately
+    * under-retrieves (the recall census MEASURES that under-retrieval —
+    * ~12% at J=0.3). The round-17 sf10 gate caught this live: banded
+    * source-overlap found 22 source-pair groups where the full-state
+    * DuckDB mirror found 47. Cost: a KB-sized slice of the full pair
+    * state the calibration censuses ([[jaccardBins]]) already require —
+    * no additional build anywhere the censuses run. */
+  private[analytics] def jaccardPairsFull02(spark: SparkSession, dir: String): DataFrame =
+    memoRaw(spark, dir, "jaccard_pairs_full_02")(checkpointLeaf(spark,
+      jaccardPairs(spark, dir).filter(col("jaccard") >= 0.2)
         .select(col("ia"), col("ib"), col("jaccard"))))
 
   /** Band-bounded exact-truth pairs (round-16 verdict ask #2): candidates

@@ -45,6 +45,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     * only their own plan cost. */
   def stateBuilders(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "jaccard_pairs" -> (() => { jaccardPairs(spark, dir).count(); () }),
+    "jaccard_pairs_banded" -> (() => { bandedJaccardPairs(spark, dir).count(); () }),
     "jaccard_edges" -> (() => { jaccardEdges08(spark, dir).count(); () }),
     "containment_pairs" -> (() => { containmentPairs(spark, dir).count(); () }),
     "passage_windows_n4" -> (() => { passageWindows(spark, dir, 4).count(); () }),
