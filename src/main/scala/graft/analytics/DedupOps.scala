@@ -27,7 +27,7 @@ private[analytics] trait DedupOps {
   /** N-gram Jaccard near-dup detection, blocked on (lang, length-bucket):
     * shingle-join within blocks → common counts → |A∩B| / |A∪B|. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs02(spark, dir)
+    jaccardPairsFull02(spark, dir)
       .orderBy(col("jaccard").desc, col("ia"), col("ib"))
       .limit(200)
 
@@ -710,41 +710,18 @@ private[analytics] trait DedupOps {
 
 
   /** The REPORTING slice of the pair state — (ia, ib, jaccard) at the
-    * family's lowest consumed threshold (0.2) — memoized as its own
-    * checkpointed leaf. Built from [[bandedJaccardPairs]] (round 17), NOT
-    * the full all-pairs state: the full state is block-bounded but grows
-    * superlinearly on a saturated shingle vocabulary (~10^8 rows at 500k
-    * docs, 206-300 s one-time at sf10), while every ≥0.2 consumer keeps a
-    * few hundred rows. The banded build generates candidates through the
-    * SAME capped wide-minhash bands production dedup retrieves with and
-    * verifies exact blocked Jaccard only on those — near-linear in corpus
-    * size. Candidate-completeness is MEASURED per consumer, not assumed:
-    * the ≥0.8 region (edges08 → cluster/keep/keep-best/align/near-drops)
-    * and the top-200 report hash-matched the full-state DuckDB mirrors at
-    * sf0.01, sf0.1 AND the sf10 staged gate (464-member cluster set,
-    * 500k docs) — per-pair band miss probability at J≥0.8 is ≤2.2e-4 and
-    * zero misses occur on the deterministic test corpora. The one
-    * consumer whose contract needs the mid-J region the bands
-    * deliberately under-retrieve ([[ddSourceOverlap]], every pair ≥0.2)
-    * reads [[jaccardPairsFull02]] instead — the sf10 gate caught its
-    * banded variant missing 25 of 47 source-pair groups. The full state
-    * also remains the input of [[jaccardBins]] (the minhash truth
-    * censuses genuinely need every bin, including sub-threshold ones). */
-  private[analytics] def jaccardPairs02(spark: SparkSession, dir: String): DataFrame =
-    memoRaw(spark, dir, "jaccard_pairs_02")(checkpointLeaf(spark,
-      bandedJaccardPairs(spark, dir).filter(col("jaccard") >= 0.2)
-        .select(col("ia"), col("ib"), col("jaccard"))))
-
-  /** The FULL-state ≥0.2 slice — [[ddSourceOverlap]]'s input, and the one
-    * thresholded consumer that must NOT ride the banded build: its
-    * contract is a census of EVERY qualifying pair, and mid-range Jaccard
-    * (0.2–0.8) is exactly the region the 16×4 band stack deliberately
+    * family's lowest consumed threshold (0.2), a KB-sized checkpointed
+    * slice of the FULL pair state — [[ddNgramJaccard]]'s and
+    * [[ddSourceOverlap]]'s input. Both reporting contracts reach the
+    * mid-Jaccard region (0.2–0.8) the 16×4 band stack deliberately
     * under-retrieves (the recall census MEASURES that under-retrieval —
-    * ~12% at J=0.3). The round-17 sf10 gate caught this live: banded
-    * source-overlap found 22 source-pair groups where the full-state
-    * DuckDB mirror found 47. Cost: a KB-sized slice of the full pair
-    * state the calibration censuses ([[jaccardBins]]) already require —
-    * no additional build anywhere the censuses run. */
+    * ~12% at J=0.3), so neither may ride [[bandedJaccardPairs]]: the
+    * round-17 scale gates caught BOTH live — banded source-overlap
+    * missed 25 of 47 source-pair groups at sf10, and banded
+    * ngram-jaccard's top-200 diverged from row 96 at sf2, where the list
+    * dips to J≈0.63. Cost: a slice of the state the calibration censuses
+    * ([[jaccardBins]]) already require — no additional build anywhere
+    * the censuses run. */
   private[analytics] def jaccardPairsFull02(spark: SparkSession, dir: String): DataFrame =
     memoRaw(spark, dir, "jaccard_pairs_full_02")(checkpointLeaf(spark,
       jaccardPairs(spark, dir).filter(col("jaccard") >= 0.2)
@@ -787,11 +764,18 @@ private[analytics] trait DedupOps {
 
 
   /** The CC/action EDGE set — (ia, ib) at the dedup threshold (0.8) —
-    * second level of the pair memo chain; feeds [[ddCluster]],
-    * [[ddDedupKeepBest]], [[nearDropSet]] and the passage aligner. */
+    * feeds [[ddCluster]], [[ddDedupKeepBest]], [[nearDropSet]] and the
+    * passage aligner. Built from [[bandedJaccardPairs]]: the dedup-action
+    * consumers are what a production pipeline runs on every corpus
+    * version, and their ≥0.8 region is where banding is near-exact
+    * (per-pair miss probability ≤2.2e-4 at J=0.8; hash-verified
+    * row-identical to the full-state DuckDB mirrors at sf0.01/0.1/2/10 —
+    * 464-member cluster set at 500k docs). The reporting/calibration
+    * consumers that need mid- or sub-threshold pairs read
+    * [[jaccardPairsFull02]] / [[jaccardBins]] off the full state. */
   private[analytics] def jaccardEdges08(spark: SparkSession, dir: String): DataFrame =
     memoRaw(spark, dir, "jaccard_edges_08")(checkpointLeaf(spark,
-      jaccardPairs02(spark, dir).filter(col("jaccard") >= 0.8)
+      bandedJaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
         .select(col("ia"), col("ib"))))
 
 
