@@ -737,11 +737,16 @@ private[analytics] trait DedupOps {
     * counts, and the (lang, length-bucket) block condition is enforced in
     * the intersection join — a cross-block band candidate intersects zero
     * rows and drops out, exactly as the full state never contains it.
-    * Scale shape: one broadcast-sized candidate set fans each pair out to
-    * its A-side shingles, then ONE equi-join on (doc, shingle) against
-    * the linear capped shingle table — no quadratic block self-join, so
-    * the build stays near-linear even on the saturated synthetic
-    * vocabulary that makes the full state superlinear. */
+    * Scale shape: the cap-bounded candidate set (AQE broadcasts it when
+    * small, shuffle-joins on doc id when not — both linear) fans each
+    * pair out to its A-side shingles, then ONE equi-join on
+    * (doc, shingle) against the linear capped shingle table — no
+    * quadratic block self-join, so the build stays near-linear even on
+    * the saturated synthetic vocabulary that makes the full state
+    * superlinear (measured 37.1 s at sf2 → 70.7 s at sf10 for 5× docs,
+    * vs the full build's 206-300 s at sf10). What banding can cost in
+    * retrieved edges is not assumed away: [[ddBandGap]] is the
+    * per-corpus accounting. */
   private[analytics] def bandedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     memoRaw(spark, dir, "jaccard_pairs_banded") {
       val (sh, capped, sizes) = shingleState(spark, dir)
@@ -882,6 +887,33 @@ private[analytics] trait DedupOps {
     sh.unpersist(blocking = false)
     capped.unpersist(blocking = false)
     jp
+  }
+
+
+  /** BAND-GAP census at the ACTION threshold — the no-silent-caps rule
+    * applied to round 17's own optimization. [[jaccardEdges08]] retrieves
+    * the dedup edge set through the capped 16×4 bands, which is
+    * near-exact at J≥0.8 (per-pair miss probability ≤2.2e-4) but
+    * PROBABILISTIC, and cap-truncatable on a duplicate-heavy corpus.
+    * This census measures, per corpus, exactly what that banding costs:
+    * full-state truth edges vs banded edges, the missed count, and the
+    * recall — the number an operator checks before trusting the banded
+    * dedup action on a NEW corpus (every test corpus sf0.01-sf10
+    * measures 1.0; a measured value below 1 is the signal to widen the
+    * bands or raise the bucket cap before deduping). Truth side reads
+    * the full pair state the calibration censuses already build; banded
+    * side is the KB-sized checkpointed edge memo — one bounded join,
+    * 1-row output at any corpus size. */
+  def ddBandGap(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
+      .select(col("ia"), col("ib"))
+    val banded = jaccardEdges08(spark, dir).withColumn("hit", lit(1L))
+    truth.join(banded, Seq("ia", "ib"), "left")
+      .agg(count(lit(1)).as("n_true_edges"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_banded_edges"))
+      .withColumn("n_missed", col("n_true_edges") - col("n_banded_edges"))
+      .withColumn("recall",
+        col("n_banded_edges").cast("double") / col("n_true_edges"))
   }
 
 

@@ -447,6 +447,27 @@ private[analytics] trait DedupOracles {
          |GROUP BY bin ORDER BY bin""".stripMargin,
 
 
+    // band-gap census at the ACTION threshold: full-state truth edges
+    // (exact blocked Jaccard >= 0.8) vs the capped-band-retrieved edge
+    // set the dedup action runs on — missed count and recall, the
+    // per-corpus accounting of what band-bounding the edge build costs
+    "dd_band_gap" ->
+      s"""WITH $baseDuck, $shinglePairsDuck,
+         |${wideSigStackDuck("_w")},
+         |${cappedBandsDuck("_w")},
+         |${bandCandDuck("_w")},
+         |edges AS (
+         |  SELECT ia, ib FROM pairs
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE common / (sa.n + sb.n - common) >= 0.8),
+         |hits AS (SELECT e.ia FROM edges e JOIN cand_w c ON e.ia = c.ia AND e.ib = c.ib)
+         |SELECT count(*) AS n_true_edges,
+         |  (SELECT count(*) FROM hits) AS n_banded_edges,
+         |  count(*) - (SELECT count(*) FROM hits) AS n_missed,
+         |  CAST((SELECT count(*) FROM hits) AS DOUBLE) / count(*) AS recall
+         |FROM edges""".stripMargin,
+
+
     // estimator calibration: over banded candidates WITH blocked truth,
     // per true-Jaccard twentieth — exact BIGINT slice-match sums and the
     // mean estimate as one int/int division (Broder E[est] = J, measured)

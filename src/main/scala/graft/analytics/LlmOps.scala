@@ -104,6 +104,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_dedup_keep_best" -> ddDedupKeepBest _,
     "dd_cluster" -> ddCluster _,
     "dd_cluster_hist" -> ddClusterHist _,
+    "dd_band_gap" -> ddBandGap _,
     "txt_tfidf" -> txtTfidf _,
     "txt_balance" -> txtBalance _,
     "txt_vocab_coverage" -> txtVocabCoverage _,

@@ -188,6 +188,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.toSet == Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)), rows.mkString(","))
   }
 
+  test("band gap census: banded edge retrieval is complete on both corpora, accounting conserved") {
+    // The round-17 edge build retrieves through capped minhash bands;
+    // this census IS the parity statement (n_missed counts full-state
+    // 0.8-edges the bands failed to retrieve) plus the conservation
+    // identity. Planted corpus: 3 true edges (0-1, 0-2, 1-2).
+    for (d <- Seq(dir, "/root/testdata/sf0.001")) {
+      val g = LlmOps.ddBandGap(spark, d).collect()
+      assert(g.length == 1)
+      val r = g.head
+      val (t, b, m) = (r.getAs[Long]("n_true_edges"),
+        r.getAs[Long]("n_banded_edges"), r.getAs[Long]("n_missed"))
+      assert(t > 0, s"vacuous: no true edges at $d")
+      assert(t == b + m, s"accounting broken at $d: $t != $b + $m")
+      assert(m == 0L && r.getAs[Double]("recall") == 1.0,
+        s"bands missed $m of $t action-threshold edges at $d")
+    }
+    val planted = LlmOps.ddBandGap(spark, dir).collect().head
+    assert(planted.getAs[Long]("n_true_edges") == 3L)
+  }
+
   test("cluster histogram: singletons at size 1, the dup triple at size 3, mass conserved") {
     // {0,1,2} is one size-3 cluster; 3 and 4 are singletons
     val hist = LlmOps.ddClusterHist(spark, dir).collect()
