@@ -208,6 +208,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(planted.getAs[Long]("n_true_edges") == 3L)
   }
 
+  test("band gap census DETECTS cap-cut edge loss under a monster duplicate cluster") {
+    // The census must measure loss, not just report 1.0: 310 identical
+    // docs saturate every band bucket (cap 64, ordered by doc_id), so
+    // the banded edge set keeps exactly C(64,2) pairs of the C(310,2)
+    // the full state holds — the recall readout is the operator's
+    // widen-bands signal before a dedup action silently under-drops.
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (-60L until 250L).map(i => Doc(i, text, "en", "s", text.length))
+    val d = java.nio.file.Files.createTempDirectory("bandgap").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val r = LlmOps.ddBandGap(spark, d).collect().head
+    val t = r.getAs[Long]("n_true_edges")
+    val b = r.getAs[Long]("n_banded_edges")
+    assert(t == 310L * 309 / 2, s"truth edges: $t")
+    assert(b == 64L * 63 / 2, s"banded edges: $b (all bands keep the 64 lowest ids)")
+    assert(r.getAs[Long]("n_missed") == t - b)
+    assert(r.getAs[Double]("recall") < 0.05)
+  }
+
   test("cluster histogram: singletons at size 1, the dup triple at size 3, mass conserved") {
     // {0,1,2} is one size-3 cluster; 3 and 4 are singletons
     val hist = LlmOps.ddClusterHist(spark, dir).collect()
