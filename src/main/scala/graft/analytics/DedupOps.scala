@@ -672,8 +672,8 @@ private[analytics] trait DedupOps {
     rdd.localCheckpoint()
     rdd.count()
     trackRdd(rdd)
-    sh.unpersist(blocking = false)
-    capped.unpersist(blocking = false)
+    sh.unpersist(blocking = true)
+    capped.unpersist(blocking = true)
     spark.createDataFrame(rdd, plan.schema)
   }
 
@@ -762,8 +762,18 @@ private[analytics] trait DedupOps {
         .join(sizes.toDF("ib", "nb"), "ib")
         .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
       val jp = checkpointLeaf(spark, plan)
-      sh.unpersist(blocking = false)
-      capped.unpersist(blocking = false)
+      // blocking release (all three pair-state builders): the state
+      // stage runs builders back-to-back, and an async unpersist lets
+      // the NEXT build start while gigabytes of shingle cache are still
+      // draining. The sync wait costs milliseconds and makes the
+      // storage handoff deterministic. (Round-17 note: an sf2
+      // containment_pairs slowdown first suspected to be this cascade
+      // turned out to be box-level memory-pressure degradation —
+      // identical binaries measured 96→244→272 s across three
+      // back-to-back runs — but the deterministic handoff stands on
+      // its own.)
+      sh.unpersist(blocking = true)
+      capped.unpersist(blocking = true)
       jp
     }
 
@@ -884,8 +894,8 @@ private[analytics] trait DedupOps {
     trackRdd(jpRdd)
     // the shingle tables only served the build — free them NOW, not at
     // session release: executor storage stays bounded by the pair table
-    sh.unpersist(blocking = false)
-    capped.unpersist(blocking = false)
+    sh.unpersist(blocking = true)
+    capped.unpersist(blocking = true)
     jp
   }
 
