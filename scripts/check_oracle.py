@@ -30,12 +30,49 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def strip_comments(sql):
+    """Remove SQL comments (-- to end-of-line, non-nested /* */) outside
+    string literals, quote-aware ('' escapes). The paren/quote scanner in
+    split_ctes is NOT comment-aware — a comment containing an unbalanced
+    paren or apostrophe would desynchronize it and stage wrong SQL — so
+    comments are stripped up front. A line comment is replaced by nothing
+    (its newline survives as the separator); a block comment by one space."""
+    out, i, n, in_sq = [], 0, len(sql), False
+    while i < n:
+        c = sql[i]
+        if in_sq:
+            out.append(c)
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 1
+                else:
+                    in_sq = False
+            i += 1
+        elif c == "'":
+            in_sq = True
+            out.append(c)
+            i += 1
+        elif c == '-' and i + 1 < n and sql[i + 1] == '-':
+            j = sql.find('\n', i)
+            i = n if j < 0 else j
+        elif c == '/' and i + 1 < n and sql[i + 1] == '*':
+            j = sql.find('*/', i + 2)
+            out.append(' ')
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return ''.join(out)
+
 def split_ctes(sql):
     """Parse `WITH [RECURSIVE] n1 AS (...), n2(cols) AS (...) <final>` into
     (recursive, [(name, collist_or_None, body), ...], final). Returns None
     when the SQL is not a plain top-level WITH-chain. Quote- and
-    paren-aware; '' escapes inside strings."""
-    s = sql.lstrip()
+    paren-aware; '' escapes inside strings. Comments are stripped first
+    (see strip_comments) — the staged SQL therefore runs comment-free,
+    which is semantics-preserving."""
+    s = strip_comments(sql).lstrip()
     m = re.match(r'(?is)^WITH\s+(RECURSIVE\s+)?', s)
     if not m:
         return None

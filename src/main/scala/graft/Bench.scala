@@ -48,6 +48,33 @@ object Bench {
         .selectExpr("dot_f(embedding, embedding)").count()
     }
 
+    // Box-health canary: a fixed-cost CPU+shuffle micro-task (~1s on an idle
+    // box) timed immediately BEFORE the state builds and again AFTER the
+    // query loop. The box this bench runs on degrades monotonically across
+    // back-to-back big-heap runs (identical sf2 binaries measured 96/244/272s
+    // query-phase in one afternoon; BENCH_r17's 128.6s closing capture vs
+    // the same build's 69.9-78.7s morning idle series). The canary makes each
+    // capture SELF-REPORT its box state: canary_post/canary_pre >> 1 means
+    // the run itself degraded the box; canary_pre >> the documented idle
+    // value (~1s) means the box was already contended before the first
+    // query. A reviewer can then normalize per-query numbers instead of
+    // guessing whether a 2x total is code or box. The task is deterministic
+    // (range + xxhash64 + 64-partition hash shuffle + sort-agg) and runs
+    // once UNTIMED first so codegen/janino warmup is not charged to the
+    // pre-canary.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 48000000L, 1L, 32)
+        .selectExpr("xxhash64(id) AS h")
+        .repartition(64, org.apache.spark.sql.functions.col("h"))
+        .selectExpr("pmod(h, 8192) AS k", "h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // untimed warmup of the canary's own codegen paths
+    val canaryPre = canary()
+
     // Explicitly timed one-time STATE builds (jaccard pairs table, passage
     // window memos, bucketed fact + fingerprint state tables) BEFORE the
     // query loop, so family members no longer absorb build cost into their
@@ -82,6 +109,7 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    val canaryPost = canary()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -120,7 +148,10 @@ object Bench {
       val head = if (headline) s""""metric":"total","value":${fmt(total)},"unit":"sec","""
                  else s""""total_sec":${fmt(total)},"unit":"sec","""
       s"""{"queries":$qs,""" + st + fp + head +
-        s""""state_build_sec":${fmt(stateTotal)},"sf":"$sfDir"}"""
+        s""""state_build_sec":${fmt(stateTotal)},""" +
+        s""""canary_pre_sec":${fmt(canaryPre)},"canary_post_sec":${fmt(canaryPost)},""" +
+        s""""canary_ratio":${fmt(if (canaryPre > 0) canaryPost / canaryPre else 0.0)},""" +
+        s""""sf":"$sfDir"}"""
     }
     // Full precision + per-item state detail goes to a FILE (the driver's
     // stdout capture keeps only a ~2KB tail, which truncated 18 of 83
@@ -155,6 +186,8 @@ object Bench {
       s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
         s""""queries":$slowest,"queries_full":${results.size},""" +
         s""""state_build_sec":${f2(stateTotal)},""" +
+        s""""canary_pre_sec":${f2(canaryPre)},"canary_post_sec":${f2(canaryPost)},""" +
+        s""""canary_ratio":${f2(if (canaryPre > 0) canaryPost / canaryPre else 0.0)},""" +
         s""""failed_count":${failedShort.size},"failed":$failedJson,"sf":"$sfDir"}""")
     graft.analytics.LlmOps.releaseCaches()
     spark.stop()

@@ -686,6 +686,53 @@ private[analytics] trait DedupOps {
   private[analytics] lazy val StopShingleCap = 500
 
 
+  /** Doc-sample keep-threshold for the FULL pair state (out of 65536) —
+    * the round-17 verdict's last superlinear build, scale-bounded by
+    * SAMPLING rather than banding: the full state's consumers are
+    * reporting/calibration CENSUSES (jaccard bins, source-overlap matrix,
+    * top-200 ranked list, band-gap accounting) that need unbiased
+    * mid-Jaccard pairs, not every pair — so past the corpus size where
+    * the block self-join's Σdf² growth turns superlinear, the state is
+    * built over a deterministic md5 doc sample (the txt_mixture/txt_split
+    * seedless-draw convention, salt ':jpair') and pair volume scales by
+    * p². The ladder is a pure function of the corpus doc count, computed
+    * identically by the DuckDB mirrors (a CASE over count(*)), so
+    * hash-match survives at every SF: ≤60k docs (through sf1) keeps
+    * everything — the driver's correctness gates are bit-for-bit
+    * unchanged — 100k docs (sf2) keeps ~70%, and beyond (sf10's 500k)
+    * ~45%, which cuts the superlinear join stage to ~0.2× while planted
+    * duplicate mass grows linearly with the corpus, so expected pairs
+    * per census bin still RISE with SF. `GRAFT_FULL_PAIRS=1` restores
+    * the exact full state for once-per-corpus audits (oracle parity then
+    * only holds at ladder-p=65536 SFs); `GRAFT_JPAIR_SAMPLE_P` is the
+    * spec-only override that forces a threshold on a tiny corpus so the
+    * sampling semantics are testable where the ladder would keep all. */
+  private[analytics] def jpairSampleThreshold(spark: SparkSession, dir: String): Int =
+    if (envOrProp("GRAFT_FULL_PAIRS").isDefined) 65536
+    else envOrProp("GRAFT_JPAIR_SAMPLE_P").map(_.toInt).getOrElse(
+      jpairLadder(Tables.documents(spark, dir).count()))
+
+
+  /** The pure ladder (docs → keep-threshold of 65536), mirrored verbatim
+    * by [[LlmOracles.jpSampleDuck]]'s CASE. */
+  private[analytics] def jpairLadder(nDocs: Long): Int =
+    if (nDocs <= 60000L) 65536 else if (nDocs <= 150000L) 45875 else 29491
+
+
+  /** Spec-visible env override: tests run in-process and cannot set real
+    * environment variables, so each escape hatch also reads a same-named
+    * system property. */
+  private def envOrProp(name: String): Option[String] =
+    sys.env.get(name).orElse(sys.props.get(name))
+
+
+  /** The ':jpair'-salted md5 draw as a 0..65535 integer over a doc-id
+    * column — engine-portable (instr/substr, like every hex4 draw), ONE
+    * definition with [[LlmOracles.jpairSamplePredDuck]] as its mirror. */
+  private[analytics] def jpairDraw(idCol: String): String =
+    hex4(s"md5(CAST($idCol AS STRING) || ':jpair')")
+
+
   /** All blocked shingle-Jaccard pairs (no threshold/limit) — shared by the
     * reporting query above, the dedup action, and the clustering query.
     * Memoized through [[memoRaw]] (fingerprinted like every other index
@@ -749,7 +796,7 @@ private[analytics] trait DedupOps {
     * per-corpus accounting. */
   private[analytics] def bandedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     memoRaw(spark, dir, "jaccard_pairs_banded") {
-      val (sh, capped, sizes) = shingleState(spark, dir)
+      val (sh, capped, sizes) = acquireShingleState(spark, dir)
       val cand = wideBandCandidates(spark, dir)
       val a = capped.toDF("ia", "la", "ba", "s")
       val b = capped.toDF("ib", "lb", "bb", "s2")
@@ -762,18 +809,17 @@ private[analytics] trait DedupOps {
         .join(sizes.toDF("ib", "nb"), "ib")
         .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
       val jp = checkpointLeaf(spark, plan)
-      // blocking release (all three pair-state builders): the state
-      // stage runs builders back-to-back, and an async unpersist lets
-      // the NEXT build start while gigabytes of shingle cache are still
-      // draining. The sync wait costs milliseconds and makes the
-      // storage handoff deterministic. (Round-17 note: an sf2
-      // containment_pairs slowdown first suspected to be this cascade
-      // turned out to be box-level memory-pressure degradation —
+      // ref-counted blocking release — the shingle triple is now SHARED
+      // with buildJaccardPairs (built once for both back-to-back state
+      // builds) and frees when the second builder checkpoints. Blocking
+      // for the deterministic storage handoff between state builds; the
+      // sync wait costs milliseconds. (Round-17 note: an sf2
+      // containment_pairs slowdown first suspected to be an unpersist
+      // cascade turned out to be box-level memory-pressure degradation —
       // identical binaries measured 96→244→272 s across three
       // back-to-back runs — but the deterministic handoff stands on
       // its own.)
-      sh.unpersist(blocking = true)
-      capped.unpersist(blocking = true)
+      releaseShingleState(spark, dir)
       jp
     }
 
@@ -787,11 +833,43 @@ private[analytics] trait DedupOps {
     * row-identical to the full-state DuckDB mirrors at sf0.01/0.1/2/10 —
     * 464-member cluster set at 500k docs). The reporting/calibration
     * consumers that need mid- or sub-threshold pairs read
-    * [[jaccardPairsFull02]] / [[jaccardBins]] off the full state. */
+    * [[jaccardPairsFull02]] / [[jaccardBins]] off the full state.
+    *
+    * GATED on measured recall (round-17 advice): banding is
+    * probabilistic and cap-truncatable, and the action consumers' oracle
+    * mirrors derive their ≥0.8 edges from the FULL pair state — so on a
+    * corpus where band recall < 1 (e.g. a duplicate cluster larger than
+    * the band-bucket cap) the banded action would silently under-drop.
+    * The memo therefore REFUSES to build when any (sampled-)truth edge is
+    * missing from the banded set, naming the counts and the remedies —
+    * the cap-saturated corpus fails loudly at build time, not at
+    * verify/production. The truth side is the full state the calibration
+    * censuses already build (its sample ladder makes the check an
+    * unbiased probe at huge SFs: banding misses are band-geometry events,
+    * independent of the ':jpair' draw, so a genuinely lossy corpus trips
+    * the gate with probability ≥ 1-(1-p²)^missed — near-certain for any
+    * systematic loss). [[ddBandGap]] — the diagnostic an operator runs to
+    * SIZE the loss — deliberately bypasses the gate by reading the banded
+    * pair table directly; `GRAFT_UNGATED_EDGES=1` is the audited escape
+    * for deliberately running a lossy dedup anyway. */
   private[analytics] def jaccardEdges08(spark: SparkSession, dir: String): DataFrame =
-    memoRaw(spark, dir, "jaccard_edges_08")(checkpointLeaf(spark,
-      bandedJaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
-        .select(col("ia"), col("ib"))))
+    memoRaw(spark, dir, "jaccard_edges_08") {
+      val edges = checkpointLeaf(spark,
+        bandedJaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
+          .select(col("ia"), col("ib")))
+      if (envOrProp("GRAFT_UNGATED_EDGES").isEmpty) {
+        val missed = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
+          .select(col("ia"), col("ib"))
+          .join(edges, Seq("ia", "ib"), "left_anti").count()
+        if (missed > 0L) throw new IllegalStateException(
+          s"banded dedup edge set is LOSSY on this corpus: $missed truth edge(s) " +
+            "at jaccard >= 0.8 were not retrieved by the capped 16x4 bands " +
+            "(likely a duplicate cluster larger than the band-bucket cap). " +
+            "Run dd_band_gap to size the loss; widen the bands / raise the " +
+            "bucket cap, or set GRAFT_UNGATED_EDGES=1 to dedup lossily anyway.")
+      }
+      edges
+    }
 
 
   /** Shared shingle prep for BOTH pair-state builders ([[buildJaccardPairs]]
@@ -833,6 +911,56 @@ private[analytics] trait DedupOps {
     * the intersection joins run on the stop-shingle-capped set. Docs with
     * <3 tokens have no sh rows and drop out — they can never appear in
     * `common` anyway. */
+  private case class ShingleHold(sh: DataFrame, capped: DataFrame,
+    sizes: DataFrame, var remaining: Int)
+  private val shingleHolds =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String, Long), ShingleHold]
+
+  /** Ref-counted access to [[shingleState]] for the TWO pair-state
+    * builders ([[buildJaccardPairs]], [[bandedJaccardPairs]]): the state
+    * stage runs them back-to-back, and each used to pay the full
+    * tokenize/shingle/cap materialization — the triple is now built ONCE
+    * and unpersisted when the second builder has checkpointed its pair
+    * table. The hold is fingerprint-keyed like the memo cells (a
+    * regenerated dir gets a fresh build, never stale shingles), and the
+    * persisted frames are also registered in the tracked-cache registry
+    * as the backstop for a session where only one builder ever runs
+    * (its half-released hold then frees at [[releaseCaches]]). */
+  private def acquireShingleState(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val key = (spark, dir, dirFingerprint(spark, dir))
+    val h = shingleHolds.synchronized {
+      shingleHolds.get(key) match {
+        case Some(held) => held
+        case None =>
+          val (sh, capped, sizes) = shingleState(spark, dir)
+          track(sh); track(capped)
+          val held = ShingleHold(sh, capped, sizes, remaining = 2)
+          shingleHolds(key) = held
+          held
+      }
+    }
+    (h.sh, h.capped, h.sizes)
+  }
+
+  private def releaseShingleState(spark: SparkSession, dir: String): Unit = {
+    val done = shingleHolds.synchronized {
+      val key = (spark, dir, dirFingerprint(spark, dir))
+      shingleHolds.get(key) match {
+        case Some(h) =>
+          h.remaining -= 1
+          if (h.remaining <= 0) { shingleHolds.remove(key); Some(h) } else None
+        case None => None
+      }
+    }
+    // the Spark calls run OUTSIDE the lock (the memoCell discipline);
+    // blocking for the same deterministic-handoff reason as before
+    done.foreach { h =>
+      h.sh.unpersist(blocking = true)
+      h.capped.unpersist(blocking = true)
+    }
+  }
+
+
   private def shingleState(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -861,10 +989,21 @@ private[analytics] trait DedupOps {
     val t0 = System.nanoTime()
     def lap(tag: String): Unit =
       if (dbg) println(f"JPBUILD $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    val (sh, capped, sizes) = shingleState(spark, dir)
+    val (sh, capped, sizes) = acquireShingleState(spark, dir)
     lap("shingle state planned")
-    val a = capped.toDF("ia", "la", "ba", "s")
-    val b = capped.toDF("ib", "lb", "bb", "s2")
+    // the sample ladder (see jpairSampleThreshold) bounds THIS join — the
+    // last superlinear stage — by filtering both sides' docs BEFORE the
+    // self-join (the filter rides the capped-scan projection, so the join
+    // and its aggregation shrink by p²). sizes stays unsampled: it is the
+    // per-doc Jaccard denominator, whose value does not depend on which
+    // OTHER docs survive the sample — and the rare/capped stop-shingle df
+    // census above is likewise computed on the FULL corpus (sampling df
+    // would re-admit stop shingles and change surviving pairs' commons).
+    val p = jpairSampleThreshold(spark, dir)
+    val sampled = if (p >= 65536) capped
+      else capped.filter(expr(s"${jpairDraw("doc_id")} < $p"))
+    val a = sampled.toDF("ia", "la", "ba", "s")
+    val b = sampled.toDF("ib", "lb", "bb", "s2")
     val common = a.join(b,
         col("s") === col("s2") && col("la") === col("lb") && col("ba") === col("bb") && col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
@@ -892,10 +1031,10 @@ private[analytics] trait DedupOps {
     val jp = spark.createDataFrame(jpRdd, jpPlan.schema)
     lap("pairs checkpointed")
     trackRdd(jpRdd)
-    // the shingle tables only served the build — free them NOW, not at
-    // session release: executor storage stays bounded by the pair table
-    sh.unpersist(blocking = true)
-    capped.unpersist(blocking = true)
+    // the shingle tables only served the builds — the ref-counted release
+    // frees them the moment the LAST pair builder has checkpointed:
+    // executor storage stays bounded by the pair tables
+    releaseShingleState(spark, dir)
     jp
   }
 
@@ -917,7 +1056,13 @@ private[analytics] trait DedupOps {
   def ddBandGap(spark: SparkSession, dir: String): DataFrame = {
     val truth = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
       .select(col("ia"), col("ib"))
-    val banded = jaccardEdges08(spark, dir).withColumn("hit", lit(1L))
+    // read the banded PAIR table, not the jaccardEdges08 memo: the memo
+    // now REFUSES to build on a lossy corpus (see its gate), and this
+    // census is exactly the diagnostic an operator sizes that loss with —
+    // it must stay runnable when the gate trips. Same rows by
+    // construction (the memo is this filter checkpointed).
+    val banded = bandedJaccardPairs(spark, dir).filter(col("jaccard") >= 0.8)
+      .select(col("ia"), col("ib")).withColumn("hit", lit(1L))
     truth.join(banded, Seq("ia", "ib"), "left")
       .agg(count(lit(1)).as("n_true_edges"),
         coalesce(sum(col("hit")), lit(0L)).as("n_banded_edges"))

@@ -149,7 +149,7 @@ private[analytics] trait DedupOracles {
 
 
     "dd_source_overlap" ->
-      s"""WITH $baseDuck, $shinglePairsDuck,
+      s"""WITH $baseDuck, $shinglePairsSampledDuck,
          |pr AS (
          |  SELECT ia, ib FROM pairs
          |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
@@ -164,7 +164,7 @@ private[analytics] trait DedupOracles {
 
 
     "dd_ngram_jaccard" ->
-      s"""WITH $baseDuck, $shinglePairsDuck
+      s"""WITH $baseDuck, $shinglePairsSampledDuck
          |SELECT ia, ib, common / (sa.n + sb.n - common) AS jaccard
          |FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
          |WHERE common / (sa.n + sb.n - common) >= 0.2
@@ -435,7 +435,7 @@ private[analytics] trait DedupOracles {
     // how many of its truth pairs the capped 16x4 banded candidate
     // generation retrieves; the measured S-curve of the band geometry
     "dd_minhash_recall" ->
-      s"""WITH $baseDuck, $shinglePairsDuck,
+      s"""WITH $baseDuck, $shinglePairsSampledDuck,
          |${wideSigStackDuck("_w")},
          |${cappedBandsDuck("_w")},
          |${bandCandDuck("_w")},
@@ -452,7 +452,7 @@ private[analytics] trait DedupOracles {
     // set the dedup action runs on — missed count and recall, the
     // per-corpus accounting of what band-bounding the edge build costs
     "dd_band_gap" ->
-      s"""WITH $baseDuck, $shinglePairsDuck,
+      s"""WITH $baseDuck, $shinglePairsSampledDuck,
          |${wideSigStackDuck("_w")},
          |${cappedBandsDuck("_w")},
          |${bandCandDuck("_w")},
@@ -472,7 +472,7 @@ private[analytics] trait DedupOracles {
     // per true-Jaccard twentieth — exact BIGINT slice-match sums and the
     // mean estimate as one int/int division (Broder E[est] = J, measured)
     "dd_minhash_calibration" ->
-      s"""WITH $baseDuck, $shinglePairsDuck,
+      s"""WITH $baseDuck, $shinglePairsSampledDuck,
          |${wideSigStackDuck("_w")},
          |${cappedBandsDuck("_w")},
          |${bandCandDuck("_w")},
@@ -700,5 +700,38 @@ private[analytics] trait DedupOracles {
          |SELECT c.vec_id, c.cell, l.max_cos_lower,
          |  (l.max_cos_lower IS NULL OR l.max_cos_lower < 0.9) AS kept
          |FROM cell c LEFT JOIN low l ON c.vec_id = l.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
+
+
+    // the semantic-dedup ACTION: connected components over the same
+    // within-cell cosine-0.9 pairs, survivor = best classifier score
+    // (score DESC NULLS LAST, vec_id) per component via the mm_join
+    // doc_id = vec_id convention — dd_dedup_keep_best in embedding space
+    "dd_semdedup_keep" ->
+      s"""WITH RECURSIVE $paramsDuck,
+         |$ivfCellChainDuck,
+         |$baseDuck,
+         |$classifierScoredDuck,
+         |sedges AS (
+         |  SELECT b.vec_id AS a, a.vec_id AS b
+         |  FROM cell a JOIN cell b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE (${dot("a.embedding", "b.embedding", 1)}) / sqrt(a.nrm * b.nrm) >= 0.9),
+         |ssym AS (SELECT a, b FROM sedges UNION SELECT b, a FROM sedges),
+         |sreach(a, b) AS (
+         |  SELECT a, b FROM ssym
+         |  UNION
+         |  SELECT r.a, s2.b FROM sreach r JOIN ssym s2 ON r.b = s2.a),
+         |slbl AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM sreach GROUP BY a),
+         |srank AS (
+         |  SELECT l.vec_id, l.cluster_id,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY sc.score DESC NULLS LAST, l.vec_id) AS rk
+         |  FROM slbl l LEFT JOIN clf_s sc ON l.vec_id = sc.doc_id)
+         |SELECT c.vec_id, c.cell, w.cluster_id
+         |FROM cell c
+         |LEFT JOIN (SELECT vec_id, cluster_id FROM srank WHERE rk = 1) w
+         |  ON c.vec_id = w.vec_id
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM srank WHERE srank.rk > 1 AND srank.vec_id = c.vec_id)
          |ORDER BY c.vec_id""".stripMargin)
 }

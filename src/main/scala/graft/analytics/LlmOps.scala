@@ -152,6 +152,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_simhash_wide" -> ddSimhashWide _,
     "dd_simhash_wide_pairs" -> ddSimhashWidePairs _,
     "dd_semdedup" -> ddSemdedup _,
+    "dd_semdedup_keep" -> ddSemdedupKeep _,
     "txt_rarity" -> txtRarity _,
     "dd_incremental" -> ddIncremental _,
     "dd_incremental_bucketed" -> ddIncrementalBucketed _,

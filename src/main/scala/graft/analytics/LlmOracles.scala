@@ -254,8 +254,49 @@ private[analytics] trait LlmOracles {
     * dd_dedup_keep_best, dd_cluster). ONE site for the blocking scheme,
     * [[StopShingleCap]], and the first-4-md5-bytes shingle hash — a drifted
     * copy in any one mirror would silently break only that query's parity. */
-  private[analytics] def shinglePairsDuck: String =
-    s"""sh0 AS (
+  private[analytics] def shinglePairsDuck: String = shinglePairsChainDuck(sampled = false)
+
+
+  /** The FULL-state chain with the engine's ':jpair' doc-sample ladder
+    * applied to the pair self-join (the reporting/calibration mirrors —
+    * dd_ngram_jaccard, dd_source_overlap, dd_minhash_recall,
+    * dd_minhash_calibration, dd_band_gap — twin of the sampled
+    * [[DedupOps.buildJaccardPairs]]). The sh/sizes/rare/capped stages
+    * stay UNSAMPLED exactly as the engine's: sizes is the per-doc
+    * denominator and the stop-shingle df census must see the full corpus
+    * (sampling df would re-admit stop shingles) — only the join's two
+    * doc sides are filtered, identically to the engine, so both engines
+    * compute the same p² pair subset and hash-match survives at every
+    * SF. */
+  private[analytics] def shinglePairsSampledDuck: String = shinglePairsChainDuck(sampled = true)
+
+
+  /** The keep-threshold ladder as a DuckDB scalar CTE — the mirror of
+    * [[DedupOps.jpairSampleThreshold]] (same breakpoints, same values;
+    * a drifted copy would break every sampled mirror's parity at big
+    * SFs while the ≤60k-doc driver gates stayed green). */
+  private[analytics] def jpSampleDuck: String =
+    """jp_p AS (
+      |  SELECT CASE WHEN count(*) <= 60000 THEN 65536
+      |              WHEN count(*) <= 150000 THEN 45875
+      |              ELSE 29491 END AS p
+      |  FROM documents)""".stripMargin
+
+
+  /** The ':jpair'-salted 0..65535 draw over a doc-id expression —
+    * [[DedupOps.jpairDraw]]'s mirror. */
+  private def jpairDrawDuck(idCol: String): String =
+    hex4(s"md5(CAST($idCol AS VARCHAR) || ':jpair')")
+
+
+  private def shinglePairsChainDuck(sampled: Boolean): String = {
+    val head = if (sampled) s"$jpSampleDuck,\n" else ""
+    val where = if (sampled)
+      s"""
+         |  WHERE ${jpairDrawDuck("a.doc_id")} < (SELECT p FROM jp_p)
+         |    AND ${jpairDrawDuck("b.doc_id")} < (SELECT p FROM jp_p)""".stripMargin
+    else ""
+    s"""${head}sh0 AS (
        |  SELECT doc_id, lang, n_chars // 50 AS bkt, unnest($shinglesDuck) AS s0
        |  FROM base),
        |sh AS (
@@ -270,8 +311,9 @@ private[analytics] trait LlmOracles {
        |pairs AS (
        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
        |  FROM capped a JOIN capped b
-       |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+       |    ON a.s = b.s AND a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id$where
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+  }
 
 
   /** Jaccard-0.8 edge set + connected-component closure

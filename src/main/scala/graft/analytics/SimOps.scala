@@ -1253,8 +1253,15 @@ private[analytics] trait SimOps {
     * precisely the `(cos_c DESC, ncell ASC)` row_number argmax.
     * PRECONDITION (inherited from annServe): centroid norms are nonzero —
     * [[kmCentroids]] only emits cells that have members and real
-    * embeddings are non-degenerate — so no cosine is NaN; the (-2.0, -1)
-    * sentinel is unreachable for any member with a real embedding. */
+    * embeddings are non-degenerate — so no centroid-side cosine is NaN.
+    * The MEMBER side carries no such guarantee: a zero-norm member
+    * embedding makes every cosine NaN, `NaN > acc.cos` is false for all k
+    * structs, and the fold would return the (-2.0, -1) sentinel — a
+    * phantom cell id that the retired row_number window (NaN-first under
+    * DESC) never produced. Such a member keeps its CURRENT cell instead:
+    * a degenerate vector has no meaningful nearest centroid, so "don't
+    * move it" is the only assignment that cannot corrupt the before/after
+    * occupancy census with a cell no centroid owns. */
   private[graft] def retrainReassign(members: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents
       .agg(sort_array(collect_list(struct(col("ncell"), col("svec"), col("snrm"))))
@@ -1268,7 +1275,9 @@ private[analytics] trait SimOps {
         |  (acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END)""".stripMargin
     members.withColumn("one", lit(1))
       .join(broadcast(packed), Seq("one"))
-      .select(col("vec_id"), expr(bestSql).getField("cell").as("ncell"))
+      .select(col("vec_id"),
+        when(col("nrm") === 0d, col("cell"))
+          .otherwise(expr(bestSql).getField("cell")).as("ncell"))
   }
 
 
@@ -1344,6 +1353,51 @@ private[analytics] trait SimOps {
       .join(low.withColumnRenamed("ia", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("max_cos_lower"),
         (col("max_cos_lower").isNull || col("max_cos_lower") < 0.9).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+
+  /** The semantic-dedup ACTION — SemDeDup's actual output is the PRUNED
+    * corpus, and unlike the jaccard family (ddDedupKeep/_best) the
+    * listing query above never executes the keep. Membership is the
+    * connected components over the SAME within-cell cosine-0.9 pairs
+    * [[ddSemdedup]] verdicts on (the IVF cell state bounds the pair work
+    * at O(N^1.5), exactly as there); the survivor per cluster is its
+    * BEST-QUALITY member — the [[graft.analytics.TxtOps.txtClassifier]]
+    * linear-head score of the vector's document (the mm_join
+    * doc_id = vec_id convention), rank 1 by (score DESC NULLS LAST,
+    * vec_id) — the [[ddDedupKeepBest]] principle carried to embedding
+    * space: semantic dedup should not discard the clean copy of a
+    * paraphrase group because a boilerplate-ridden member has the
+    * smaller id. Scale shape is [[ddDedupKeepBest]]'s: the cluster label
+    * set is edge-bounded (semantic-dup members only), so AQE broadcasts
+    * the label/loser/winner sides into the corpus scans and the corpus
+    * is never shuffled; no hint, for the same mirror-farm OOM reasoning
+    * documented there. */
+  def ddSemdedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssignTable(spark, dir).filter(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val a = assigned.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("cell").as("cellb"))
+    val edges = a.join(b, col("cell") === col("cellb") && col("ib") < col("ia"))
+      .filter(dotF(col("ea"), col("eb")) / sqrt(col("na") * col("nb")) >= 0.9)
+      .select(col("ib").as("a"), col("ia").as("b"))
+    val (labels, _) = connectedComponents(spark, edges)
+    val lbl = labels().toDF("vec_id", "cluster_id")
+    val scored = classifierScored(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val wBest = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc_nulls_last, col("vec_id"))
+    val ranked = lbl.join(scored, lbl("vec_id") === scored("doc_id"), "left")
+      .withColumn("rk", row_number().over(wBest))
+    val losers = ranked.filter(col("rk") > 1).select(col("vec_id"))
+    val winners = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cluster_id"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(losers, Seq("vec_id"), "left_anti")
+      .join(winners, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cluster_id"))
       .orderBy(col("vec_id"))
   }
 }

@@ -446,6 +446,71 @@ object EventStream {
       }
   }
 
+  /** Streaming RETRAIN-DECISION twin (census half) — the last
+    * serve-lifecycle member without a streaming analogue: the retrain
+    * decision ([[graft.analytics.LlmOps.simIvfRetrain]]) is an occupancy
+    * census over the frozen corpus plus arriving INSERTS, and the insert
+    * side is a natural complete-mode aggregation. Each arriving vector is
+    * assigned its serve cell ROW-LOCALLY — [[annServe]]'s packed-centroid
+    * broadcast fold, same dot arithmetic, same strict-> ascending-cent_id
+    * tie-break, so cells are identical to the batch serveInsertAssign's
+    * window argmax — and the stream state is the k-row per-cell insert
+    * count, re-published whole each micro-batch (the decision's input is
+    * the CURRENT census, so complete mode is the correct output
+    * semantics, as with the takedown ledger). State cost: one long per
+    * cell, O(k), never insert volume. Input schema (vec_id, embedding);
+    * `cents` is [[graft.analytics.LlmOps.serveCentroids]]'
+    * (cent_id, cemb, cnrm) frame. */
+  def retrainInsertCensus(inserts: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.analytics.LlmOps.dotF
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cemb"), col("cnrm"))))
+        .as("cents"))
+      .withColumn("one", lit(1))
+    val dotC = "aggregate(zip_with(embedding, c.cemb, (x, y) -> " +
+      "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val bestSql =
+      s"""aggregate(
+         |  transform(cents, c -> named_struct(
+         |    'cos', $dotC / sqrt(qn * c.cnrm), 'cell', c.cent_id)),
+         |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+         |  (acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END)""".stripMargin
+    inserts
+      .withColumn("qn", dotF(col("embedding"), col("embedding")))
+      .withColumn("one", lit(1))
+      .join(broadcast(packed), Seq("one"))
+      .groupBy(expr(bestSql).getField("cell").as("cell"))
+      .agg(count(lit(1)).as("n_inserted"))
+  }
+
+  /** Batch-side composition of the retrain DECISION from the drained
+    * insert census and the static per-cell corpus occupancy (the
+    * [[ledgerWithSeeds]] move — Structured Streaming cannot hold a
+    * static aggregate inside a complete-mode agg): full-outer on cell,
+    * zero-seeded counts, then the SAME drift signals and thresholds as
+    * the batch [[graft.analytics.LlmOps.simIvfRetrain]] (window
+    * aggregates over the k-row census, frac_inserted >= 0.2 or
+    * skew >= 2.0) — row-for-row comparable, which EventStreamSpec pins
+    * against the oracle-checked batch census. `corpusOcc` schema
+    * (cell, n_corpus). */
+  def retrainDecision(drained: DataFrame, corpusOcc: DataFrame): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    corpusOcc.join(drained, Seq("cell"), "full_outer")
+      .withColumn("n_corpus", coalesce(col("n_corpus"), lit(0L)))
+      .withColumn("n_inserted", coalesce(col("n_inserted"), lit(0L)))
+      .withColumn("n_total", col("n_corpus") + col("n_inserted"))
+      .withColumn("g_total", sum(col("n_total")).over(wAll))
+      .withColumn("g_ins", sum(col("n_inserted")).over(wAll))
+      .withColumn("g_cells", count(lit(1)).over(wAll))
+      .withColumn("g_max", max(col("n_total")).over(wAll))
+      .withColumn("frac_inserted", col("g_ins") / col("g_total"))
+      .withColumn("skew", (col("g_max") * col("g_cells")) / col("g_total"))
+      .withColumn("retrain", col("frac_inserted") >= 0.2 || col("skew") >= 2.0)
+      .select(col("cell"), col("n_corpus"), col("n_inserted"), col("n_total"),
+        col("frac_inserted"), col("skew"), col("retrain"))
+      .orderBy(col("cell"))
+  }
+
   /** LATE-DATA loss census — the one streaming loss mode the family had
     * no accounting for: rows arriving behind the watermark are dropped
     * BEFORE the stateful operator, so they appear in no sink and no
@@ -657,13 +722,22 @@ object EventStream {
       }
   }
 
-  case class HostCapVerdict(doc_id: Long, host: String, admitted: Boolean, host_admitted: Long)
+  case class HostCapVerdict(doc_id: Long, host: String, admitted: Boolean,
+    host_admitted: Long, host_dropped: Long)
 
-  /** Per-host quota state for [[hostCapAdmission]]: quota spent so far
-    * plus the highest doc_id ever verdict-ed — the O(1) re-delivery
-    * watermark (fetches replay in doc_id order, so an arrival at or
-    * below `maxSeen` is a duplicate that already holds a verdict). */
-  case class HostQuota(spent: Long, maxSeen: Long)
+  /** Per-host quota state for [[hostCapAdmission]]: quota spent so far,
+    * the highest doc_id ever verdict-ed — the O(1) re-delivery watermark
+    * (fetches replay in doc_id order, so an arrival at or below `maxSeen`
+    * is a duplicate that already holds a verdict) — and a counter of
+    * arrivals that watermark has dropped. The counter is the
+    * observability valve for the watermark's deliberate conflation of
+    * re-delivery with out-of-order NEW fetches: under the in-order replay
+    * contract every drop is a re-delivery, so an operator who knows the
+    * transport's re-delivery rate can detect a VIOLATED contract (drops
+    * exceeding it mean new fetches are being silently lost) from the
+    * `host_dropped` field each verdict carries — without growing the
+    * state beyond O(1) per host. */
+  case class HostQuota(spent: Long, maxSeen: Long, dropped: Long)
 
   /** Streaming per-HOST admission QUOTA — the streaming twin of the batch
     * cap `LlmOps.ddHostCap` and the only admission stage that genuinely
@@ -689,7 +763,11 @@ object EventStream {
     * conflates "re-delivered" with "genuinely out-of-order new fetch":
     * under the in-order replay contract the latter cannot occur, and the
     * conflation is what keeps the state O(1) per host instead of a
-    * per-host seen-set growing with fetch volume.
+    * per-host seen-set growing with fetch volume. Every drop INCREMENTS
+    * the per-host `dropped` counter, published on each verdict as
+    * `host_dropped` — so a violated ordering contract (drops outpacing
+    * the transport's known re-delivery rate) is detectable from the
+    * output rather than silent (see [[HostQuota]]).
     * EventStreamSpec pins it against the
     * oracle-checked dd_host_cap on the same corpus, with a host whose
     * quota exhausts in an EARLY micro-batch and must refuse in later
@@ -708,19 +786,24 @@ object EventStream {
       .flatMapGroupsWithState[HostQuota, HostCapVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (host: String, rows: Iterator[(Long, String)], state: GroupState[HostQuota]) =>
-          val st = state.getOption.getOrElse(HostQuota(0L, Long.MinValue))
+          val st = state.getOption.getOrElse(HostQuota(0L, Long.MinValue, 0L))
           var spent = st.spent
           var maxSeen = st.maxSeen
+          var dropped = st.dropped
           val out = rows.map(_._1).toArray.sorted.flatMap { id =>
-            if (id <= maxSeen) None // re-delivery (or in-batch duplicate): verdict already shipped
-            else {
+            if (id <= maxSeen) {
+              // re-delivery (or in-batch duplicate): verdict already
+              // shipped — counted so a violated replay contract shows up
+              dropped += 1
+              None
+            } else {
               maxSeen = id
               val admit = spent < cap
               if (admit) spent += 1
-              Some(HostCapVerdict(id, host, admit, spent))
+              Some(HostCapVerdict(id, host, admit, spent, dropped))
             }
           }
-          state.update(HostQuota(spent, maxSeen))
+          state.update(HostQuota(spent, maxSeen, dropped))
           out.iterator
       }
   }

@@ -679,6 +679,47 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retrain-decision census equals the oracle-checked batch sim_ivf_retrain") {
+    // The last serve-lifecycle member without a streaming twin: insert
+    // vectors arriving over 4 micro-batches are cell-assigned row-locally
+    // and accumulated in a complete-mode census; composed with the static
+    // corpus occupancy it must reproduce the batch retrain decision
+    // row-for-row — counts, drift signals, AND the retrain verdict.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.analytics.LlmOps.serveCentroids(spark, dir)
+    val inserts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" % 4 === 3)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(inserts.size >= 4, "need enough inserts to micro-batch")
+    val chunks = inserts.grouped((inserts.size + 3) / 4).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.toMemorySink(
+      EventStream.retrainInsertCensus(input.toDF().toDF("vec_id", "embedding"), cents),
+      "retrain_census", OutputMode.Complete())
+    try {
+      input.addData(chunks.head); q.processAllAvailable()
+      val partial = spark.table("retrain_census")
+        .agg(org.apache.spark.sql.functions.sum($"n_inserted")).collect()
+        .head.getLong(0)
+      assert(partial == chunks.head.size,
+        s"first snapshot must hold exactly the first micro-batch: $partial")
+      chunks.tail.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val corpusOcc = graft.analytics.LlmOps.ivfServeAssignTable(spark, dir)
+        .groupBy($"cell").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_corpus"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[Long]("cell"), r.getAs[Long]("n_corpus"), r.getAs[Long]("n_inserted"),
+          r.getAs[Long]("n_total"), r.getAs[Double]("frac_inserted"),
+          r.getAs[Double]("skew"), r.getAs[Boolean]("retrain"))).toSeq
+      val got = rows(EventStream.retrainDecision(spark.table("retrain_census"), corpusOcc))
+      val want = rows(graft.analytics.LlmOps.simIvfRetrain(spark, dir))
+      assert(want.exists(_._3 > 0), "batch twin vacuous: no cell received inserts")
+      assert(got == want, s"retrain decision diverged:\n got=$got\n want=$want")
+    } finally q.stop()
+  }
+
   test("streaming ANN serve rejects a degenerate (zero-norm) query LOUDLY") {
     // The ADVICE r15 hole: a query whose cosines are all NaN (zero-norm
     // vector) used to keep the sentinel cell -1, join nothing, and vanish
@@ -989,6 +1030,14 @@ class EventStreamSpec extends SparkSpec {
         "exactly one verdict per unique fetch")
       assert(vs == Map(1L -> true, 2L -> true, 3L -> false),
         s"cap-2 quota must admit {1,2} and refuse 3: $vs")
+      // the drop counter makes the watermark's silent drops observable:
+      // two drops precede doc 3's verdict (the in-batch duplicate of 2 in
+      // batch 1, the cross-batch re-delivery of 2 in batch 2), so its
+      // verdict must carry host_dropped = 2 — a violated replay contract
+      // (drops outpacing known re-deliveries) is detectable from output
+      val d3 = spark.table("host_quota_rd").collect()
+        .find(_.getAs[Long]("doc_id") == 3L).get.getAs[Long]("host_dropped")
+      assert(d3 == 2L, s"doc 3's verdict must report 2 prior drops, got $d3")
     } finally q3.stop()
   }
 }

@@ -1408,6 +1408,44 @@ class LlmOpsSpec extends SparkSpec {
     assert((0L until 16L).forall(byId(_)._3), "centroid representatives must be kept")
   }
 
+  test("semantic dedup KEEP retains each embedding-cluster's best-quality member, not its lowest id") {
+    import spark.implicits._
+    // same embedding geometry as the semdedup spec: clusters {3,16} (near
+    // copy) and {5,18} (exact copy). Documents ride the mm_join
+    // doc_id = vec_id convention; quality is the classifier head — the
+    // HIGHER-id member 18 carries the high-quality text and must SURVIVE
+    // while low-quality 5 (the lower id, which min-id dedup would keep)
+    // is dropped; in {3,16} quality and id agree and 3 wins.
+    def unit(i: Int): Array[Float] = Array.tabulate(64)(j => if (j == i) 1f else 0f)
+    def mix(i: Int, j: Int, wi: Float, wj: Float): Array[Float] = {
+      val v = Array.tabulate(64)(k => (if (k == i) wi else 0f) + (if (k == j) wj else 0f))
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val vecs = (0 until 16).map(i => (i.toLong, unit(i), i % 10)) ++ Seq(
+      (16L, mix(3, 20, 0.995f, 0.0999f), 3),
+      (17L, unit(17), 7),
+      (18L, unit(5), 5),
+      (19L, mix(2, 21, 0.7f, 0.714f), 2))
+    val good = "the cat and dog of house to garden walked quietly around town"
+    val bad = "zz zz zz zz zz zz"
+    val docs = Seq(
+      Doc(3L, good, "en", "s", good.length), Doc(16L, bad, "en", "s", bad.length),
+      Doc(5L, bad, "en", "s", bad.length), Doc(18L, good, "en", "s", good.length))
+    val d = java.nio.file.Files.createTempDirectory("semkeep").toString
+    vecs.toDF("vec_id", "embedding", "label").write.parquet(s"$d/embeddings.parquet")
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.ddSemdedupKeep(spark, d).collect()
+    val kept = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(kept == ((0L until 20L).toSet -- Set(5L, 16L)),
+      s"must drop exactly the low-quality members {5, 16}: kept=$kept")
+    val byId = rows.map(r => r.getAs[Long]("vec_id") ->
+      Option(r.getAs[Any]("cluster_id")).map(_.asInstanceOf[Long])).toMap
+    assert(byId(18L).contains(5L), "winner 18 labels under its cluster's min id 5")
+    assert(byId(3L).contains(3L))
+    assert(byId(17L).isEmpty, "non-clustered vectors carry no cluster label")
+  }
+
   test("unigram rarity scores boilerplate-heavy docs above unique-token docs") {
     val rows = LlmOps.txtRarity(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
