@@ -747,7 +747,7 @@ private[analytics] trait DedupOps {
     * buildJaccardPairs materialization pattern as a helper: consumers
     * plan over a LEAF, and the tracked RDD handle keeps the release
     * real. */
-  private def checkpointLeaf(spark: SparkSession, plan: DataFrame): DataFrame = {
+  private[analytics] def checkpointLeaf(spark: SparkSession, plan: DataFrame): DataFrame = {
     val rdd = plan.rdd
     rdd.localCheckpoint()
     rdd.count()

@@ -1121,14 +1121,32 @@ private[analytics] trait TxtOps {
     * 31-type vocab the cap never binds and results are identical to the
     * unbounded join; at an open web-scale vocabulary the broadcast stays
     * ~[[RarityVocabCap]] rows instead of shipping billions of types to
-    * every executor. */
+    * every executor.
+    *
+    * The vocabulary census `tf` is CHECKPOINTED as a leaf (round 18):
+    * the declarative plan fed tf to TWO consumers (the head sort-limit
+    * and the corpus-total 1-row agg) plus the token stream to the join,
+    * and Catalyst shares none of them — the interpreted-HOF tokenize
+    * subtree executed THREE times per run (verified in the formatted
+    * plan: three Scan+Generate chains), which is exactly the structural
+    * 3.5× this query costs over a single-tokenize scorer like
+    * txt_quality. With tf materialized once (vocab-bounded — the SAME
+    * size argument as the broadcast head), the head and the total are
+    * KB-scale aggregates off the leaf and tokenize runs twice: once
+    * into the census, once under the scoring join — the minimum for a
+    * frequency model that scores the stream it counts. (The round-17
+    * "txt_rarity drift" re-check closes here: today's probes show the
+    * 3.5× rarity/quality ratio holding on an idle AND a degraded box,
+    * so the 1.12 s re-based floor was a degraded-box capture, not code
+    * drift — PLANS.md R18 has the numbers.) */
   def txtRarity(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
       .select(col("doc_id"), explode_outer(col("toks")).as("t"))
       .filter(col("t").isNotNull)
-    val tf = toks.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val tf = checkpointLeaf(spark,
+      toks.groupBy(col("t")).agg(count(lit(1)).as("n_t")))
     val total = tf.agg(sum(col("n_t")).as("n_corpus"))
     val tfHead = tf.orderBy(col("n_t").desc, col("t")).limit(RarityVocabCap)
     toks.join(broadcast(tfHead), Seq("t"), "left")
