@@ -41,7 +41,7 @@ class PlanGuardSpec extends SparkSpec {
       "sim_ivf_serve", "sim_ivf_serve_pq", "sim_ivf_serve_insert",
       "sim_ivf_serve_delete", "sim_ivf_compact", "sim_ivf_retrain",
       "sim_ivf_retrain_exec", "sim_ivf_filtered",
-      "sim_ivf_filtered_pq", "dd_semdedup",
+      "sim_ivf_filtered_pq", "dd_semdedup", "dd_semdedup_keep",
       // brute-force baseline: the query side is hard-capped at 256 rows
       // (SimQueryCap) before broadcasting against the corpus scan
       // (the recall censuses compose it as their truth side, plus the
