@@ -649,8 +649,18 @@ private[analytics] trait DedupOps {
     val capped = sh.join(rare, Seq("s", "lang"), "left_semi")
       .select(col("doc_id"), col("lang"), col("s"))
       .persist()
-    val a = capped.toDF("ia", "la", "s")
-    val b = capped.toDF("ib", "lb", "s2")
+    // the same ':jpair' sample ladder as buildJaccardPairs, for the same
+    // reason: dd_containment is a top-200 reporting census, its lang-only
+    // Σdf² candidate join was the LARGEST remaining superlinear state
+    // build (~159 s at sf2, the biggest sf2 state item), and doc-sampling
+    // both join sides cuts it by p² while sizes/df stay full-corpus.
+    // One documented sample universe for every pair census — the mirror
+    // applies the identical CASE-over-count(*) ladder.
+    val p = jpairSampleThreshold(spark, dir)
+    val sampled = if (p >= 65536) capped
+      else capped.filter(expr(s"${jpairDraw("doc_id")} < $p"))
+    val a = sampled.toDF("ia", "la", "s")
+    val b = sampled.toDF("ib", "lb", "s2")
     // join each unordered pair ONCE (ia < ib) and emit both directions by
     // projection afterwards: `common` is symmetric, so the =!= formulation
     // would shuffle and aggregate every shared shingle twice for the same

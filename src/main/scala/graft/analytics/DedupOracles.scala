@@ -172,9 +172,12 @@ private[analytics] trait DedupOracles {
 
 
     // lang-blocked only (no length bucket — containment pairs cross
-    // lengths by nature), directed, containment = common / |A|
+    // lengths by nature), directed, containment = common / |A|; the pair
+    // join applies the engine's ':jpair' sample ladder (jpSampleDuck —
+    // sizes and the df census stay full-corpus, exactly as the sampled
+    // jaccard chain)
     "dd_containment" ->
-      s"""WITH $baseDuck, sh0 AS (
+      s"""WITH $baseDuck, $jpSampleDuck, sh0 AS (
          |  SELECT doc_id, lang, unnest($shinglesDuck) AS s0
          |  FROM base),
          |sh AS (
@@ -190,6 +193,8 @@ private[analytics] trait DedupOracles {
          |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
          |  FROM capped a JOIN capped b
          |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id <> b.doc_id
+         |  WHERE ${hex4("md5(CAST(a.doc_id AS VARCHAR) || ':jpair')")} < (SELECT p FROM jp_p)
+         |    AND ${hex4("md5(CAST(b.doc_id AS VARCHAR) || ':jpair')")} < (SELECT p FROM jp_p)
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT ia, ib, common / sa.n AS containment
          |FROM pairs JOIN sizes sa ON ia = sa.doc_id
