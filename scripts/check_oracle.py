@@ -31,13 +31,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def strip_comments(sql):
-    """Remove SQL comments (-- to end-of-line, non-nested /* */) outside
-    string literals, quote-aware ('' escapes). The paren/quote scanner in
-    split_ctes is NOT comment-aware — a comment containing an unbalanced
-    paren or apostrophe would desynchronize it and stage wrong SQL — so
-    comments are stripped up front. A line comment is replaced by nothing
-    (its newline survives as the separator); a block comment by one space."""
-    out, i, n, in_sq = [], 0, len(sql), False
+    """Remove SQL comments (-- to end-of-line, NESTED /* */ as DuckDB and
+    Postgres define them) outside string literals AND double-quoted
+    identifiers, quote-aware ('' and "" escapes). The paren/quote scanner
+    in split_ctes is NOT comment-aware — a comment containing an
+    unbalanced paren or apostrophe would desynchronize it and stage wrong
+    SQL — so comments are stripped up front. DuckDB block comments NEST
+    (/* a /* b */ c */ is ONE comment), and a `--` inside a quoted
+    identifier is part of the name, so both are tracked here; getting
+    either wrong would desynchronize the scanner in exactly the way this
+    function exists to prevent. A line comment is replaced by nothing
+    (its newline survives as the separator); a block comment by one
+    space."""
+    out, i, n, in_sq, in_dq = [], 0, len(sql), False, False
     while i < n:
         c = sql[i]
         if in_sq:
@@ -49,17 +55,38 @@ def strip_comments(sql):
                 else:
                     in_sq = False
             i += 1
+        elif in_dq:
+            out.append(c)
+            if c == '"':
+                if i + 1 < n and sql[i + 1] == '"':
+                    out.append('"')
+                    i += 1
+                else:
+                    in_dq = False
+            i += 1
         elif c == "'":
             in_sq = True
+            out.append(c)
+            i += 1
+        elif c == '"':
+            in_dq = True
             out.append(c)
             i += 1
         elif c == '-' and i + 1 < n and sql[i + 1] == '-':
             j = sql.find('\n', i)
             i = n if j < 0 else j
         elif c == '/' and i + 1 < n and sql[i + 1] == '*':
-            j = sql.find('*/', i + 2)
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if sql.startswith('/*', i):
+                    depth += 1
+                    i += 2
+                elif sql.startswith('*/', i):
+                    depth -= 1
+                    i += 2
+                else:
+                    i += 1
             out.append(' ')
-            i = n if j < 0 else j + 2
         else:
             out.append(c)
             i += 1

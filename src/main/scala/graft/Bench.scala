@@ -75,6 +75,21 @@ object Bench {
     canary() // untimed warmup of the canary's own codegen paths
     val canaryPre = canary()
 
+    // Canary NORMALIZATION (documented formula — BASELINE_SELF.json carries
+    // the same note): the capture self-reports a box slowdown factor
+    //   canary_factor = max(1, sqrt(canary_pre * canary_post) / 1.0)
+    // where 1.0 s is the canary's documented idle design value, and the
+    // geometric mean of the pre/post measurements stands for the average
+    // box state across the run (robust to one recovered/degraded phase —
+    // round-18's three archived captures swung 25% in total with pre
+    // values 1.94/3.74/2.68 and the swing fully attributed). The emitted
+    //   total_norm_sec = total_sec / canary_factor
+    // is the gate-comparable estimate of what THIS capture would have
+    // measured on an idle box; the factor is clamped at 1 so an
+    // idle-or-better box never flatters its own raw total. total_sec stays
+    // the ground truth measurement; total_norm_sec is the comparison aid.
+    val canaryIdleSec = 1.0
+
     // Explicitly timed one-time STATE builds (jaccard pairs table, passage
     // window memos, bucketed fact + fingerprint state tables) BEFORE the
     // query loop, so family members no longer absorb build cost into their
@@ -126,6 +141,8 @@ object Bench {
       stateTimes.collect { case (k, _, Some(e)) => s"\"state:" + k + "\":" + jstr(e) })
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val canaryFactor =
+      math.max(1.0, math.sqrt(canaryPre * canaryPost) / canaryIdleSec)
     // The summary fields (metric/value/state_build_sec/failed/errors/sf) sit
     // at the END of the line: the driver's stdout capture keeps only a ~2KB
     // TAIL, and at 91 queries the line is ~2.6KB — a head-first layout lost
@@ -151,6 +168,7 @@ object Bench {
         s""""state_build_sec":${fmt(stateTotal)},""" +
         s""""canary_pre_sec":${fmt(canaryPre)},"canary_post_sec":${fmt(canaryPost)},""" +
         s""""canary_ratio":${fmt(if (canaryPre > 0) canaryPost / canaryPre else 0.0)},""" +
+        s""""canary_factor":${fmt(canaryFactor)},"total_norm_sec":${fmt(total / canaryFactor)},""" +
         s""""sf":"$sfDir"}"""
     }
     // Full precision + per-item state detail goes to a FILE (the driver's
@@ -188,6 +206,7 @@ object Bench {
         s""""state_build_sec":${f2(stateTotal)},""" +
         s""""canary_pre_sec":${f2(canaryPre)},"canary_post_sec":${f2(canaryPost)},""" +
         s""""canary_ratio":${f2(if (canaryPre > 0) canaryPost / canaryPre else 0.0)},""" +
+        s""""canary_factor":${f2(canaryFactor)},"total_norm_sec":${f2(total / canaryFactor)},""" +
         s""""failed_count":${failedShort.size},"failed":$failedJson,"sf":"$sfDir"}""")
     graft.analytics.LlmOps.releaseCaches()
     spark.stop()

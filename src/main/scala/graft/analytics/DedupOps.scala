@@ -40,26 +40,63 @@ private[analytics] trait DedupOps {
     * jaccard family's (lang, length-bucket) blocking cannot even
     * CANDIDATE a cross-length pair, so this query builds its own pairs:
     * lang-blocked only, letting short meet long. What bounds the
-    * self-join without the length block is the [[StopShingleCap]] alone
-    * (fanout ≤ Σ df² with df ≤ cap — the identical argument, minus one
-    * blocking key), so the candidate set stays cap-bounded, never doc².
-    * Cost model, measured at sf2: the synthetic corpus draws from a
+    * self-join without the length block: the [[StopShingleCap]] (fanout
+    * ≤ Σ df² with df ≤ cap), the ':jpair' doc ladder, and — past the
+    * 60k-doc rung — the df-weighted shingle-universe ladder (see
+    * [[buildContainmentPairs]]): the synthetic corpus draws from a
     * CLOSED vocabulary, so typical shingle df grows with corpus size
-    * (~70 at 100k docs) and the Σ df² build genuinely processes ~245M
-    * join rows — DuckDB pays the same ~2 minutes for the oracle, and a
-    * lower cap is NOT a fix (at sf2 even the true subset pairs' shared
-    * shingles sit above df 20, so capping harder EMPTIES the answer —
-    * measured, not guessed). On an open-vocabulary web corpus the df
-    * mass inverts (most shingles near-unique) and the same plan is far
-    * cheaper; the cap is the worst-case guard either way. Prefix
-    * filtering (PPJoin) was evaluated and rejected: on this flat df
-    * distribution the rarest-half prefix still leaves ~105M candidates.
-    * Same kernel-hashed 8-byte join keys; pairs are DIRECTED (a ≠ b,
-    * both orders) because containment is. */
+    * (~70 at 100k docs, approaching the cap at 500k) and the unthinned
+    * Σ df² build is QUADRATIC in N (measured ~245M join rows at sf2,
+    * 376 s at sf10 even doc-sampled). A lower df cap is NOT a fix (at
+    * sf2 even the true subset pairs' shared shingles sit above df 20, so
+    * capping the COUNTING universe harder empties the answer — measured,
+    * not guessed) and prefix filtering (PPJoin) was evaluated and
+    * rejected (on this flat df distribution the rarest-half prefix still
+    * leaves ~105M candidates). What works is thinning TYPES with
+    * keep-probability min(1, B/df) and computing the ratio over the kept
+    * universe on both sides: join mass becomes ≤ B·Σdf (linear), subset
+    * pairs keep containment exactly 1.0, and [[ddContainmentThin]] is
+    * the oracle-checked account of what the ladder kept. On an
+    * open-vocabulary web corpus the df mass inverts (most shingles
+    * near-unique) and the ladder keeps nearly everything; the bound is
+    * the worst-case guard either way. Same kernel-hashed 8-byte join
+    * keys; pairs are DIRECTED (a ≠ b, both orders) because containment
+    * is. */
   def ddContainment(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(spark, dir)
       .orderBy(col("containment").desc, col("ia"), col("ib"))
       .limit(200)
+
+
+  /** Thin-ladder ACCOUNTING for the containment build — the no-silent-caps
+    * rule applied to [[buildContainmentPairs]]'s df-weighted shingle
+    * ladder (the dd_band_gap / dd_incremental_capped convention): one row
+    * per corpus stating whether thinning is active, the kept-source noise
+    * floor in force, and the exact funnel — type counts, instance mass,
+    * and the Σdf² join-row bound — before and after the ladder. Both
+    * engines compute the row from the same df census with the same
+    * integer draw, so a drifted ladder constant or salt breaks THIS row's
+    * hash-match before it can silently skew the pair census. Cost: one
+    * shingle scan + a types-sized aggregate, constant output. */
+  def ddContainmentThin(spark: SparkSession, dir: String): DataFrame = {
+    val dfc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode_outer(shingleHash(col("text"))).as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("s"), col("lang")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= StopShingleCap)
+    val active = cthinActive(spark, dir)
+    val keptCol = if (active) expr(cthinKeepPred) else lit(true)
+    dfc.select(col("df"), keptCol.as("kept"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_types_kept"),
+        sum(col("df")).as("inst_capped"),
+        sum(when(col("kept"), col("df")).otherwise(0L)).as("inst_kept"),
+        sum(col("df") * col("df")).as("joinrows_capped"),
+        sum(when(col("kept"), col("df") * col("df")).otherwise(0L)).as("joinrows_kept"))
+      .withColumn("thin_active", lit(active))
+      .withColumn("kept_floor", lit(if (active) CThinKeptFloor else 0L))
+  }
 
 
   // --------------------------------------------------------- URL-stage dedup
@@ -630,7 +667,7 @@ private[analytics] trait DedupOps {
 
 
   private[analytics] def buildContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    // persist the shingle rows: they feed sizes, the rarity filter, and
+    // persist the shingle rows: they feed sizes, the df census, and
     // BOTH sides of the candidate join (4 consumers) — unpersisted, the
     // kernel chain re-planned and re-ran per consumer (measured 31 s cold
     // at sf0.1 vs ~4 s with the cache, the same lesson buildJaccardPairs
@@ -643,38 +680,69 @@ private[analytics] trait DedupOps {
       .filter(col("s").isNotNull)
       .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rare = sh.groupBy(col("s"), col("lang"))
+    val dfc = sh.groupBy(col("s"), col("lang"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
+    // df-weighted shingle-universe ladder (see [[cthinActive]]): past the
+    // same 60k-doc rung as the ':jpair' doc ladder, shingle TYPES are
+    // deterministically thinned with keep-probability min(1, B/df) — the
+    // draw is a pure function of the shingle hash, so a type survives for
+    // EVERY doc or for none. That bounds the self-join's fanout at
+    // Σ min(df, B)·df ≤ B·Σdf — LINEAR in corpus size — where the
+    // unthinned Σdf² is quadratic on this closed synthetic vocabulary
+    // (typical df grows with N; r18 measured 376 s at sf10 even
+    // doc-sampled). The containment ratio is then computed over the KEPT
+    // universe on BOTH sides (common_kept / |kept(A)|): survival is
+    // per-type, so a true subset pair keeps containment exactly 1.0, and
+    // the ratio estimator concentrates around true containment for every
+    // pair. Below the rung nothing is thinned and the denominator is the
+    // FULL per-doc shingle count — bit-identical to the pre-thinning
+    // semantics at every driver-gate SF. The mirror applies the identical
+    // CASE-over-count(*) gate and integer draw; [[ddContainmentThin]] is
+    // the oracle-checked accounting of exactly what the ladder keeps.
+    val thinActive = cthinActive(spark, dir)
+    val keptTypes = (if (thinActive) dfc.filter(expr(cthinKeepPred)) else dfc)
       .select(col("s"), col("lang"))
-    val capped = sh.join(rare, Seq("s", "lang"), "left_semi")
+    val kept = sh.join(keptTypes, Seq("s", "lang"), "left_semi")
       .select(col("doc_id"), col("lang"), col("s"))
       .persist()
-    // the same ':jpair' sample ladder as buildJaccardPairs, for the same
-    // reason: dd_containment is a top-200 reporting census, its lang-only
-    // Σdf² candidate join was the LARGEST remaining superlinear state
-    // build (~159 s at sf2, the biggest sf2 state item), and doc-sampling
-    // both join sides cuts it by p² while sizes/df stay full-corpus.
-    // One documented sample universe for every pair census — the mirror
-    // applies the identical CASE-over-count(*) ladder.
+    // per-doc KEPT count — the active-path denominator. Full-corpus like
+    // sizes: a doc's denominator must not depend on which OTHER docs
+    // survive the ':jpair' doc sample.
+    val nk = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // the same ':jpair' doc-sample ladder as buildJaccardPairs, for the
+    // same reason: dd_containment is a top-200 reporting census and
+    // doc-sampling both join sides cuts the join by p² while sizes/df
+    // stay full-corpus. One documented sample universe for every pair
+    // census — the mirror applies the identical CASE-over-count(*) ladder.
     val p = jpairSampleThreshold(spark, dir)
-    val sampled = if (p >= 65536) capped
-      else capped.filter(expr(s"${jpairDraw("doc_id")} < $p"))
+    val sampled = if (p >= 65536) kept
+      else kept.filter(expr(s"${jpairDraw("doc_id")} < $p"))
     val a = sampled.toDF("ia", "la", "s")
     val b = sampled.toDF("ib", "lb", "s2")
     // join each unordered pair ONCE (ia < ib) and emit both directions by
     // projection afterwards: `common` is symmetric, so the =!= formulation
     // would shuffle and aggregate every shared shingle twice for the same
     // answer — this halves the heaviest stage
+    val den = if (thinActive) nk else sizes
     val sized = a.join(b,
         col("s") === col("s2") && col("la") === col("lb") && col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
-      .join(sizes.toDF("ia", "na"), "ia")
-      .join(sizes.toDF("ib", "nb"), "ib")
+      .join(den.toDF("ia", "na"), "ia")
+      .join(den.toDF("ib", "nb"), "ib")
+    // thinned-universe noise floor: with few kept shingles a 1-2-shingle
+    // doc trivially scores 1.0 against anything sharing them, so the
+    // ACTIVE path requires the directed source to have ≥ CThinKeptFloor
+    // kept shingles (the min-doc-length convention of production near-dup
+    // pipelines, mirrored verbatim). Inactive path: no floor, exactly the
+    // pre-thinning answers.
+    val floorA = if (thinActive) col("na") >= CThinKeptFloor else lit(true)
+    val floorB = if (thinActive) col("nb") >= CThinKeptFloor else lit(true)
     val plan = sized
-      .select(col("ia"), col("ib"), (col("common") / col("na")).as("containment"))
+      .select(col("ia"), col("ib"), (col("common") / col("na")).as("containment"), floorA.as("ok"))
       .union(sized.select(col("ib").as("ia"), col("ia").as("ib"),
-        (col("common") / col("nb")).as("containment")))
-      .filter(col("containment") >= 0.5)
+        (col("common") / col("nb")).as("containment"), floorB.as("ok")))
+      .filter(col("containment") >= 0.5 && col("ok"))
+      .select(col("ia"), col("ib"), col("containment"))
     // RDD-level checkpoint for the same reason as buildJaccardPairs: the
     // DataFrame variant derives new child RDDs per access, so no handle
     // to the persisted RDD would survive for release
@@ -683,9 +751,49 @@ private[analytics] trait DedupOps {
     rdd.count()
     trackRdd(rdd)
     sh.unpersist(blocking = true)
-    capped.unpersist(blocking = true)
+    kept.unpersist(blocking = true)
     spark.createDataFrame(rdd, plan.schema)
   }
+
+
+  /** Shingle-thinning ladder parameters for the containment pair build.
+    * `CThinBudget` bounds each kept type's expected join-side df at B:
+    * keep-probability min(1, B/df) makes E[Σ kept df²] ≤ B·Σdf — the
+    * quadratic-to-linear bound. `CThinMinDocs` is the SAME rung as
+    * [[jpairLadder]]'s keep-all bound, so every driver-gate corpus
+    * (sf0.001/0.01/0.1/1/1z) is bit-for-bit unthinned. `CThinKeptFloor`
+    * is the active-path minimum kept-shingle count for a directed source
+    * doc (noise floor, see build). */
+  private[analytics] lazy val CThinBudget = 32L
+  private[analytics] lazy val CThinMinDocs = 60000L
+  private[analytics] lazy val CThinKeptFloor = 8L
+
+
+  /** Whether the containment build thins the shingle universe: corpus
+    * above the rung, unless `GRAFT_FULL_PAIRS` requests the exact full
+    * state (audit mode — oracle parity then only holds at unthinned
+    * SFs). `GRAFT_CTHIN_FORCE` is the spec-only escape that activates
+    * thinning on a tiny corpus so the sampling semantics are testable
+    * where the rung would keep all. */
+  private[analytics] def cthinActive(spark: SparkSession, dir: String): Boolean =
+    envOrProp("GRAFT_CTHIN_FORCE").isDefined ||
+      (envOrProp("GRAFT_FULL_PAIRS").isEmpty &&
+        corpusDocCount(spark, dir) > CThinMinDocs)
+
+
+  /** The type-keep predicate over a (s, df) row — INTEGER arithmetic only
+    * (draw·df < 65536·B ⟺ draw < 65536·B/df), so both engines compare
+    * exactly: no division, no float rounding. Salt ':cthin' keeps the
+    * draw independent of the ':jpair' doc draw. ONE definition with the
+    * [[DedupOracles]] mirror. */
+  private[analytics] def cthinKeepPred: String =
+    s"${hex4("md5(CAST(s AS STRING) || ':cthin')")} * df < ${65536L * CThinBudget}"
+
+
+  /** The same predicate in DuckDB spelling (VARCHAR cast; everything else
+    * engine-portable by construction). */
+  private[analytics] def cthinKeepPredDuck: String =
+    s"${hex4("md5(CAST(s AS VARCHAR) || ':cthin')")} * df < ${65536L * CThinBudget}"
 
 
   /** Stop-shingle cap: a shingle present in more than this many docs of a
@@ -720,7 +828,20 @@ private[analytics] trait DedupOps {
   private[analytics] def jpairSampleThreshold(spark: SparkSession, dir: String): Int =
     if (envOrProp("GRAFT_FULL_PAIRS").isDefined) 65536
     else envOrProp("GRAFT_JPAIR_SAMPLE_P").map(_.toInt).getOrElse(
-      jpairLadder(Tables.documents(spark, dir).count()))
+      jpairLadder(corpusDocCount(spark, dir)))
+
+
+  /** Doc count memo for the ladder rung — THREE pair-state builders call
+    * [[jpairSampleThreshold]] (jaccard, banded-recall gate, containment),
+    * and each used to pay a full documents scan just to pick the rung.
+    * Fingerprint-keyed like the memo cells, so a regenerated dir
+    * recounts; entries are one boxed long each, so the map never needs
+    * eviction. */
+  private val docCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), java.lang.Long]
+  private def corpusDocCount(spark: SparkSession, dir: String): Long =
+    docCountMemo.computeIfAbsent((spark, dir, dirFingerprint(spark, dir)),
+      _ => java.lang.Long.valueOf(Tables.documents(spark, dir).count())).longValue
 
 
   /** The pure ladder (docs → keep-threshold of 65536), mirrored verbatim
@@ -806,7 +927,9 @@ private[analytics] trait DedupOps {
     * per-corpus accounting. */
   private[analytics] def bandedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     memoRaw(spark, dir, "jaccard_pairs_banded") {
-      val (sh, capped, sizes) = acquireShingleState(spark, dir)
+      val hold = acquireShingleState(spark, dir)
+      try {
+      val (capped, sizes) = (hold.capped, hold.sizes)
       val cand = wideBandCandidates(spark, dir)
       val a = capped.toDF("ia", "la", "ba", "s")
       val b = capped.toDF("ib", "lb", "bb", "s2")
@@ -818,8 +941,9 @@ private[analytics] trait DedupOps {
         .join(sizes.toDF("ia", "na"), "ia")
         .join(sizes.toDF("ib", "nb"), "ib")
         .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
-      val jp = checkpointLeaf(spark, plan)
-      // ref-counted blocking release — the shingle triple is now SHARED
+      checkpointLeaf(spark, plan)
+      // ref-counted blocking release (in the finally, so a failed build
+      // never strands the hold's count) — the shingle triple is SHARED
       // with buildJaccardPairs (built once for both back-to-back state
       // builds) and frees when the second builder checkpoints. Blocking
       // for the deterministic storage handoff between state builds; the
@@ -829,8 +953,7 @@ private[analytics] trait DedupOps {
       // identical binaries measured 96→244→272 s across three
       // back-to-back runs — but the deterministic handoff stands on
       // its own.)
-      releaseShingleState(spark, dir)
-      jp
+      } finally releaseShingleState(hold)
     }
 
 
@@ -921,8 +1044,11 @@ private[analytics] trait DedupOps {
     * the intersection joins run on the stop-shingle-capped set. Docs with
     * <3 tokens have no sh rows and drop out — they can never appear in
     * `common` anyway. */
-  private case class ShingleHold(sh: DataFrame, capped: DataFrame,
-    sizes: DataFrame, var remaining: Int)
+  private[analytics] final class ShingleHold(
+      val key: (SparkSession, String, Long),
+      val sh: DataFrame, val capped: DataFrame, val sizes: DataFrame) {
+    var remaining: Int = 2
+  }
   private val shingleHolds =
     scala.collection.mutable.HashMap.empty[(SparkSession, String, Long), ShingleHold]
 
@@ -936,37 +1062,50 @@ private[analytics] trait DedupOps {
     * persisted frames are also registered in the tracked-cache registry
     * as the backstop for a session where only one builder ever runs
     * (its half-released hold then frees at [[releaseCaches]]). */
-  private def acquireShingleState(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private def acquireShingleState(spark: SparkSession, dir: String): ShingleHold = {
     val key = (spark, dir, dirFingerprint(spark, dir))
-    val h = shingleHolds.synchronized {
+    shingleHolds.synchronized {
       shingleHolds.get(key) match {
         case Some(held) => held
         case None =>
           val (sh, capped, sizes) = shingleState(spark, dir)
           track(sh); track(capped)
-          val held = ShingleHold(sh, capped, sizes, remaining = 2)
+          val held = new ShingleHold(key, sh, capped, sizes)
           shingleHolds(key) = held
+          // releaseCaches backstop: the frames' UNPERSISTS are tracked
+          // above, but without this thunk the map ENTRY survived a bulk
+          // release (a builder exception between acquire and release, or
+          // a half-released single-builder session), so the next build
+          // cycle reused a hold whose frames were already unpersisted —
+          // recomputing the tokenize/shingle chain per reference, the
+          // exact cost the ref-counting exists to remove. Remove-if-same
+          // so a hold created AFTER the release (fresh cycle) is never
+          // torn down by the stale thunk.
+          trackThunk(() => shingleHolds.synchronized {
+            if (shingleHolds.get(key).exists(_ eq held)) shingleHolds.remove(key); ()
+          })
           held
       }
     }
-    (h.sh, h.capped, h.sizes)
   }
 
-  private def releaseShingleState(spark: SparkSession, dir: String): Unit = {
+  /** Release keyed by the ACQUIRED hold object, not a recomputed
+    * fingerprint: a dir regeneration mid-build changes dirFingerprint,
+    * and the old release-by-key variant then decremented a DIFFERENT
+    * (fresh) hold — leaving this one's count unbalanced forever. */
+  private def releaseShingleState(hold: ShingleHold): Unit = {
     val done = shingleHolds.synchronized {
-      val key = (spark, dir, dirFingerprint(spark, dir))
-      shingleHolds.get(key) match {
-        case Some(h) =>
-          h.remaining -= 1
-          if (h.remaining <= 0) { shingleHolds.remove(key); Some(h) } else None
-        case None => None
-      }
+      hold.remaining -= 1
+      if (hold.remaining <= 0) {
+        if (shingleHolds.get(hold.key).exists(_ eq hold)) shingleHolds.remove(hold.key)
+        true
+      } else false
     }
     // the Spark calls run OUTSIDE the lock (the memoCell discipline);
     // blocking for the same deterministic-handoff reason as before
-    done.foreach { h =>
-      h.sh.unpersist(blocking = true)
-      h.capped.unpersist(blocking = true)
+    if (done) {
+      hold.sh.unpersist(blocking = true)
+      hold.capped.unpersist(blocking = true)
     }
   }
 
@@ -999,7 +1138,9 @@ private[analytics] trait DedupOps {
     val t0 = System.nanoTime()
     def lap(tag: String): Unit =
       if (dbg) println(f"JPBUILD $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    val (sh, capped, sizes) = acquireShingleState(spark, dir)
+    val hold = acquireShingleState(spark, dir)
+    try {
+    val (capped, sizes) = (hold.capped, hold.sizes)
     lap("shingle state planned")
     // the sample ladder (see jpairSampleThreshold) bounds THIS join — the
     // last superlinear stage — by filtering both sides' docs BEFORE the
@@ -1041,11 +1182,12 @@ private[analytics] trait DedupOps {
     val jp = spark.createDataFrame(jpRdd, jpPlan.schema)
     lap("pairs checkpointed")
     trackRdd(jpRdd)
-    // the shingle tables only served the builds — the ref-counted release
-    // frees them the moment the LAST pair builder has checkpointed:
-    // executor storage stays bounded by the pair tables
-    releaseShingleState(spark, dir)
     jp
+    // the shingle tables only served the builds — the ref-counted release
+    // (in the finally, so a failed build never strands the count) frees
+    // them the moment the LAST pair builder has checkpointed: executor
+    // storage stays bounded by the pair tables
+    } finally releaseShingleState(hold)
   }
 
 

@@ -174,8 +174,14 @@ private[analytics] trait DedupOracles {
     // lang-blocked only (no length bucket — containment pairs cross
     // lengths by nature), directed, containment = common / |A|; the pair
     // join applies the engine's ':jpair' sample ladder (jpSampleDuck —
-    // sizes and the df census stay full-corpus, exactly as the sampled
-    // jaccard chain)
+    // the df census stays full-corpus, exactly as the sampled jaccard
+    // chain) AND, past the same 60k-doc rung, the df-weighted shingle
+    // TYPE ladder (keep iff draw·df < 65536·B — integer arithmetic, no
+    // rounding to drift) with the kept-universe denominator and the
+    // kept-source noise floor, all mirroring buildContainmentPairs
+    // verbatim; below the rung the keep predicate passes everything and
+    // the denominator is the FULL per-doc count — the pre-thinning SQL
+    // exactly.
     "dd_containment" ->
       s"""WITH $baseDuck, $jpSampleDuck, sh0 AS (
          |  SELECT doc_id, lang, unnest($shinglesDuck) AS s0
@@ -183,23 +189,65 @@ private[analytics] trait DedupOracles {
          |sh AS (
          |  SELECT doc_id, lang, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |rare AS (
-         |  SELECT s, lang FROM sh GROUP BY s, lang
+         |cthin AS (SELECT count(*) > $CThinMinDocs AS active FROM documents),
+         |dfc AS (
+         |  SELECT s, lang, count(*) AS df FROM sh GROUP BY s, lang
          |  HAVING count(*) <= $StopShingleCap),
-         |capped AS (
-         |  SELECT sh.* FROM sh SEMI JOIN rare
-         |    ON sh.s = rare.s AND sh.lang = rare.lang),
+         |keptt AS (
+         |  SELECT s, lang FROM dfc
+         |  WHERE NOT (SELECT active FROM cthin) OR $cthinKeepPredDuck),
+         |kept AS (
+         |  SELECT sh.* FROM sh SEMI JOIN keptt
+         |    ON sh.s = keptt.s AND sh.lang = keptt.lang),
+         |nk AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |den AS (
+         |  SELECT sizes.doc_id,
+         |    CASE WHEN (SELECT active FROM cthin)
+         |      THEN coalesce(nk.n, 0) ELSE sizes.n END AS n
+         |  FROM sizes LEFT JOIN nk ON sizes.doc_id = nk.doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
-         |  FROM capped a JOIN capped b
+         |  FROM kept a JOIN kept b
          |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id <> b.doc_id
          |  WHERE ${hex4("md5(CAST(a.doc_id AS VARCHAR) || ':jpair')")} < (SELECT p FROM jp_p)
          |    AND ${hex4("md5(CAST(b.doc_id AS VARCHAR) || ':jpair')")} < (SELECT p FROM jp_p)
          |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT ia, ib, common / sa.n AS containment
-         |FROM pairs JOIN sizes sa ON ia = sa.doc_id
-         |WHERE common / sa.n >= 0.5
+         |SELECT ia, ib, common / da.n AS containment
+         |FROM pairs JOIN den da ON ia = da.doc_id
+         |WHERE common / da.n >= 0.5
+         |  AND (NOT (SELECT active FROM cthin) OR da.n >= $CThinKeptFloor)
          |ORDER BY containment DESC, ia, ib LIMIT 200""".stripMargin,
+
+
+    // the thin-ladder accounting row (the dd_band_gap convention): both
+    // engines fold the SAME full-corpus df census through the SAME
+    // integer keep-draw, so any drift in the ladder constants or salt
+    // fails THIS cheap row's hash-match before it can skew the pair
+    // census silently
+    "dd_containment_thin" ->
+      s"""WITH $baseDuck, sh0 AS (
+         |  SELECT doc_id, lang, unnest($shinglesDuck) AS s0
+         |  FROM base),
+         |sh AS (
+         |  SELECT doc_id, lang, CAST(${hex8("md5(s0)")} AS BIGINT) AS s FROM sh0),
+         |cthin AS (SELECT count(*) > $CThinMinDocs AS active FROM documents),
+         |dfc AS (
+         |  SELECT s, lang, count(*) AS df FROM sh GROUP BY s, lang
+         |  HAVING count(*) <= $StopShingleCap),
+         |k AS (
+         |  SELECT df,
+         |    NOT (SELECT active FROM cthin) OR $cthinKeepPredDuck AS kept
+         |  FROM dfc)
+         |SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_types_kept,
+         |  CAST(sum(df) AS BIGINT) AS inst_capped,
+         |  CAST(sum(CASE WHEN kept THEN df ELSE 0 END) AS BIGINT) AS inst_kept,
+         |  CAST(sum(df * df) AS BIGINT) AS joinrows_capped,
+         |  CAST(sum(CASE WHEN kept THEN df * df ELSE 0 END) AS BIGINT) AS joinrows_kept,
+         |  (SELECT active FROM cthin) AS thin_active,
+         |  CAST(CASE WHEN (SELECT active FROM cthin)
+         |    THEN $CThinKeptFloor ELSE 0 END AS BIGINT) AS kept_floor
+         |FROM k""".stripMargin,
 
 
     "dd_dedup_keep" ->

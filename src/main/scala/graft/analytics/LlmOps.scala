@@ -85,6 +85,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_exact" -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_containment" -> ddContainment _,
+    "dd_containment_thin" -> ddContainmentThin _,
     "dd_url" -> ddUrl _,
     "dd_url_hosts" -> ddUrlHosts _,
     "dd_url_incremental" -> ddUrlIncremental _,

@@ -27,11 +27,20 @@ private[analytics] trait OpsKernels {
 
 
   private[analytics] def track(df: DataFrame): DataFrame =
-    synchronized { tracked += (() => { df.unpersist(); () }); df }
+    { trackThunk(() => { df.unpersist(); () }); df }
 
 
   private[analytics] def trackRdd(rdd: RDD[_]): Unit =
-    synchronized { tracked += (() => { rdd.unpersist(blocking = false); () }) }
+    trackThunk(() => { rdd.unpersist(blocking = false); () })
+
+
+  /** Register an arbitrary cleanup to run at [[releaseCaches]] — for
+    * state that is not a frame/RDD handle (e.g. the shingle-hold map
+    * entries, whose UNPERSISTS are tracked separately but whose map
+    * residency would otherwise survive a release and serve unpersisted
+    * frames to the next build cycle). */
+  private[analytics] def trackThunk(f: () => Unit): Unit =
+    synchronized { tracked += f }
 
 
   /** Unpersist every tracked frame/RDD and drop the jaccard-pair memo. Safe

@@ -479,7 +479,16 @@ object EventStream {
       .withColumn("qn", dotF(col("embedding"), col("embedding")))
       .withColumn("one", lit(1))
       .join(broadcast(packed), Seq("one"))
-      .groupBy(expr(bestSql).getField("cell").as("cell"))
+      // zero-norm guard (the annServe/retrainReassign convention): qn = 0
+      // makes every cosine NaN, so the fold keeps its (-2.0, -1) seed —
+      // previously that sentinel leaked into the census as a phantom cell
+      // indistinguishable from real occupancy. Cell -1 is now a DELIBERATE
+      // diagnostic bucket: degenerate inserts are counted there loudly
+      // (no-silent-drops), and [[retrainDecision]] excludes it from the
+      // drift signals so a corrupt arrival can never trigger (or mask) a
+      // re-train.
+      .groupBy(when(col("qn") > 0, expr(bestSql).getField("cell"))
+        .otherwise(lit(-1L)).as("cell"))
       .agg(count(lit(1)).as("n_inserted"))
   }
 
@@ -495,14 +504,22 @@ object EventStream {
     * (cell, n_corpus). */
   def retrainDecision(drained: DataFrame, corpusOcc: DataFrame): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // cell -1 is the census's zero-norm diagnostic bucket (see
+    // retrainInsertCensus): its row is PUBLISHED (the drop stays visible)
+    // but excluded from every drift aggregate — a degenerate arrival has
+    // no meaningful cell, so it must neither inflate frac_inserted nor
+    // count as a cell in the skew denominator. With no diagnostic row
+    // present the conditional sums equal the plain ones, so parity with
+    // the batch simIvfRetrain (which never emits -1) is unchanged.
+    val real = col("cell") >= 0L
     corpusOcc.join(drained, Seq("cell"), "full_outer")
       .withColumn("n_corpus", coalesce(col("n_corpus"), lit(0L)))
       .withColumn("n_inserted", coalesce(col("n_inserted"), lit(0L)))
       .withColumn("n_total", col("n_corpus") + col("n_inserted"))
-      .withColumn("g_total", sum(col("n_total")).over(wAll))
-      .withColumn("g_ins", sum(col("n_inserted")).over(wAll))
-      .withColumn("g_cells", count(lit(1)).over(wAll))
-      .withColumn("g_max", max(col("n_total")).over(wAll))
+      .withColumn("g_total", sum(when(real, col("n_total"))).over(wAll))
+      .withColumn("g_ins", sum(when(real, col("n_inserted"))).over(wAll))
+      .withColumn("g_cells", count(when(real, lit(1))).over(wAll))
+      .withColumn("g_max", max(when(real, col("n_total"))).over(wAll))
       .withColumn("frac_inserted", col("g_ins") / col("g_total"))
       .withColumn("skew", (col("g_max") * col("g_cells")) / col("g_total"))
       .withColumn("retrain", col("frac_inserted") >= 0.2 || col("skew") >= 2.0)

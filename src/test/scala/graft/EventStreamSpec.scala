@@ -756,6 +756,48 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retrain census buckets a zero-norm insert diagnostically, excluded from drift signals") {
+    // The ADVICE r18 hole: a zero-norm insert made every cosine NaN, so
+    // the packed-centroid fold kept its (-2.0, -1) seed and the sentinel
+    // leaked into the census as a spurious cell, distorting g_cells/skew.
+    // Cell -1 is now a DELIBERATE diagnostic bucket: the degenerate
+    // arrival is counted there (no silent drop), and retrainDecision's
+    // drift signals are computed over real cells only — identical to a
+    // run that never saw the degenerate row.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.analytics.LlmOps.serveCentroids(spark, dir)
+    val normals = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" % 4 === 3)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val degenerate = (-7L, Seq.fill(64)(0.0f))
+    val corpusOcc = graft.analytics.LlmOps.ivfServeAssignTable(spark, dir)
+      .groupBy($"cell").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_corpus"))
+    def decided(census: org.apache.spark.sql.DataFrame) =
+      EventStream.retrainDecision(census, corpusOcc).collect().map(r =>
+        (r.getAs[Long]("cell"), r.getAs[Long]("n_corpus"), r.getAs[Long]("n_inserted"),
+          r.getAs[Long]("n_total"), r.getAs[Double]("frac_inserted"),
+          r.getAs[Double]("skew"), r.getAs[Boolean]("retrain"))).toSeq
+    def run(data: Seq[(Long, Seq[Float])], sink: String) = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = EventStream.toMemorySink(
+        EventStream.retrainInsertCensus(input.toDF().toDF("vec_id", "embedding"), cents),
+        sink, OutputMode.Complete())
+      try { input.addData(data); q.processAllAvailable() } finally q.stop()
+      spark.table(sink)
+    }
+    val clean = decided(run(normals, "retrain_census_clean"))
+    val withDegen = decided(run(normals :+ degenerate, "retrain_census_degen"))
+    val diag = withDegen.filter(_._1 == -1L)
+    assert(diag.length == 1 && diag.head._3 == 1L,
+      s"zero-norm insert must land in the -1 diagnostic bucket exactly once: $withDegen")
+    assert(withDegen.filterNot(_._1 == -1L) == clean,
+      s"real cells' counts and drift signals must be untouched by the degenerate row:\n" +
+        s" clean=$clean\n degen=$withDegen")
+  }
+
   test("streaming PII census equals the oracle-checked batch txt_pii_census per source") {
     // The privacy-health-consistency contract: the same documents, fed
     // as a stream in 4 micro-batches, scored with the same scan-side PII

@@ -68,6 +68,67 @@ class PairSampleSpec extends SparkSpec {
     assert(expected.size < full.size, "vacuous: sampling dropped no pair")
   }
 
+  test("containment thin ladder: subset pairs stay 1.0, the kept floor drops tiny sources, the accounting row balances") {
+    // The round-19 scale fix: past the 60k-doc rung the containment
+    // build thins shingle TYPES with keep-probability min(1, B/df) and
+    // computes the ratio over the kept universe on both sides. The two
+    // semantic invariants that make the thinned census trustworthy:
+    // (1) type-level survival is common to both docs, so a true subset
+    // pair scores containment EXACTLY 1.0 through any amount of
+    // thinning; (2) the kept-source noise floor silently-drops nothing —
+    // dd_containment_thin publishes the floor and the exact funnel.
+    // GRAFT_CTHIN_FORCE activates the ladder on this tiny corpus (the
+    // GRAFT_JPAIR_SAMPLE_P convention); df must exceed CThinBudget=32
+    // for the draw to bite, hence the 40 superset docs.
+    val aToks = (0 until 40).map(t => s"a$t")
+    val aText = aToks.mkString(" ")
+    val tText = aToks.take(5).mkString(" ") // 3 shingles — under the floor
+    def bText(i: Int) = aText + " " + (0 until 10).map(t => s"b${i}x$t").mkString(" ")
+    val rows = Seq(D(0L, tText, "en", "s", tText.length.toLong),
+        D(1L, aText, "en", "s", aText.length.toLong)) ++
+      (0 until 40).map(i => D(10L + i, bText(i), "en", "s", bText(i).length.toLong))
+    val dirA = writeDocs(rows) // thinned build
+    val dirB = writeDocs(rows) // unthinned build (fresh dir => fresh memo key)
+    def pairs(d: String) = LlmOps.containmentPairs(spark, d).collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")) -> r.getAs[Double]("containment"))
+      .toMap
+    val (thinned, thinRow) =
+      try {
+        sys.props("GRAFT_CTHIN_FORCE") = "1"
+        (pairs(dirA), LlmOps.ddContainmentThin(spark, dirA).collect().head)
+      } finally sys.props.remove("GRAFT_CTHIN_FORCE")
+    val (plain, plainRow) =
+      (pairs(dirB), LlmOps.ddContainmentThin(spark, dirB).collect().head)
+    // accounting row: active, floor published, the draw really dropped
+    // df>32 types, and every kept aggregate is a strict sub-mass
+    assert(thinRow.getAs[Boolean]("thin_active") &&
+      thinRow.getAs[Long]("kept_floor") == 8L)
+    assert(thinRow.getAs[Long]("n_types_kept") > 0 &&
+      thinRow.getAs[Long]("n_types_kept") < thinRow.getAs[Long]("n_types"),
+      s"forced thinning must drop some df>32 types: $thinRow")
+    assert(thinRow.getAs[Long]("joinrows_kept") < thinRow.getAs[Long]("joinrows_capped") &&
+      thinRow.getAs[Long]("inst_kept") < thinRow.getAs[Long]("inst_capped"))
+    // inactive identity: the accounting row keeps everything, no floor
+    assert(!plainRow.getAs[Boolean]("thin_active") &&
+      plainRow.getAs[Long]("kept_floor") == 0L &&
+      plainRow.getAs[Long]("n_types_kept") == plainRow.getAs[Long]("n_types"))
+    // subset exactness THROUGH thinning: A (doc 1) is a prefix of every
+    // B_i, so all 40 directed pairs survive at exactly 1.0 even though
+    // some of A's shingle types were thinned away
+    val aPairs = (0 until 40).map(i => (1L, 10L + i))
+    assert(aPairs.forall(k => thinned.get(k).contains(1.0)),
+      s"subset pairs must stay exactly 1.0 under thinning: " +
+        s"${aPairs.map(k => k -> thinned.get(k))}")
+    // the kept floor: tiny T (doc 0, 3 shingles < 8 kept) is a directed
+    // SOURCE in the unthinned build but floored out of the thinned one
+    assert(plain.keys.exists(_._1 == 0L), "unthinned build must pair T as a source")
+    assert(!thinned.keys.exists(_._1 == 0L),
+      s"tiny source must be floored under thinning: ${thinned.keys.filter(_._1 == 0L)}")
+    // and the unthinned build's subset pairs are 1.0 too (semantics
+    // unchanged below the rung)
+    assert(aPairs.forall(k => plain.get(k).contains(1.0)))
+  }
+
   test("dedup actions REFUSE a corpus where the banded edge set is lossy; the escape hatch and the census still work") {
     // The round-17 advice item: the action consumers' oracles derive
     // >=0.8 edges from the full state while the engine rides the capped
