@@ -79,11 +79,15 @@ private[analytics] trait DedupOps {
     * hash-match before it can silently skew the pair census. Cost: one
     * shingle scan + a types-sized aggregate, constant output. */
   def ddContainmentThin(spark: SparkSession, dir: String): DataFrame = {
-    val dfc = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode_outer(shingleHash(col("text"))).as("s"))
-      .filter(col("s").isNotNull)
-      .groupBy(col("s"), col("lang")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= StopShingleCap)
+    // same memo key as the state build — whichever runs first pays the
+    // one shingle pass, the other reads the checkpointed types-sized leaf
+    val dfc = memoRaw(spark, dir, "containment_dfc") {
+      checkpointLeaf(spark, Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), explode_outer(shingleHash(col("text"))).as("s"))
+        .filter(col("s").isNotNull)
+        .groupBy(col("s"), col("lang")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= StopShingleCap))
+    }
     val active = cthinActive(spark, dir)
     val keptCol = if (active) expr(cthinKeepPred) else lit(true)
     dfc.select(col("df"), keptCol.as("kept"))
@@ -680,8 +684,16 @@ private[analytics] trait DedupOps {
       .filter(col("s").isNotNull)
       .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfc = sh.groupBy(col("s"), col("lang"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
+    // the df census is memoized as a checkpointed LEAF (the rarity-vocab
+    // treatment): [[ddContainmentThin]] reads the same ~types-sized table
+    // instead of paying its own full tokenize/shingle pass (measured
+    // 31-36 s per census run at sf10). Built here from the persisted sh
+    // when the state build runs first; built stand-alone by the census
+    // accessor otherwise — identical content either way.
+    val dfc = memoRaw(spark, dir, "containment_dfc") {
+      checkpointLeaf(spark, sh.groupBy(col("s"), col("lang"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap))
+    }
     // df-weighted shingle-universe ladder (see [[cthinActive]]): past the
     // same 60k-doc rung as the ':jpair' doc ladder, shingle TYPES are
     // deterministically thinned with keep-probability min(1, B/df) — the

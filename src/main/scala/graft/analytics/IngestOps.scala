@@ -221,6 +221,85 @@ private[analytics] trait IngestOps {
       .orderBy(col("source"))
 
 
+  /** CROSS-MODAL RETRIEVAL census — the LAION-style retrieval eval
+    * (text→image recall@k), the readout that prices serving a multimodal
+    * corpus through an ANN index instead of exact search. The image
+    * corpus is the pair convention's EVEN embeddings (docs (2k, 2k+1)
+    * share image 2k — [[clipScored]]'s plant); queries are a capped
+    * sample of TEXT embeddings across both parities (`vec_id % 25`, so
+    * matched even pairs and mismatched odd pairs both appear). Two
+    * retrieval paths are censused per query, the [[SimOps.simIvfRecall]]
+    * shape applied cross-modally:
+    *  - truth: exact top-5 over the image corpus (self INCLUDED — for an
+    *    even query its own image is the matched pair, which is the point
+    *    of the eval);
+    *  - ivf: an IVF index over the IMAGE half (first-k even vectors as
+    *    centroids — the deterministic first-k convention on the image
+    *    id-space), probed at nprobe=2 (the widened-probe convention of
+    *    the filtered family: the image side halves the corpus, so a
+    *    1-cell probe under-retrieves).
+    * Output per query: overlap hits/recall of ivf vs exact, plus the
+    * matched-pair hit bit through EACH path — `hit_pair_exact` /
+    * `hit_pair_ivf` — whose even/odd separation is the retrieval-eval
+    * readout (MultimodalSpec pins even ⇒ both 1; for an even query the
+    * self-pair is cell-coincident by construction, so IVF can never
+    * miss it). Scale shape: truth is the one irreducible exact pass any
+    * recall census pays (broadcast capped queries × linear image scan);
+    * the IVF side is k centroid dots per query + a bounded cell scan;
+    * censuses are map-side-combinable; output ≤ SimQueryCap rows. */
+  def mmRetrievalRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+    val img = e.filter(col("vec_id") % 2 === 0)
+    val k = ivfK(spark, dir)
+    val cents = img.filter(col("vec_id") < k * 2L)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val cell = img.crossJoin(broadcast(cents))
+      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("cent_id").as("cell"))
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .orderBy(col("vec_id")).limit(SimQueryCap)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val wT = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val truth = img.crossJoin(broadcast(q))
+      .withColumn("cos", dotF(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id").as("cid"))
+    val qCells = q.crossJoin(broadcast(cents))
+      .withColumn("cos_c", dotF(col("qe"), col("cemb")) / sqrt(col("qn") * col("cnrm")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_c").desc, col("cent_id"))))
+      .filter(col("ark") <= 2)
+      .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("cell"))
+    val ivf5 = qCells.join(cell, Seq("cell"))
+      .withColumn("cos", dotF(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("cid"))
+    val census = truth
+      .join(ivf5.select(col("qid").as("iq"), col("cid").as("ic")),
+        col("qid") === col("iq") && col("cid") === col("ic"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("ic")).as("hits_ivf"),
+        max(when(col("cid") === col("qid") - col("qid") % 2, 1L).otherwise(0L))
+          .as("hit_pair_exact"))
+      .withColumn("recall_ivf", col("hits_ivf") / lit(5))
+    val pairIvf = ivf5.filter(col("cid") === col("qid") - col("qid") % 2)
+      .select(col("qid")).distinct().withColumn("hp", lit(1L))
+    census.join(pairIvf, Seq("qid"), "left")
+      .withColumn("hit_pair_ivf", coalesce(col("hp"), lit(0L)))
+      .select(col("qid"), col("hits_ivf"), col("recall_ivf"),
+        col("hit_pair_exact"), col("hit_pair_ivf"))
+      .orderBy(col("qid"))
+  }
+
+
   /** Multimodal column plumbing: treat content as opaque binary + typed
     * metadata (byte length, sha256 digest) — the schema/partitioning layer
     * under decode UDFs (see [[Multimodal]] for the batch decode path). */

@@ -36,6 +36,69 @@ private[analytics] trait IngestOracles {
          |FROM p GROUP BY source ORDER BY source""".stripMargin,
 
 
+    // cross-modal retrieval census: exact text→image top-5 over the even
+    // (image) half vs the first-k image-side IVF at nprobe=2, per capped
+    // query — plus the matched-pair hit bit through each path (the
+    // (2k, 2k+1) plant as ground truth). Same window idioms, same
+    // left-associated dot chain as every sim mirror.
+    "mm_retrieval_recall" ->
+      s"""WITH $paramsDuck,
+         |e AS (
+         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+         |  FROM embeddings),
+         |img AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+         |  FROM img WHERE vec_id < 2 * (SELECT k FROM params)),
+         |cell AS (
+         |  SELECT cid, ce, cn, cell FROM (
+         |    SELECT i.vec_id AS cid, i.embedding AS ce, i.nrm AS cn, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY i.vec_id
+         |        ORDER BY (${dot("i.embedding", "c.cemb", 1)}) / sqrt(i.nrm * c.cnrm) DESC,
+         |                 c.cent_id) AS ark
+         |    FROM img i CROSS JOIN cents c)
+         |  WHERE ark = 1),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
+         |  WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT $SimQueryCap),
+         |truth AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, i.vec_id AS cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY (${dot("q.qe", "i.embedding", 1)}) / sqrt(q.qn * i.nrm) DESC,
+         |                 i.vec_id) AS rk
+         |    FROM q CROSS JOIN img i)
+         |  WHERE rk <= 5),
+         |qc AS (
+         |  SELECT qid, qe, qn, cell FROM (
+         |    SELECT q.qid, q.qe, q.qn, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY (${dot("q.qe", "c.cemb", 1)}) / sqrt(q.qn * c.cnrm) DESC,
+         |                 c.cent_id) AS ark
+         |    FROM q CROSS JOIN cents c)
+         |  WHERE ark <= 2),
+         |ivf5 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qc.qid, cl.cid,
+         |      row_number() OVER (PARTITION BY qc.qid
+         |        ORDER BY (${dot("qc.qe", "cl.ce", 1)}) / sqrt(qc.qn * cl.cn) DESC,
+         |                 cl.cid) AS rk
+         |    FROM qc JOIN cell cl ON qc.cell = cl.cell)
+         |  WHERE rk <= 5),
+         |cen AS (
+         |  SELECT t.qid, count(i.cid) AS hits_ivf,
+         |    max(CASE WHEN t.cid = t.qid - t.qid % 2 THEN 1 ELSE 0 END) AS hit_pair_exact
+         |  FROM truth t LEFT JOIN ivf5 i ON t.qid = i.qid AND t.cid = i.cid
+         |  GROUP BY t.qid),
+         |pi AS (SELECT DISTINCT qid FROM ivf5 WHERE cid = qid - qid % 2)
+         |SELECT c.qid, CAST(c.hits_ivf AS BIGINT) AS hits_ivf,
+         |  c.hits_ivf / 5 AS recall_ivf,
+         |  CAST(c.hit_pair_exact AS BIGINT) AS hit_pair_exact,
+         |  CAST(CASE WHEN pi.qid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit_pair_ivf
+         |FROM cen c LEFT JOIN pi ON c.qid = pi.qid
+         |ORDER BY c.qid""".stripMargin,
+
+
     "mm_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),

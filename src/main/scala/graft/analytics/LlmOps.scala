@@ -97,6 +97,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_takedown" -> ddTakedown _,
     "dd_snapshot_diff" -> ddSnapshotDiff _,
     "mm_clip_filter" -> mmClipFilter _,
+    "mm_retrieval_recall" -> mmRetrievalRecall _,
     "txt_langid_confusion" -> txtLangidConfusion _,
     "txt_pii" -> txtPii _,
     "txt_pii_census" -> txtPiiCensus _,

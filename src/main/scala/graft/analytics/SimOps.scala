@@ -562,10 +562,29 @@ private[analytics] trait SimOps {
     * members — the un-normalized sum vector IS the centroid (see
     * [[simIvfKmeans]]). (cell, svec, snrm). */
   private[analytics] def kmCentroids(members: DataFrame): DataFrame =
-    members
+    packLloyd(lloydPosSums(members))
+
+
+  /** The FLAT half of [[kmCentroids]] — per-(cell, pos) quantized BIGINT
+    * component sums over (cell, embedding) rows. Factored out (and
+    * private[graft]) because these sums are exactly associative-
+    * commutative integer adds: the streaming retrain-exec twin
+    * ([[graft.streaming.EventStream.retrainLloydSums]]) runs THIS
+    * projection as its one complete-mode aggregation, and
+    * [[simIvfRetrainExecFromSums]] recombines drained insert sums with
+    * the corpus sums by plain addition — bit-equal to summing the union
+    * in one pass, which is the whole point of the integer quantization. */
+  private[graft] def lloydPosSums(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(expr(s"CAST(round(CAST(x AS DOUBLE) * $KmQuant) AS BIGINT)")).as("s"))
+
+
+  /** The PACK half of [[kmCentroids]]: (cell, pos, s) sums → the
+    * ascending-pos svec array + its norm. */
+  private[graft] def packLloyd(sums: DataFrame): DataFrame =
+    sums
       .groupBy(col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)").as("svec"))
       .withColumn("snrm", expr(
@@ -1207,13 +1226,36 @@ private[analytics] trait SimOps {
     * skew globals ride window aggregates over the k-row census, not a
     * separate agg crossJoined back (the [[simIvfRetrain]] single-subtree
     * lesson). */
-  def simIvfRetrainExec(spark: SparkSession, dir: String): DataFrame = {
+  def simIvfRetrainExec(spark: SparkSession, dir: String): DataFrame =
+    simIvfRetrainExecFromSums(spark, dir,
+      lloydPosSums(serveInsertAssign(spark, dir).select(col("cell"), col("embedding"))))
+
+
+  /** [[simIvfRetrainExec]] with the INSERT side's Lloyd sums supplied by
+    * the caller — the seam the streaming retrain-exec twin composes
+    * through (the [[graft.streaming.EventStream.retrainDecision]] move
+    * applied to execution): the stream accumulates per-(cell, pos)
+    * quantized insert sums in complete mode, and this batch pass adds
+    * them to the corpus sums — integer adds, so bit-equal to the
+    * one-pass union sum — then re-assigns and censuses exactly as the
+    * batch query. Rows with the census's -1 zero-norm diagnostic cell
+    * are EXCLUDED from the centroid update (a degenerate insert has no
+    * meaningful cell and must not move centroids; the batch path never
+    * produces them on real embeddings). */
+  private[graft] def simIvfRetrainExecFromSums(spark: SparkSession, dir: String,
+      insSums: DataFrame): DataFrame = {
     val corpus = ivfServeAssignTable(spark, dir)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val inserted = serveInsertAssign(spark, dir)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val members = corpus.union(inserted)
-    val cents = kmCentroids(members)
+    val combined = lloydPosSums(corpus)
+      .join(insSums.filter(col("cell") >= 0L).select(col("cell"), col("pos"),
+          col("s").as("s_ins")),
+        Seq("cell", "pos"), "full_outer")
+      .select(col("cell"), col("pos"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("s_ins"), lit(0L))).as("s"))
+    val cents = packLloyd(combined)
       .select(col("cell").as("ncell"), col("svec"), col("snrm"))
     val after = retrainReassign(members, cents)
     val before = members.groupBy(col("cell")).agg(count(lit(1)).as("n_before"))

@@ -461,7 +461,27 @@ object EventStream {
     * cell, O(k), never insert volume. Input schema (vec_id, embedding);
     * `cents` is [[graft.analytics.LlmOps.serveCentroids]]'
     * (cent_id, cemb, cnrm) frame. */
-  def retrainInsertCensus(inserts: DataFrame, cents: DataFrame): DataFrame = {
+  def retrainInsertCensus(inserts: DataFrame, cents: DataFrame): DataFrame =
+    assignInsertCells(inserts, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_inserted"))
+
+
+  /** Row-local serve-cell assignment of arriving inserts — the shared
+    * map-side head of [[retrainInsertCensus]] and [[retrainLloydSums]]
+    * (annServe's packed-centroid broadcast fold, same dot arithmetic,
+    * same strict-> ascending-cent_id tie-break, so cells are identical
+    * to the batch serveInsertAssign's window argmax). Zero-norm guard
+    * (the annServe/retrainReassign convention): qn = 0 makes every
+    * cosine NaN, so the fold keeps its (-2.0, -1) seed — previously that
+    * sentinel leaked into the census as a phantom cell indistinguishable
+    * from real occupancy. Cell -1 is a DELIBERATE diagnostic bucket:
+    * degenerate inserts are counted there loudly (no-silent-drops),
+    * [[retrainDecision]] excludes it from the drift signals, and the
+    * Lloyd-sum composer excludes it from the centroid update — a corrupt
+    * arrival can neither trigger/mask a re-train nor move a centroid.
+    * Output: (cell, embedding) plus the input columns. */
+  private def assignInsertCells(inserts: DataFrame, cents: DataFrame): DataFrame = {
     import graft.analytics.LlmOps.dotF
     val packed = cents
       .agg(sort_array(collect_list(struct(col("cent_id"), col("cemb"), col("cnrm"))))
@@ -479,18 +499,31 @@ object EventStream {
       .withColumn("qn", dotF(col("embedding"), col("embedding")))
       .withColumn("one", lit(1))
       .join(broadcast(packed), Seq("one"))
-      // zero-norm guard (the annServe/retrainReassign convention): qn = 0
-      // makes every cosine NaN, so the fold keeps its (-2.0, -1) seed —
-      // previously that sentinel leaked into the census as a phantom cell
-      // indistinguishable from real occupancy. Cell -1 is now a DELIBERATE
-      // diagnostic bucket: degenerate inserts are counted there loudly
-      // (no-silent-drops), and [[retrainDecision]] excludes it from the
-      // drift signals so a corrupt arrival can never trigger (or mask) a
-      // re-train.
-      .groupBy(when(col("qn") > 0, expr(bestSql).getField("cell"))
-        .otherwise(lit(-1L)).as("cell"))
-      .agg(count(lit(1)).as("n_inserted"))
+      .withColumn("cell", when(col("qn") > 0, expr(bestSql).getField("cell"))
+        .otherwise(lit(-1L)))
   }
+
+
+  /** Streaming RETRAIN-EXECUTION twin (Lloyd-sum half) — closes the last
+    * serve-lifecycle member without a streaming analogue. The execution's
+    * only insert-dependent input is the per-(cell, pos) QUANTIZED
+    * component sums, and integer sums are exactly what a complete-mode
+    * streaming aggregation can accumulate losslessly: each arriving
+    * vector is cell-assigned row-locally ([[assignInsertCells]], identical
+    * cells to the batch serveInsertAssign), then folded into the SAME
+    * [[graft.analytics.LlmOps.lloydPosSums]] projection the batch
+    * centroid update runs — one streaming aggregation, O(k·dim) state,
+    * never insert volume. The re-assignment pass itself stays a batch
+    * boundary by design (it must scan every CORPUS member against the
+    * final centroids — a full-index pass no per-arrival operator can
+    * amortize); [[graft.analytics.LlmOps.simIvfRetrainExecFromSums]]
+    * composes the drained sums with the corpus sums by plain integer
+    * addition — bit-equal to the batch one-pass union sum — and
+    * EventStreamSpec pins the composed execution row-for-row equal to
+    * the oracle-checked sim_ivf_retrain_exec. */
+  def retrainLloydSums(inserts: DataFrame, cents: DataFrame): DataFrame =
+    graft.analytics.LlmOps.lloydPosSums(
+      assignInsertCells(inserts, cents).select(col("cell"), col("embedding")))
 
   /** Batch-side composition of the retrain DECISION from the drained
     * insert census and the static per-cell corpus occupancy (the

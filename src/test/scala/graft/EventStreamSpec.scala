@@ -756,6 +756,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Lloyd sums compose to the oracle-checked batch sim_ivf_retrain_exec") {
+    // The retrain-EXECUTION twin: insert vectors arriving over 4
+    // micro-batches accumulate per-(cell, pos) quantized component sums
+    // in complete mode; composed batch-side with the corpus sums
+    // (integer adds — bit-equal to the one-pass union sum) the execution
+    // census must reproduce the batch query row-for-row: occupancies,
+    // both skew signals, and the rebalanced verdict.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.analytics.LlmOps.serveCentroids(spark, dir)
+    val inserts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" % 4 === 3)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val chunks = inserts.grouped((inserts.size + 3) / 4).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.toMemorySink(
+      EventStream.retrainLloydSums(input.toDF().toDF("vec_id", "embedding"), cents),
+      "retrain_sums", OutputMode.Complete())
+    try {
+      chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[Long]("cell"), r.getAs[Long]("n_before"), r.getAs[Long]("n_after"),
+          r.getAs[Double]("skew_before"), r.getAs[Double]("skew_after"),
+          r.getAs[Boolean]("rebalanced"))).toSeq
+      val got = rows(graft.analytics.LlmOps.simIvfRetrainExecFromSums(
+        spark, dir, spark.table("retrain_sums")))
+      val want = rows(graft.analytics.LlmOps.simIvfRetrainExec(spark, dir))
+      assert(want.exists(t => t._2 != t._3), "batch twin vacuous: no occupancy moved")
+      assert(got == want, s"composed retrain exec diverged:\n got=$got\n want=$want")
+    } finally q.stop()
+  }
+
   test("retrain census buckets a zero-norm insert diagnostically, excluded from drift signals") {
     // The ADVICE r18 hole: a zero-norm insert made every cosine NaN, so
     // the packed-centroid fold kept its (-2.0, -1) seed and the sentinel
