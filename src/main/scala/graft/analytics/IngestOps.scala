@@ -247,20 +247,43 @@ private[analytics] trait IngestOps {
     * recall census pays (broadcast capped queries × linear image scan);
     * the IVF side is k centroid dots per query + a bounded cell scan;
     * censuses are map-side-combinable; output ≤ SimQueryCap rows. */
+  /** First-k centroids over the IMAGE (even) half — the image-side
+    * serving index's quantizer, shared by the retrieval census and the
+    * image dedup readout. */
+  private[analytics] def imageCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+      .filter(col("vec_id") % 2 === 0 && col("vec_id") < ivfK(spark, dir) * 2L)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+
+
+  /** The image-side IVF assignment — every EVEN vector against the first-k
+    * image centroids (ark = 1), memoized as index state like the sibling
+    * assignment tables: the cross-modal retrieval census and the image
+    * dedup readout both serve from THIS one index, which is exactly the
+    * production shape (one image index powering retrieval AND dedup).
+    * (cid, ce, cn, cell). */
+  private[analytics] def imageCellAssign(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "mm_image_cells") {
+      val img = Tables.embeddings(spark, dir)
+        .withColumn("nrm", dotF(col("embedding"), col("embedding")))
+        .filter(col("vec_id") % 2 === 0)
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+      img.crossJoin(broadcast(imageCentroids(spark, dir)))
+        .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
+        .withColumn("ark", row_number().over(wA))
+        .filter(col("ark") === 1)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cent_id").as("cell"))
+    }
+
+
   def mmRetrievalRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", dotF(col("embedding"), col("embedding")))
     val img = e.filter(col("vec_id") % 2 === 0)
-    val k = ivfK(spark, dir)
-    val cents = img.filter(col("vec_id") < k * 2L)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-    val cell = img.crossJoin(broadcast(cents))
-      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-      .withColumn("ark", row_number().over(wA))
-      .filter(col("ark") === 1)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("nrm").as("cn"), col("cent_id").as("cell"))
+    val cents = imageCentroids(spark, dir)
+    val cell = imageCellAssign(spark, dir)
     val q = e.filter(col("vec_id") % 25 === 0)
       .orderBy(col("vec_id")).limit(SimQueryCap)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -298,6 +321,63 @@ private[analytics] trait IngestOps {
         col("hit_pair_exact"), col("hit_pair_ivf"))
       .orderBy(col("qid"))
   }
+
+
+  /** IMAGE-side semantic dedup — the SemDeDup verdict census
+    * ([[graft.analytics.SimOps.ddSemdedup]]'s recipe) applied to the
+    * image half through the SAME image-side IVF index the retrieval
+    * census serves from: per image, the max cosine to a LOWER-id
+    * cell-mate and the keep verdict at the 0.9 threshold. This is the
+    * image-dedup readout a multimodal pipeline runs before captioning —
+    * near-identical images waste caption/training budget and skew
+    * retrieval evals — and composing it onto the serving index (rather
+    * than a separate clustering) is the production shape: one index,
+    * three consumers (serve, retrieval eval, dedup). Cell-scoped pairs
+    * bound the work at O(N^1.5) exactly as dd_semdedup; `max` over
+    * doubles is order-independent, so the census is exact. On corpora
+    * whose only planted embedding dups are (even, odd)-adjacent — the
+    * driver testdata — the drop set is legitimately empty while the
+    * max_cos_lower distribution stays a real readout; MultimodalSpec
+    * plants an even-even duplicate to pin the drop path. */
+  def mmImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cell = imageCellAssign(spark, dir)
+    val a = cell.select(col("cid").as("ia"), col("ce").as("ea"),
+      col("cn").as("na"), col("cell"))
+    val b = cell.select(col("cid").as("ib"), col("ce").as("eb"),
+      col("cn").as("nb"), col("cell").as("cellb"))
+    val low = a.join(b, col("cell") === col("cellb") && col("ib") < col("ia"))
+      .withColumn("cos", dotF(col("ea"), col("eb")) / sqrt(col("na") * col("nb")))
+      .groupBy(col("ia")).agg(max(col("cos")).as("max_cos_lower"))
+    cell.select(col("cid").as("vec_id"), col("cell"))
+      .join(low.withColumnRenamed("ia", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("max_cos_lower"),
+        (col("max_cos_lower").isNull || col("max_cos_lower") < 0.9).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+
+  /** MEDIA storage dedup census — content-addressed exact dedup over the
+    * media payloads (the blob-store readout: a CAS layer stores one copy
+    * per distinct payload regardless of kind/source, so the reclaimable
+    * mass is Σ (copies−1)·payload_bytes). Deliberately GLOBAL, not
+    * per-kind: the corpus's planted exact duplicates are adjacent-id
+    * pairs, which every id-mod partition (kind, parity) splits — a
+    * per-kind census would be structurally vacuous, which is itself the
+    * lesson: content-addressed dedup must run across partitions.
+    * One map-side md5 per payload, one fingerprint-keyed aggregate, a
+    * 1-row census — linear at any corpus size. */
+  def mmMediaDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(col("text")).as("fp"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("copies"), first(col("n_bytes")).as("payload_bytes"))
+      .agg(
+        sum(col("copies")).as("n_items"),
+        count(lit(1)).as("n_unique_payloads"),
+        (sum(col("copies")) - count(lit(1))).as("n_dup_items"),
+        sum(col("copies") * col("payload_bytes")).as("bytes_total"),
+        sum((col("copies") - 1) * col("payload_bytes")).as("bytes_reclaimable"))
 
 
   /** Multimodal column plumbing: treat content as opaque binary + typed

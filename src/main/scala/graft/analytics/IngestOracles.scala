@@ -43,21 +43,7 @@ private[analytics] trait IngestOracles {
     // left-associated dot chain as every sim mirror.
     "mm_retrieval_recall" ->
       s"""WITH $paramsDuck,
-         |e AS (
-         |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
-         |  FROM embeddings),
-         |img AS (SELECT * FROM e WHERE vec_id % 2 = 0),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-         |  FROM img WHERE vec_id < 2 * (SELECT k FROM params)),
-         |cell AS (
-         |  SELECT cid, ce, cn, cell FROM (
-         |    SELECT i.vec_id AS cid, i.embedding AS ce, i.nrm AS cn, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY i.vec_id
-         |        ORDER BY (${dot("i.embedding", "c.cemb", 1)}) / sqrt(i.nrm * c.cnrm) DESC,
-         |                 c.cent_id) AS ark
-         |    FROM img i CROSS JOIN cents c)
-         |  WHERE ark = 1),
+         |$mmImgCellDuck,
          |q AS (
          |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
          |  WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT $SimQueryCap),
@@ -99,6 +85,40 @@ private[analytics] trait IngestOracles {
          |ORDER BY c.qid""".stripMargin,
 
 
+    // image-side SemDeDup verdicts through the SAME image-cell chain the
+    // retrieval census serves from — max cosine to a lower-id cell-mate,
+    // keep at 0.9 (the dd_semdedup convention; max over doubles is
+    // order-independent, so both engines agree exactly)
+    "mm_image_dedup" ->
+      s"""WITH $paramsDuck,
+         |$mmImgCellDuck,
+         |low AS (
+         |  SELECT a.cid AS ia,
+         |    max((${dot("a.ce", "b.ce", 1)}) / sqrt(a.cn * b.cn)) AS max_cos_lower
+         |  FROM cell a JOIN cell b ON a.cell = b.cell AND b.cid < a.cid
+         |  GROUP BY a.cid)
+         |SELECT c.cid AS vec_id, c.cell, l.max_cos_lower,
+         |  (l.max_cos_lower IS NULL OR l.max_cos_lower < 0.9) AS kept
+         |FROM cell c LEFT JOIN low l ON c.cid = l.ia
+         |ORDER BY vec_id""".stripMargin,
+
+
+    // content-addressed storage census: one md5 per payload, global (the
+    // adjacent-id duplicate plants make any id-mod partition vacuous —
+    // which is the point: CAS dedup crosses partitions)
+    "mm_media_dedup" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS fp, count(*) AS copies,
+        |    min(CAST(strlen(text) AS BIGINT)) AS payload_bytes
+        |  FROM documents GROUP BY md5(text))
+        |SELECT CAST(sum(copies) AS BIGINT) AS n_items,
+        |  count(*) AS n_unique_payloads,
+        |  CAST(sum(copies) - count(*) AS BIGINT) AS n_dup_items,
+        |  CAST(sum(copies * payload_bytes) AS BIGINT) AS bytes_total,
+        |  CAST(sum((copies - 1) * payload_bytes) AS BIGINT) AS bytes_reclaimable
+        |FROM g""".stripMargin,
+
+
     "mm_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
@@ -126,4 +146,26 @@ private[analytics] trait IngestOracles {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha_hex, source
         |FROM documents ORDER BY doc_id""".stripMargin)
+
+
+  /** The image-side IVF chain (e → img → cents → cell), DuckDB text —
+    * ONE definition for the two mm oracles that serve from the image
+    * index ([[IngestOps.imageCellAssign]]'s mirror: even half, first-k
+    * even centroids, ark = 1). Requires `params` in scope. */
+  private[analytics] lazy val mmImgCellDuck: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding", 1)} AS nrm
+       |  FROM embeddings),
+       |img AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+       |  FROM img WHERE vec_id < 2 * (SELECT k FROM params)),
+       |cell AS (
+       |  SELECT cid, ce, cn, cell FROM (
+       |    SELECT i.vec_id AS cid, i.embedding AS ce, i.nrm AS cn, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY i.vec_id
+       |        ORDER BY (${dot("i.embedding", "c.cemb", 1)}) / sqrt(i.nrm * c.cnrm) DESC,
+       |                 c.cent_id) AS ark
+       |    FROM img i CROSS JOIN cents c)
+       |  WHERE ark = 1)""".stripMargin
 }

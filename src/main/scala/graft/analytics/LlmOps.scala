@@ -98,6 +98,8 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_snapshot_diff" -> ddSnapshotDiff _,
     "mm_clip_filter" -> mmClipFilter _,
     "mm_retrieval_recall" -> mmRetrievalRecall _,
+    "mm_image_dedup" -> mmImageDedup _,
+    "mm_media_dedup" -> mmMediaDedup _,
     "txt_langid_confusion" -> txtLangidConfusion _,
     "txt_pii" -> txtPii _,
     "txt_pii_census" -> txtPiiCensus _,
