@@ -47,10 +47,12 @@ class PlanGuardSpec extends SparkSpec {
       // (the recall censuses compose it as their truth side, plus the
       // IVF centroid broadcasts on the ivf one)
       "sim_topk_cosine", "sim_ivf_recall", "sim_ann_recall", "sim_pq_recall",
-      // cross-modal retrieval census: the same two bounded broadcasts —
-      // k image-side centroids and the 256-capped query sample — against
-      // the image-half scan; nothing N-sized is ever replicated
-      "mm_retrieval_recall",
+      // cross-modal retrieval census + image dedup: the same two bounded
+      // broadcasts — k image-side centroids and the 256-capped query
+      // sample — against the image-half scan (the dedup inherits the
+      // centroid broadcast through the memoized mm_image_cells state,
+      // exactly like the serve family); nothing N-sized is replicated
+      "mm_retrieval_recall", "mm_image_dedup",
       // scalar/total broadcasts: a 1-row aggregate (corpus total, CMS
       // sketch, the BPE argmax merge) crossJoined onto a bounded table
       // or the token stream
