@@ -9,6 +9,18 @@ import graft.sources._
   * `graft.Main <freetrade|ii|fidelity|bullionvault> <csv-or-folder> [out]`
   * — parse, merge with the existing sink, sort chronologically, overwrite. */
 object Main {
+
+  /** Reference-parity pre-check (`index.js:66-71`): the bullionvault path
+    * must be a directory holding at least one `.eml` (case-insensitive,
+    * like the reference's toLowerCase().endsWith check), validated BEFORE
+    * reading so an empty folder fails with the reference's friendly
+    * message instead of Spark's path-matching AnalysisException from the
+    * glob scan. Returns the error message, None when valid. */
+  private[graft] def bullionVaultFolderError(f: java.io.File): Option[String] =
+    if (!f.isDirectory) Some(s"Expected a folder of .eml files: ${f.getPath}")
+    else if (!f.listFiles().exists(_.getName.toLowerCase.endsWith(".eml")))
+      Some(s"Folder '${f.getPath}' does not contain any .eml files")
+    else None
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
     val distinct = flags.contains("--distinct")
@@ -38,7 +50,9 @@ object Main {
       case "ii" => IISource.readFile(spark, path)
       case "fidelity" => FidelitySource.readFile(spark, path)
       case "bullionvault" =>
-        if (!f.isDirectory) { System.err.println(s"Expected a folder of .eml files: $path"); sys.exit(1) }
+        bullionVaultFolderError(f).foreach { msg =>
+          System.err.println(msg); sys.exit(1)
+        }
         BullionVaultSource.readFolder(spark, path)
       case other => System.err.println(s"Unknown type: $other"); sys.exit(1); null
     }

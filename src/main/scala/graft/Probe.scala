@@ -15,11 +15,14 @@ import org.apache.spark.sql.SparkSession
   * pure-projection query (no filter/window over the scoring columns) can
   * probe as nearly free while the real consumer pays the projection —
   * the known under-measurement the plain mode documents. The fold
-  * (xxhash64 over every column, xor-aggregated) forces every output
-  * column to be computed without collecting rows, so a floor probed in
-  * hash mode bounds what any column-reading consumer pays. Floors from
-  * the two modes are not comparable — BASELINE_SELF provenance notes
-  * record which mode produced a re-based entry.
+  * (xxhash64 over every column, sum-aggregated — sum, like xor, is
+  * order-independent and deterministic, and the sum checksum is what the
+  * r19 floor-provenance hash= tags in BASELINE_SELF were recorded with,
+  * so the formula stays sum for continuity) forces every output column
+  * to be computed without collecting rows, so a floor probed in hash
+  * mode bounds what any column-reading consumer pays. Floors from the
+  * two modes are not comparable — BASELINE_SELF provenance notes record
+  * which mode produced a re-based entry.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -44,10 +47,15 @@ object Probe {
         val df = q(spark, sfDir)
         val (cnt, tag) =
           if (hashMode) {
-            // force EVERY output column: hash all columns per row, xor-fold
-            // to one long — no pruning, no collect, map-side combinable
+            // force EVERY output column: hash all columns per row, sum-fold
+            // to one long — no pruning, no collect, map-side combinable.
+            // Rename positionally first: df.col(name) throws an ambiguous-
+            // column AnalysisException when a query's output repeats a
+            // column name, which would make hash mode fail where plain
+            // count mode still works on the same query.
             import org.apache.spark.sql.functions.{expr, xxhash64}
-            val hashed = df.select(xxhash64(df.columns.map(df.col): _*).as("h"))
+            val fresh = df.toDF(df.columns.indices.map(i => s"_h$i"): _*)
+            val hashed = fresh.select(xxhash64(fresh.columns.toIndexedSeq.map(fresh.col): _*).as("h"))
               .agg(expr("count(1) AS c"), expr("coalesce(sum(h), 0L) AS hx"))
               .collect()(0)
             (hashed.getLong(0), f" hash=${hashed.getLong(1)}%016x")

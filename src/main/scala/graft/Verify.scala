@@ -14,6 +14,21 @@ object Verify {
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    // GRAFT_CTHIN_FORCE / GRAFT_FULL_PAIRS swap in audit-mode plans whose
+    // results legitimately differ from the default plans the DuckDB oracle
+    // mirrors above the sampling rungs — a Verify dump taken with either
+    // set would be silently compared against the WRONG oracle and report a
+    // spurious mismatch (or, worse, a spurious pass). Audit runs go through
+    // Probe / dedicated specs, never through the oracle gate; fail fast
+    // here unless the operator explicitly acknowledges with GRAFT_AUDIT=1.
+    val auditFlags = Seq("GRAFT_CTHIN_FORCE", "GRAFT_FULL_PAIRS")
+      .filter(k => sys.env.contains(k) || sys.props.contains(k))
+    require(auditFlags.isEmpty ||
+      sys.env.get("GRAFT_AUDIT").orElse(sys.props.get("GRAFT_AUDIT")).contains("1"),
+      s"${auditFlags.mkString(", ")} set: audit-mode plans do not match the " +
+        "DuckDB oracle above the sampling rungs, so this dump would gate " +
+        "against the wrong mirror. Unset the flag(s), or set GRAFT_AUDIT=1 " +
+        "to dump anyway (audit use only — do NOT run the oracle compare).")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

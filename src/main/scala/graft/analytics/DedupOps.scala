@@ -167,6 +167,20 @@ private[analytics] trait DedupOps {
   private[graft] lazy val hostOfSql = "split_part(url_norm, '/', 1)"
 
 
+  /** Robots/license OPT-OUT host list — the governance gate a crawl runs
+    * before anything else (robots.txt disallow, noai/TDM-reservation
+    * headers, and publisher opt-out registries all resolve to "this HOST
+    * is off limits"): a small per-host policy table, planted
+    * deterministically on the url family's fixed host universe (h0–h9,
+    * geometrically hot) as hid ≡ 2 (mod 3) → h2/h5/h8, ~14.6% of fetches
+    * via the pid%1024 bucket CASE. ONE literal list shared verbatim by
+    * the Spark census, the funnel flags, and the Duck mirrors — in
+    * production this is a broadcast policy table keyed by host; at 3
+    * constant rows the IN-list IS that broadcast. */
+  private[graft] lazy val optoutHostsSql =
+    "('h2.example.com', 'h5.example.com', 'h8.example.com')"
+
+
   /** The URL family's held-out-batch / frontier split — ONE pair of
     * negated fragments (the takedownSql convention) shared by the two
     * incremental gates, the frontier state, the takedown census, and
@@ -388,14 +402,16 @@ private[analytics] trait DedupOps {
         count(when(col("p1"), 1)).as("n1"),
         count(when(col("p2"), 1)).as("n2"),
         count(when(col("p3"), 1)).as("n3"),
-        count(when(col("p4"), 1)).as("n4"))
+        count(when(col("p4"), 1)).as("n4"),
+        count(when(col("p5"), 1)).as("n5"))
     counts.select(
-      expr("""stack(5,
+      expr("""stack(6,
         0L, 'fetched',     n0, n0,
-        1L, 'url_dedup',   n0, n1,
-        2L, 'host_cap',    n1, n2,
-        3L, 'exact_dedup', n2, n3,
-        4L, 'near_dedup',  n3, n4) AS (stage_id, stage, n_in, n_kept)"""),
+        1L, 'optout',      n0, n1,
+        2L, 'url_dedup',   n1, n2,
+        3L, 'host_cap',    n2, n3,
+        4L, 'exact_dedup', n3, n4,
+        5L, 'near_dedup',  n4, n5) AS (stage_id, stage, n_in, n_kept)"""),
       col("n0"))
       .withColumn("n_dropped", col("n_in") - col("n_kept"))
       .withColumn("kept_frac", col("n_kept") / col("n0"))
@@ -422,6 +438,7 @@ private[analytics] trait DedupOps {
       .selectExpr("doc_id", "text", "source", s"$urlPidSql AS pid")
       .selectExpr("doc_id", "text", "source", s"$urlRawSql AS url")
       .selectExpr("doc_id", "text", "source", s"$urlNormSql AS url_norm")
+      .withColumn("f_o", !expr(s"$hostOfSql IN $optoutHostsSql"))
       .withColumn("f_u", col("doc_id") ===
         min(col("doc_id")).over(Window.partitionBy(col("url_norm"))))
       .withColumn("f_x", exactKeepFlag)
@@ -430,12 +447,20 @@ private[analytics] trait DedupOps {
         col("doc_id") === col("ib"), "left")
       // the CUMULATIVE stage predicates, defined once like the flags —
       // both readouts count these columns, so neither can fork a stage
-      // composition on its own
-      .withColumn("p1", col("f_u"))
-      .withColumn("p2", col("f_u") && col("f_h").isNotNull)
-      .withColumn("p3", col("f_u") && col("f_h").isNotNull && col("f_x"))
-      .withColumn("p4", col("f_u") && col("f_h").isNotNull && col("f_x") &&
-        col("f_n").isNull)
+      // composition on its own. The opt-out gate is FIRST: a compliant
+      // crawler never fetches a disallowed host's pages, so every later
+      // dedup stage only ever sees policy-admitted fetches. (The
+      // downstream flags stay well-defined regardless of order — opt-out
+      // is host-complete and every fetch of one url_norm shares its
+      // host, so the min-id URL keep and the per-host cap pick the same
+      // representatives among admitted docs either way.)
+      .withColumn("p1", col("f_o"))
+      .withColumn("p2", col("f_o") && col("f_u"))
+      .withColumn("p3", col("f_o") && col("f_u") && col("f_h").isNotNull)
+      .withColumn("p4", col("f_o") && col("f_u") && col("f_h").isNotNull &&
+        col("f_x"))
+      .withColumn("p5", col("f_o") && col("f_u") && col("f_h").isNotNull &&
+        col("f_x") && col("f_n").isNull)
   }
 
 
@@ -452,12 +477,39 @@ private[analytics] trait DedupOps {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_fetched"),
-        count(when(col("p1"), 1)).as("n_url_kept"),
-        count(when(col("p2"), 1)).as("n_host_kept"),
-        count(when(col("p3"), 1)).as("n_exact_kept"),
-        count(when(col("p4"), 1)).as("n_clean"))
+        count(when(col("p1"), 1)).as("n_policy_kept"),
+        count(when(col("p2"), 1)).as("n_url_kept"),
+        count(when(col("p3"), 1)).as("n_host_kept"),
+        count(when(col("p4"), 1)).as("n_exact_kept"),
+        count(when(col("p5"), 1)).as("n_clean"))
       .withColumn("clean_frac", col("n_clean") / col("n_fetched"))
       .orderBy(col("source"))
+
+
+  /** Robots/license OPT-OUT census — the governance readout published
+    * next to takedown and PII: per normalized host, whether the
+    * [[optoutHostsSql]] policy list excludes it and the doc/byte mass
+    * behind the verdict, so "what did honoring opt-outs cost the corpus"
+    * is a table, not a guess (docs AND bytes: the excluded byte mass is
+    * what a storage/compute budget actually reclaims). Composed into the
+    * admission funnel as its FIRST stage ([[crawlFlags]] p1), and this
+    * census is the stage's accounting row set: LlmOpsSpec reconciles the
+    * funnel's optout drop against the opted-out doc mass here. Scale
+    * shape: one documents scan, URL columns derived in the projection
+    * (doc_id-only + text byte length), one map-side-combinable aggregate
+    * keyed by host — O(hosts) rows out at any corpus size; the skewed
+    * host key concentrates post-combine partials, never raw rows. */
+  def ddOptout(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "octet_length(text) AS n_bytes", s"$urlPidSql AS pid")
+      .selectExpr("doc_id", "n_bytes", s"$urlRawSql AS url")
+      .selectExpr("doc_id", "n_bytes", s"$urlNormSql AS url_norm")
+      .selectExpr("doc_id", "n_bytes", s"$hostOfSql AS host")
+      .withColumn("opted_out", expr(s"host IN $optoutHostsSql"))
+      .groupBy(col("host"), col("opted_out"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes").cast("long")).as("n_bytes"))
+      .orderBy(col("host"))
 
 
   // ------------------------------------------------------------- takedown
@@ -847,9 +899,12 @@ private[analytics] trait DedupOps {
     * [[jpairSampleThreshold]] (jaccard, banded-recall gate, containment),
     * and each used to pay a full documents scan just to pick the rung.
     * Fingerprint-keyed like the memo cells, so a regenerated dir
-    * recounts; entries are one boxed long each, so the map never needs
-    * eviction. */
-  private val docCountMemo =
+    * recounts. Entries are one boxed long each, but the KEYS pin
+    * SparkSession references and a long-lived session that regenerates
+    * dirs appends a new entry per fingerprint — so the map is cleared by
+    * [[OpsKernels.releaseCaches]] alongside sigMemo rather than left to
+    * accumulate stale entries. */
+  private[analytics] val docCountMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), java.lang.Long]
   private def corpusDocCount(spark: SparkSession, dir: String): Long =
     docCountMemo.computeIfAbsent((spark, dir, dirFingerprint(spark, dir)),

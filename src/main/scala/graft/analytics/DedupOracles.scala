@@ -57,8 +57,9 @@ private[analytics] trait DedupOracles {
 
 
     // staged admission funnel: flags mirror the family conventions
-    // (min-id URL keep, row_number host cap over URL-kept pages, min-id
-    // exact keep, Jaccard-0.8 near drops), folded once, 5 UNION'd rows
+    // (host-list opt-out, min-id URL keep, row_number host cap over
+    // URL-kept pages, min-id exact keep, Jaccard-0.8 near drops), folded
+    // once, 6 UNION'd rows
     "dd_crawl_funnel" ->
       s"""WITH $baseDuck, $urlNormDuck,
          |$crawlFlagsDuck,
@@ -67,14 +68,16 @@ private[analytics] trait DedupOracles {
          |    CAST(count(*) FILTER (WHERE p1) AS BIGINT) AS n1,
          |    CAST(count(*) FILTER (WHERE p2) AS BIGINT) AS n2,
          |    CAST(count(*) FILTER (WHERE p3) AS BIGINT) AS n3,
-         |    CAST(count(*) FILTER (WHERE p4) AS BIGINT) AS n4
+         |    CAST(count(*) FILTER (WHERE p4) AS BIGINT) AS n4,
+         |    CAST(count(*) FILTER (WHERE p5) AS BIGINT) AS n5
          |  FROM flags)
          |SELECT CAST(0 AS BIGINT) AS stage_id, 'fetched' AS stage,
          |  n0 AS n_in, n0 AS n_kept, n0 - n0 AS n_dropped, n0 / n0 AS kept_frac FROM c
-         |UNION ALL SELECT 1, 'url_dedup',   n0, n1, n0 - n1, n1 / n0 FROM c
-         |UNION ALL SELECT 2, 'host_cap',    n1, n2, n1 - n2, n2 / n0 FROM c
-         |UNION ALL SELECT 3, 'exact_dedup', n2, n3, n2 - n3, n3 / n0 FROM c
-         |UNION ALL SELECT 4, 'near_dedup',  n3, n4, n3 - n4, n4 / n0 FROM c
+         |UNION ALL SELECT 1, 'optout',      n0, n1, n0 - n1, n1 / n0 FROM c
+         |UNION ALL SELECT 2, 'url_dedup',   n1, n2, n1 - n2, n2 / n0 FROM c
+         |UNION ALL SELECT 3, 'host_cap',    n2, n3, n2 - n3, n3 / n0 FROM c
+         |UNION ALL SELECT 4, 'exact_dedup', n3, n4, n3 - n4, n4 / n0 FROM c
+         |UNION ALL SELECT 5, 'near_dedup',  n4, n5, n4 - n5, n5 / n0 FROM c
          |ORDER BY stage_id""".stripMargin,
 
 
@@ -84,12 +87,26 @@ private[analytics] trait DedupOracles {
          |$crawlFlagsDuck
          |SELECT source,
          |  CAST(count(*) AS BIGINT) AS n_fetched,
-         |  CAST(count(*) FILTER (WHERE p1) AS BIGINT) AS n_url_kept,
-         |  CAST(count(*) FILTER (WHERE p2) AS BIGINT) AS n_host_kept,
-         |  CAST(count(*) FILTER (WHERE p3) AS BIGINT) AS n_exact_kept,
-         |  CAST(count(*) FILTER (WHERE p4) AS BIGINT) AS n_clean,
-         |  count(*) FILTER (WHERE p4) / count(*) AS clean_frac
+         |  CAST(count(*) FILTER (WHERE p1) AS BIGINT) AS n_policy_kept,
+         |  CAST(count(*) FILTER (WHERE p2) AS BIGINT) AS n_url_kept,
+         |  CAST(count(*) FILTER (WHERE p3) AS BIGINT) AS n_host_kept,
+         |  CAST(count(*) FILTER (WHERE p4) AS BIGINT) AS n_exact_kept,
+         |  CAST(count(*) FILTER (WHERE p5) AS BIGINT) AS n_clean,
+         |  count(*) FILTER (WHERE p5) / count(*) AS clean_frac
          |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // governance: the opt-out policy census — per normalized host, the
+    // verdict from the shared host list and the doc/byte mass behind it
+    "dd_optout" ->
+      s"""WITH $baseDuck, $urlNormDuck,
+         |h AS (
+         |  SELECT n.doc_id, $hostOfSql AS host,
+         |    CAST(strlen(d.text) AS BIGINT) AS n_bytes
+         |  FROM n JOIN documents d ON n.doc_id = d.doc_id)
+         |SELECT host, host IN $optoutHostsSql AS opted_out,
+         |  count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+         |FROM h GROUP BY host, opted_out ORDER BY host""".stripMargin,
 
 
     // takedown propagation: each state censused independently — the

@@ -323,6 +323,26 @@ private[analytics] trait IngestOps {
   }
 
 
+  /** IMAGE-index occupancy census — [[graft.analytics.SimOps
+    * .simIvfBalance]]'s readout applied to the image-side serving index:
+    * one row per distinct cell occupancy with the number of cells at that
+    * occupancy. This is the tripwire for [[mmImageDedup]]'s within-cell
+    * self-join, whose cost is Σ occ² — the embedding family has
+    * `sim_ivf_balance` as its drift watch, and until now the image index
+    * (same uncapped-cell shape) had no equivalent: a quantizer drifting a
+    * hot cell shows up HERE as a high-occ row before it shows up as a
+    * quadratic dedup stage. Serves from the MEMOIZED [[imageCellAssign]]
+    * (embedding column pruned at the scan), two map-side-combinable
+    * aggregates, ≤ k rows out at any N; LlmOpsSpec pins Σ occ·n_cells =
+    * the image (even-vector) count, so the histogram can never silently
+    * drop index mass. */
+  def mmCellBalance(spark: SparkSession, dir: String): DataFrame =
+    imageCellAssign(spark, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("occ")).agg(count(lit(1)).as("n_cells"))
+      .orderBy(col("occ"))
+
+
   /** IMAGE-side semantic dedup — the SemDeDup verdict census
     * ([[graft.analytics.SimOps.ddSemdedup]]'s recipe) applied to the
     * image half through the SAME image-side IVF index the retrieval

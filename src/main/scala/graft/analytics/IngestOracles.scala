@@ -103,6 +103,16 @@ private[analytics] trait IngestOracles {
          |ORDER BY vec_id""".stripMargin,
 
 
+    // image-index occupancy histogram over the same image-cell chain —
+    // the drift tripwire for mm_image_dedup's within-cell join
+    "mm_cell_balance" ->
+      s"""WITH $paramsDuck,
+         |$mmImgCellDuck,
+         |occ AS (SELECT cell, count(*) AS occ FROM cell GROUP BY cell)
+         |SELECT occ, count(*) AS n_cells FROM occ GROUP BY occ
+         |ORDER BY occ""".stripMargin,
+
+
     // content-addressed storage census: one md5 per payload, global (the
     // adjacent-id duplicate plants make any id-mod partition vacuous —
     // which is the point: CAS dedup crosses partitions)

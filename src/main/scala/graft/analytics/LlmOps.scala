@@ -57,6 +57,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "minhash_wide128_sig" -> (() => { minhashWide128Sig(spark, dir).count(); () }),
     "band_candidates" -> (() => { wideBandCandidates(spark, dir).count(); () }),
     "bpe_merges" -> (() => { bpeMergeTable(spark, dir).count(); () }),
+    "rarity_tf" -> (() => { rarityTf(spark, dir).count(); () }),
     "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }),
     "frontier_state" -> (() => { frontierTable(spark, dir); () }),
     "topk_cosine" -> (() => { bruteTruthTable(spark, dir).count(); () }),
@@ -94,6 +95,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_source_overlap" -> ddSourceOverlap _,
     "dd_crawl_funnel" -> ddCrawlFunnel _,
     "dd_funnel_by_source" -> ddFunnelBySource _,
+    "dd_optout" -> ddOptout _,
     "dd_takedown" -> ddTakedown _,
     "dd_snapshot_diff" -> ddSnapshotDiff _,
     "mm_clip_filter" -> mmClipFilter _,
@@ -158,6 +160,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "dd_semdedup" -> ddSemdedup _,
     "dd_semdedup_keep" -> ddSemdedupKeep _,
     "txt_rarity" -> txtRarity _,
+    "txt_lm_score" -> txtLmScore _,
     "dd_incremental" -> ddIncremental _,
     "dd_incremental_bucketed" -> ddIncrementalBucketed _,
     "dd_embed_topk" -> ddEmbedTopk _,
@@ -182,6 +185,7 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "sim_ivf2" -> simIvf2 _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
     "sim_ivf_balance" -> simIvfBalance _,
+    "mm_cell_balance" -> mmCellBalance _,
     "sim_ivf_pq" -> simIvfPq _,
     "sim_ivf_pq256" -> simIvfPq256 _,
     "sim_pq_recall" -> simPqRecall _,

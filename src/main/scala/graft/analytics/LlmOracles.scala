@@ -90,22 +90,26 @@ private[analytics] trait LlmOracles {
        |$exactKeepDuck,
        |$shinglePairsDuck,
        |$nearDropsDuck,
+       |opt AS (
+       |  SELECT doc_id, NOT ($hostOfSql IN $optoutHostsSql) AS f_o FROM n),
        |flags0 AS (
-       |  SELECT d.doc_id, d.source,
+       |  SELECT d.doc_id, d.source, o.f_o,
        |    (uk.doc_id IS NOT NULL) AS f_u,
        |    (hk.doc_id IS NOT NULL) AS f_h,
        |    (ex.keep_id IS NOT NULL) AS f_x,
        |    (dr.ib IS NOT NULL) AS f_n
        |  FROM documents d
+       |  JOIN opt o ON o.doc_id = d.doc_id
        |  LEFT JOIN uk ON uk.doc_id = d.doc_id
        |  LEFT JOIN hk ON hk.doc_id = d.doc_id
        |  LEFT JOIN ex ON ex.keep_id = d.doc_id
        |  LEFT JOIN drops dr ON dr.ib = d.doc_id),
        |flags AS (
        |  SELECT doc_id, source,
-       |    f_u AS p1, (f_u AND f_h) AS p2,
-       |    (f_u AND f_h AND f_x) AS p3,
-       |    (f_u AND f_h AND f_x AND NOT f_n) AS p4
+       |    f_o AS p1, (f_o AND f_u) AS p2,
+       |    (f_o AND f_u AND f_h) AS p3,
+       |    (f_o AND f_u AND f_h AND f_x) AS p4,
+       |    (f_o AND f_u AND f_h AND f_x AND NOT f_n) AS p5
        |  FROM flags0)""".stripMargin
 
 

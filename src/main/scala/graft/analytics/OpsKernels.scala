@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * the data-sized index parameters. Split out of the monolithic LlmOps
   * object (round 15) purely for code health - every member is unchanged. */
 private[analytics] trait OpsKernels {
+  this: DedupOps => // releaseCaches clears DedupOps.docCountMemo too
 
   // --------------------------------------------------------- cache registry
 
@@ -57,6 +58,10 @@ private[analytics] trait OpsKernels {
       tracked.foreach(f => try f() catch { case _: Throwable => () })
       tracked.clear()
       sigMemo.clear()
+      // Unlike sigMemo's MemoCells the doc-count entries are cheap, but
+      // their keys pin SparkSession references and regenerated dirs (new
+      // fingerprint) append forever — release them with everything else.
+      docCountMemo.clear()
     }
   }
 

@@ -1140,13 +1140,8 @@ private[analytics] trait TxtOps {
     * so the 1.12 s re-based floor was a degraded-box capture, not code
     * drift — PLANS.md R18 has the numbers.) */
   def txtRarity(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("toks", expr(toksSpark))
-      .select(col("doc_id"), explode_outer(col("toks")).as("t"))
-      .filter(col("t").isNotNull)
-    val tf = checkpointLeaf(spark,
-      toks.groupBy(col("t")).agg(count(lit(1)).as("n_t")))
+    val toks = rarityToks(spark, dir)
+    val tf = rarityTf(spark, dir)
     val total = tf.agg(sum(col("n_t")).as("n_corpus"))
     val tfHead = tf.orderBy(col("n_t").desc, col("t")).limit(RarityVocabCap)
     toks.join(broadcast(tfHead), Seq("t"), "left")
@@ -1158,6 +1153,89 @@ private[analytics] trait TxtOps {
       .select(col("doc_id"), col("n_toks"), col("sum_tf"), col("min_tf"),
         (col("sum_tf").cast("double") / col("n_toks") / col("n_corpus"))
           .as("mean_tf_share"))
+      .orderBy(col("doc_id"))
+  }
+
+
+  /** The frequency family's token stream — one lineage definition for the
+    * vocabulary census build and the scoring joins that read it back. */
+  private def rarityToks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", expr(toksSpark))
+      .select(col("doc_id"), explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
+
+
+  /** The vocabulary census (t, n_t) behind [[txtRarity]] and
+    * [[txtLmScore]], MEMOIZED as a checkpointed leaf (round 20 — it was
+    * per-call in txtRarity; with two consumers the memo is the same move
+    * as the jaccard pair table: one tokenize+count pass serves every
+    * frequency-model reader, released by releaseCaches, fingerprint-keyed
+    * so a regenerated dir rebuilds). Vocab-bounded rows (Heaps' law), so
+    * the residency cost is KB-scale at any corpus size. */
+  private[analytics] def rarityTf(spark: SparkSession, dir: String): DataFrame =
+    memoRaw(spark, dir, "rarity_tf")(checkpointLeaf(spark,
+      rarityToks(spark, dir).groupBy(col("t")).agg(count(lit(1)).as("n_t"))))
+
+
+  /** Unigram LM QUALITY score — the perplexity-bucket census CCNet
+    * actually filters with (Wenzek et al. 2020 §4.3: score every doc by a
+    * language-model's perplexity, cut the corpus into head/middle/tail
+    * buckets, keep head+middle): [[txtRarity]]'s degenerate-unigram LM
+    * promoted from frequency shares to LOG-space surprisal, which is what
+    * "perplexity" is once the model is unigram. Each vocabulary type gets
+    * a QUANTIZED integer surprisal `s_t = round(1e4 · ln(n_corpus/n_t))`
+    * (tenth-milli-nats): the one ln() per TYPE is the only libm call in
+    * the query, and the 1e-4 grid makes the integer table robust to the
+    * two engines' ≤few-ulp log disagreement (a mismatch needs the true
+    * value within ~1e-12 of a rounding boundary), after which everything
+    * is exact BIGINT sums — the q38 integer-micro-unit argument. OOV
+    * tail types score as singletons (n_t = 1, the txtRarity convention).
+    * Per doc: token count, surprisal sum, the mean surprisal in nats
+    * (two IEEE divisions of exact integers — bit-equal cross-engine),
+    * and the CCNet bucket by exact mean-surprisal TERCILE (row_number
+    * with doc_id tie-break; head = most fluent third).
+    *
+    * Scale shape: the token-mass work is one scan + the bounded-broadcast
+    * scoring join (the [[txtRarity]] plan exactly — the memoized vocab
+    * leaf is SHARED with it); only the O(docs) scored census enters the
+    * two doc-level windows, which run unpartitioned — the exact-tercile
+    * analogue of q25's exact-percentile trade, and like there the 100 TB
+    * deployment swaps the exact cut for percentile_approx thresholds
+    * applied as constants (CCNet itself computes its cuts on a sample);
+    * the exact rank is what makes the census oracle-checkable.
+    * LlmOpsSpec pins the separation claim on planted fluent/gibberish
+    * docs. */
+  def txtLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val tf = rarityTf(spark, dir)
+    val total = tf.agg(sum(col("n_t")).as("n_corpus"))
+    val surpr = tf.orderBy(col("n_t").desc, col("t")).limit(RarityVocabCap)
+      .crossJoin(broadcast(total))
+      .select(col("t"),
+        round(log(col("n_corpus").cast("double") / col("n_t")) * 10000)
+          .cast("long").as("s_t"))
+    val oov = total.select(
+      round(log(col("n_corpus").cast("double") / lit(1L)) * 10000)
+        .cast("long").as("s_oov"))
+    val wRk = Window.orderBy(col("mean_surprisal"), col("doc_id"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rarityToks(spark, dir)
+      .join(broadcast(surpr), Seq("t"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"), coalesce(col("s_t"), col("s_oov")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("sum_surprisal"))
+      .withColumn("mean_surprisal",
+        col("sum_surprisal").cast("double") / col("n_toks") / 10000.0)
+      .withColumn("rnk", row_number().over(wRk))
+      .withColumn("n_docs", count(lit(1)).over(wAll))
+      .select(col("doc_id"), col("n_toks"), col("sum_surprisal"),
+        col("mean_surprisal"),
+        when(col("rnk") * 3 <= col("n_docs"), "head")
+          .when(col("rnk") * 3 <= col("n_docs") * 2, "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy(col("doc_id"))
   }
 }

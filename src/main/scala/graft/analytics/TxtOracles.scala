@@ -544,5 +544,42 @@ private[analytics] trait TxtOracles {
          |  CAST(CAST(sum(coalesce(n_t, 1)) AS BIGINT) AS DOUBLE) / count(*) / (SELECT n_corpus FROM total) AS mean_tf_share
          |FROM tok LEFT JOIN tfhead USING (t)
          |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+
+    // CCNet perplexity buckets over the unigram LM: per-TYPE quantized
+    // integer surprisal (the one ln() per type — the 1e-4 grid absorbs
+    // libm ulp differences), exact BIGINT sums per doc, exact terciles
+    // by (mean, doc_id) row_number — same tok/tf/head chain as txt_rarity
+    "txt_lm_score" ->
+      s"""WITH $baseDuck, tok AS (
+         |  SELECT doc_id, unnest(toks) AS t FROM base),
+         |tf AS (
+         |  SELECT t, count(*) AS n_t FROM tok GROUP BY t),
+         |total AS (
+         |  SELECT CAST(sum(n_t) AS BIGINT) AS n_corpus FROM tf),
+         |tfhead AS (
+         |  SELECT t, n_t FROM tf ORDER BY n_t DESC, t LIMIT $RarityVocabCap),
+         |surpr AS (
+         |  SELECT t, CAST(round(ln(CAST((SELECT n_corpus FROM total) AS DOUBLE) / n_t) * 10000) AS BIGINT) AS s_t
+         |  FROM tfhead),
+         |oov AS (
+         |  SELECT CAST(round(ln(CAST(n_corpus AS DOUBLE) / 1) * 10000) AS BIGINT) AS s_oov
+         |  FROM total),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_toks,
+         |    CAST(sum(coalesce(s_t, (SELECT s_oov FROM oov))) AS BIGINT) AS sum_surprisal
+         |  FROM tok LEFT JOIN surpr USING (t)
+         |  GROUP BY doc_id),
+         |rk AS (
+         |  SELECT doc_id, n_toks, sum_surprisal,
+         |    CAST(sum_surprisal AS DOUBLE) / n_toks / 10000 AS mean_surprisal,
+         |    row_number() OVER (ORDER BY CAST(sum_surprisal AS DOUBLE) / n_toks / 10000, doc_id) AS rnk,
+         |    count(*) OVER () AS n_docs
+         |  FROM scored)
+         |SELECT doc_id, n_toks, sum_surprisal, mean_surprisal,
+         |  CASE WHEN rnk * 3 <= n_docs THEN 'head'
+         |       WHEN rnk * 3 <= n_docs * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM rk ORDER BY doc_id""".stripMargin)
 }

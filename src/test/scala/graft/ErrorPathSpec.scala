@@ -128,4 +128,33 @@ class ErrorPathSpec extends SparkSpec {
     expectFail(run(BullionVaultSource.fromContent(spark, bvEmail(dealTime = "sometime last week"))),
       "Unable to parse deal time")
   }
+
+  test("bullionvault: empty folder fails the reference's friendly pre-check (index.js:66-71)") {
+    val empty = java.nio.file.Files.createTempDirectory("noeml").toFile
+    assert(Main.bullionVaultFolderError(empty) ==
+      Some(s"Folder '${empty.getPath}' does not contain any .eml files"))
+    // non-.eml content does not count; extension matching is
+    // case-insensitive like the reference's toLowerCase().endsWith
+    java.nio.file.Files.writeString(empty.toPath.resolve("readme.txt"), "x")
+    assert(Main.bullionVaultFolderError(empty).isDefined)
+    java.nio.file.Files.writeString(empty.toPath.resolve("trade.EML"), "x")
+    assert(Main.bullionVaultFolderError(empty).isEmpty)
+    val file = java.nio.file.Files.createTempFile("notdir", ".eml").toFile
+    assert(Main.bullionVaultFolderError(file) ==
+      Some(s"Expected a folder of .eml files: ${file.getPath}"))
+  }
+
+  test("Verify refuses an oracle dump under audit-mode plan flags") {
+    // GRAFT_CTHIN_FORCE / GRAFT_FULL_PAIRS swap in plans the DuckDB
+    // mirrors do not model above the sampling rungs — a dump taken with
+    // either set must fail fast before any query runs, unless the
+    // operator explicitly acknowledges audit use with GRAFT_AUDIT=1
+    sys.props("GRAFT_FULL_PAIRS") = "1"
+    try {
+      val e = intercept[IllegalArgumentException](
+        Verify.main(Array("/root/testdata/sf0.001", "/tmp/verify-audit-spec")))
+      assert(e.getMessage.contains("GRAFT_FULL_PAIRS") &&
+        e.getMessage.contains("audit-mode"), e.getMessage)
+    } finally sys.props.remove("GRAFT_FULL_PAIRS")
+  }
 }

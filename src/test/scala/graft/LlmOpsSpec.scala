@@ -1459,6 +1459,54 @@ class LlmOpsSpec extends SparkSpec {
       s"duplicated doc must outscore unique-token doc: ${rows(0L)._2} vs ${rows(3L)._2}")
   }
 
+  test("LM score separates planted fluent from gibberish docs and buckets them CCNet-style") {
+    import spark.implicits._
+    // 4 fluent docs of corpus-frequent types (n_t = 4) + 2 gibberish docs
+    // of singleton types (n_t = 1): n_corpus = 24, per-token surprisal
+    // ln(24/4) vs ln(24/1) — quantized to tenth-milli-nats exactly as the
+    // query does (JVM Math.log IS Spark's log, so the recompute is exact)
+    val fluent = "aa bb cc dd"
+    def gib(i: Long) = s"zz${i}0 zz${i}1 zz${i}2 zz${i}3"
+    val docs = (0L to 3L).map(i => Doc(i, fluent, "en", "s0", fluent.length)) ++
+      (4L to 5L).map(i => Doc(i, gib(i), "en", "s1", gib(i).length))
+    val d = java.nio.file.Files.createTempDirectory("lmscore").toString
+    docs.toDF().write.parquet(s"$d/documents.parquet")
+    val rows = LlmOps.txtLmScore(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 6)
+    def sT(nT: Long) = Math.round(Math.log(24.0 / nT) * 10000)
+    (0L to 3L).foreach { i =>
+      assert(rows(i).getAs[Long]("n_toks") == 4)
+      assert(rows(i).getAs[Long]("sum_surprisal") == 4 * sT(4), s"doc $i")
+      assert(rows(i).getAs[Double]("mean_surprisal") ==
+        (4 * sT(4)).toDouble / 4 / 10000.0)
+    }
+    (4L to 5L).foreach { i =>
+      assert(rows(i).getAs[Long]("sum_surprisal") == 4 * sT(1), s"doc $i")
+    }
+    // separation: every gibberish doc scores strictly above every fluent
+    // doc, and the tercile buckets land head/head/middle/middle/tail/tail
+    // (ties broken by doc_id)
+    assert((4L to 5L).map(rows(_).getAs[Double]("mean_surprisal")).min >
+      (0L to 3L).map(rows(_).getAs[Double]("mean_surprisal")).max)
+    assert((0L to 5L).map(rows(_).getAs[String]("bucket")) ==
+      Seq("head", "head", "middle", "middle", "tail", "tail"))
+  }
+
+  test("image-index occupancy census conserves the even-vector mass") {
+    val real = "/root/testdata/sf0.001"
+    val census = LlmOps.mmCellBalance(spark, real).collect()
+    val nImg = spark.read.parquet(s"$real/embeddings.parquet")
+      .filter("vec_id % 2 = 0").count()
+    val mass = census.map(r => r.getAs[Long]("occ") * r.getAs[Long]("n_cells")).sum
+    assert(mass == nImg, s"histogram mass $mass != image corpus $nImg")
+    census.foreach(r =>
+      assert(r.getAs[Long]("occ") >= 1 && r.getAs[Long]("n_cells") >= 1))
+    // the tripwire readout mm_image_dedup's pair cost is Sum occ^2 — the
+    // census must expose the max occupancy a hot cell would show up in
+    info(s"max image-cell occupancy: ${census.map(_.getAs[Long]("occ")).max}")
+  }
+
   test("containment: a short doc quoted inside a long one is caught; the jaccard family is structurally blind to it") {
     import spark.implicits._
     val longDoc = (1 to 50).map(i => s"w$i").mkString(" ")
@@ -1863,15 +1911,16 @@ class LlmOpsSpec extends SparkSpec {
 
   test("crawl funnel stages chain and match independently recomputed gate flags") {
     // differential against the family conventions recomputed from first
-    // principles at sf0.001 (500 docs): URL keep = min id per url_norm,
-    // host cap = 16 smallest URL-kept per host, exact keep = min id per
-    // text, near drops = complement of the dedup action's kept set
+    // principles at sf0.001 (500 docs): opt-out = the h2/h5/h8 host list,
+    // URL keep = min id per url_norm, host cap = 16 smallest URL-kept per
+    // host, exact keep = min id per text, near drops = complement of the
+    // dedup action's kept set
     val dir = "/root/testdata/sf0.001"
     val rows = LlmOps.ddCrawlFunnel(spark, dir).collect().sortBy(_.getAs[Long]("stage_id"))
     assert(rows.map(_.getAs[String]("stage")).toSeq ==
-      Seq("fetched", "url_dedup", "host_cap", "exact_dedup", "near_dedup"))
+      Seq("fetched", "optout", "url_dedup", "host_cap", "exact_dedup", "near_dedup"))
     // stage chaining + conservation
-    for (i <- 1 until 5)
+    for (i <- 1 until 6)
       assert(rows(i).getAs[Long]("n_in") == rows(i - 1).getAs[Long]("n_kept"))
     rows.foreach { r =>
       assert(r.getAs[Long]("n_dropped") == r.getAs[Long]("n_in") - r.getAs[Long]("n_kept"))
@@ -1879,6 +1928,10 @@ class LlmOpsSpec extends SparkSpec {
         r.getAs[Long]("n_kept").toDouble / rows(0).getAs[Long]("n_in"))
     }
     // recompute the flag sets independently
+    val optHosts = Set("h2.example.com", "h5.example.com", "h8.example.com")
+    val admitted = LlmOps.urlNormalized(spark, dir).collect()
+      .filter(r => !optHosts(r.getAs[String]("url_norm").split('/')(0)))
+      .map(_.getAs[Long]("doc_id")).toSet
     val urlRows = LlmOps.ddUrl(spark, dir).collect()
     val urlKeepByHost = urlRows.groupBy(_.getAs[String]("url_norm").split('/')(0))
       .map { case (h, rs) => h -> rs.map(_.getAs[Long]("keep_id")).sorted.toSeq }
@@ -1890,15 +1943,67 @@ class LlmOpsSpec extends SparkSpec {
     val exactKeep = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
     val nearKeep = LlmOps.ddDedupKeep(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
     val n0 = docs.length.toLong
-    val n1 = urlKeep.size.toLong
-    val n2 = hostKept.size.toLong
-    val n3 = hostKept.count(exactKeep).toLong
-    val n4 = hostKept.filter(exactKeep).count(nearKeep).toLong
-    assert(rows.map(_.getAs[Long]("n_kept")).toSeq == Seq(n0, n1, n2, n3, n4))
+    val n1 = admitted.size.toLong
+    val n2 = urlKeep.count(admitted).toLong
+    val n3 = hostKept.count(admitted).toLong
+    val n4 = hostKept.filter(admitted).count(exactKeep).toLong
+    val n5 = hostKept.filter(admitted).filter(exactKeep).count(nearKeep).toLong
+    assert(rows.map(_.getAs[Long]("n_kept")).toSeq == Seq(n0, n1, n2, n3, n4, n5))
     // the URL, host-cap and near-dup gates must actually bite on this
-    // corpus; sf0.001 carries no exact text duplicate anywhere (the dd_exact
-    // family specs pin that gate on planted corpora), so n3 == n2 here
-    assert(n1 < n0 && n2 < n1 && n4 < n3, s"stages vacuous: $n0 $n1 $n2 $n3 $n4")
+    // corpus; sf0.001 carries no exact text duplicate anywhere (the
+    // dd_exact family specs pin that gate on planted corpora), so n4 ==
+    // n3 — and its 500 pids never leave the h0 bucket, so the h2/h5/h8
+    // opt-out list is vacuous HERE by construction (n1 == n0; the
+    // planted-corpus opt-out test pins the gate actually biting)
+    assert(n1 == n0 && n2 < n1 && n3 < n2 && n5 < n4,
+      s"stages vacuous: $n0 $n1 $n2 $n3 $n4 $n5")
+  }
+
+  test("opt-out census reconciles with the funnel's admission stage and carries real byte mass") {
+    import spark.implicits._
+    // the driver corpora put every sf0.001 pid on h0, so the opt-out
+    // bite needs planted doc_ids reaching the h2/h5/h9 pid buckets
+    val ids = (0L to 9L) ++ (600L to 604L) ++ (800L to 807L) ++
+      (995L to 998L) ++ Seq(1022L, 1023L)
+    def txt(i: Long) = s"alpha$i beta$i gamma$i delta$i epsilon$i"
+    val d = java.nio.file.Files.createTempDirectory("optout").toString
+    ids.map(i => Doc(i, txt(i), "en", s"src${i % 2}", txt(i).length))
+      .toDF().write.parquet(s"$d/documents.parquet")
+    val census = LlmOps.ddOptout(spark, d).collect()
+    // one row per host (verdicts are host-complete), ordered by host
+    assert(census.map(_.getAs[String]("host")).toSeq ==
+      Seq("h0", "h1", "h2", "h5", "h9").map(_ + ".example.com"))
+    val byHost = census.map(r => r.getAs[String]("host") -> r).toMap
+    assert(census.filter(_.getAs[Boolean]("opted_out"))
+      .map(_.getAs[String]("host")).toSet ==
+      Set("h2.example.com", "h5.example.com"))
+    assert(Seq("h0", "h1", "h2", "h5", "h9").map(h =>
+      byHost(h + ".example.com").getAs[Long]("n_docs")) == Seq(10L, 5L, 8L, 4L, 2L))
+    // byte accounting: the censused byte mass IS the corpus text mass,
+    // recomputed from the pid/host plant (ASCII texts: chars == bytes)
+    def hostOf(i: Long): String = {
+      val m = (if (i % 13 == 5) i - 1 else i) % 1024
+      val hid = if (m < 512) 0 else if (m < 768) 1 else if (m < 896) 2
+        else if (m < 960) 3 else if (m < 992) 4 else if (m < 1008) 5
+        else if (m < 1016) 6 else if (m < 1020) 7 else if (m < 1022) 8 else 9
+      s"h$hid.example.com"
+    }
+    census.foreach { r =>
+      val h = r.getAs[String]("host")
+      val expect = ids.filter(hostOf(_) == h).map(txt(_).length.toLong).sum
+      assert(r.getAs[Long]("n_bytes") == expect, s"$h byte mass")
+    }
+    // funnel reconciliation: the optout stage's drop IS the census's
+    // opted-out doc mass (one flag kernel, two readouts)
+    val funnel = LlmOps.ddCrawlFunnel(spark, d).collect()
+      .map(r => r.getAs[String]("stage") -> r).toMap
+    assert(funnel("optout").getAs[Long]("n_dropped") == 12L)
+    assert(funnel("optout").getAs[Long]("n_dropped") ==
+      census.filter(_.getAs[Boolean]("opted_out")).map(_.getAs[Long]("n_docs")).sum)
+    assert(funnel("fetched").getAs[Long]("n_kept") == ids.length.toLong)
+    // the downstream gates only ever see admitted docs: the url stage's
+    // input is the optout stage's output
+    assert(funnel("url_dedup").getAs[Long]("n_in") == ids.length.toLong - 12L)
   }
 
   test("sample-exec manifest repeats the over-requested source and cuts the partial epoch deterministically") {
@@ -1943,14 +2048,15 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_kept")).toMap
     def s(c: String) = bySrc.map(_.getAs[Long](c)).sum
     assert(s("n_fetched") == corpus("fetched"))
+    assert(s("n_policy_kept") == corpus("optout"))
     assert(s("n_url_kept") == corpus("url_dedup"))
     assert(s("n_host_kept") == corpus("host_cap"))
     assert(s("n_exact_kept") == corpus("exact_dedup"))
     assert(s("n_clean") == corpus("near_dedup"))
     assert(bySrc.length > 1, "single-source corpus makes the slice vacuous")
     bySrc.foreach { r =>
-      val stages = Seq("n_fetched", "n_url_kept", "n_host_kept",
-        "n_exact_kept", "n_clean").map(r.getAs[Long](_))
+      val stages = Seq("n_fetched", "n_policy_kept", "n_url_kept",
+        "n_host_kept", "n_exact_kept", "n_clean").map(r.getAs[Long](_))
       assert(stages == stages.sortBy(x => -x),
         s"non-monotone stages for ${r.getAs[String]("source")}: $stages")
       assert(r.getAs[Double]("clean_frac") == stages.last.toDouble / stages.head)

@@ -52,11 +52,16 @@ class PlanGuardSpec extends SparkSpec {
       // sample — against the image-half scan (the dedup inherits the
       // centroid broadcast through the memoized mm_image_cells state,
       // exactly like the serve family); nothing N-sized is replicated
-      "mm_retrieval_recall", "mm_image_dedup",
+      // (mm_cell_balance reads the same memoized image-cell state, so its
+      // fresh-build plan carries the identical k-centroid broadcast)
+      "mm_retrieval_recall", "mm_image_dedup", "mm_cell_balance",
       // scalar/total broadcasts: a 1-row aggregate (corpus total, CMS
       // sketch, the BPE argmax merge) crossJoined onto a bounded table
       // or the token stream
-      "txt_rarity", "txt_tfidf", "txt_top_terms_cms", "txt_vocab_coverage",
+      // (txt_lm_score crossJoins the same 1-row corpus total twice: once
+      // under the vocab-head surprisal table, once for the OOV constant)
+      "txt_rarity", "txt_lm_score", "txt_tfidf", "txt_top_terms_cms",
+      "txt_vocab_coverage",
       // (txt_bpe_vocab also crossJoins 1-row argmaxes, but each round is
       // materialized eagerly behind a local checkpoint at build time, so
       // the RETURNED plan — all this sweep can see — is a union of leaves)
