@@ -292,6 +292,30 @@ object EventStream {
       .join(frontier, Seq("url_norm"), "left_anti")
   }
 
+
+  /** Streaming OPT-OUT gate — the governance head of the streaming
+    * admission chain (`LlmOps.ddOptout` / crawlFlags p1 is the batch
+    * twin): each arriving fetch's URL is normalized with the SAME shared
+    * fragment as every other gate, its host extracted with the SAME
+    * `hostOfSql` fragment, and fetches on a host in the
+    * `LlmOps.optoutHostsSql` policy list are REFUSED — before the
+    * frontier is consulted, before any quota is spent, before content is
+    * hashed, which is the compliance ordering a crawler must honor (a
+    * disallowed host's pages are never fetched at all). Stateless like
+    * the URL gate: the policy list is a literal (in production a small
+    * broadcast table, refreshable between restarts), no stream state;
+    * admitted rows keep (doc_id, url, url_norm, host) so the chain's
+    * later stages ([[urlDedupeAgainstFrontier]], [[hostCapAdmission]])
+    * compose directly. EventStreamSpec pins the three-stage composition
+    * equal to the batch gate order on an all-hosts planted corpus. */
+  def optoutGate(fetches: DataFrame): DataFrame = {
+    import graft.analytics.LlmOps
+    fetches
+      .withColumn("url_norm", expr(LlmOps.urlNormSql))
+      .withColumn("host", expr(LlmOps.hostOfSql))
+      .filter(!expr(s"host IN ${LlmOps.optoutHostsSql}"))
+  }
+
   case class NearDupVerdict(doc_id: Long, match_id: Option[Long],
                             est_sim: Option[Double], kept: Boolean)
 

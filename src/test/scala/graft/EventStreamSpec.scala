@@ -644,6 +644,52 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the full streaming admission chain: opt-out into URL gate into host quota") {
+    // The governance gate heads the chain — a disallowed host's fetches
+    // are refused before the frontier is consulted and before any quota
+    // is spent (the compliance ordering crawlFlags encodes as p1) — and
+    // the three-stage composition equals the batch gate order. The
+    // 1024-doc plant covers the full h0-h9 host universe, so the
+    // opt-out list (h2/h5/h8) genuinely bites.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("admchain3").toString
+    (0L until 1024L).map(i => LlmDoc(i, s"doc $i", "en", "s", 6)).toDF()
+      .write.parquet(s"$d/documents.parquet")
+    val all = graft.analytics.LlmOps.urlNormalized(spark, d)
+    val frontier = all.filter($"doc_id" % 4 =!= 3).select($"url_norm").distinct()
+    val arriving = all.filter($"doc_id" % 4 === 3)
+      .select($"doc_id", $"url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val admitted = EventStream.urlDedupeAgainstFrontier(
+      EventStream.optoutGate(input.toDF().toDF("doc_id", "url"))
+        .select($"doc_id", $"url"),
+      frontier)
+    val q = EventStream.toMemorySink(
+      EventStream.hostCapAdmission(admitted.select($"doc_id", $"url"),
+        graft.analytics.LlmOps.HostCap).toDF(),
+      "adm_chain3", OutputMode.Append())
+    try {
+      arriving.grouped(64).foreach { ch => input.addData(ch); q.processAllAvailable() }
+      val got = spark.table("adm_chain3").collect()
+        .filter(_.getAs[Boolean]("admitted")).map(_.getAs[Long]("doc_id")).toSet
+      // batch twin of the composition, gate order preserved
+      val optHosts = Set("h2.example.com", "h5.example.com", "h8.example.com")
+      val hostOf = all.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("url_norm").split('/')(0)).toMap
+      val policyAdmitted = graft.analytics.LlmOps.ddUrlIncremental(spark, d)
+        .collect().map(_.getAs[Long]("doc_id")).filterNot(i => optHosts(hostOf(i))).toSet
+      val want = policyAdmitted.groupBy(hostOf).values
+        .flatMap(_.toSeq.sorted.take(graft.analytics.LlmOps.HostCap)).toSet
+      val refusedByPolicy = arriving.map(_._1).filter(i => optHosts(hostOf(i)))
+      assert(refusedByPolicy.nonEmpty, "opt-out gate vacuous (no listed host arrived)")
+      assert(got.intersect(refusedByPolicy.toSet).isEmpty,
+        "a policy-refused fetch leaked through the chain")
+      assert(got == want,
+        s"chain diverged: extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
   test("streaming ANN serve equals the oracle-checked batch sim_ivf_serve bit-for-bit") {
     // The similarity family's streaming twin: arriving query vectors,
     // micro-batched, probe the static serve index; the row-local HOF cell
