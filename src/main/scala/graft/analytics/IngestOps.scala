@@ -265,16 +265,16 @@ private[analytics] trait IngestOps {
     * (cid, ce, cn, cell). */
   private[analytics] def imageCellAssign(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "mm_image_cells") {
+      // round 20: packed-fold assignment (SimOps.foldAssignCell) — the
+      // build was the N/2 × k crossJoin + row_number window; map-only now,
+      // and prewarmed by stateBuilders so the build no longer lands on the
+      // alphabetically-first mm consumer (mm_cell_balance).
       val img = Tables.embeddings(spark, dir)
         .withColumn("nrm", dotF(col("embedding"), col("embedding")))
         .filter(col("vec_id") % 2 === 0)
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-      img.crossJoin(broadcast(imageCentroids(spark, dir)))
-        .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-        .withColumn("ark", row_number().over(wA))
-        .filter(col("ark") === 1)
+      foldAssignCell(img, imageCentroids(spark, dir))
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-          col("nrm").as("cn"), col("cent_id").as("cell"))
+          col("nrm").as("cn"), col("cell"))
     }
 
 

@@ -69,7 +69,12 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "ivf_serve_assign" -> (() => { ivfServeAssignTable(spark, dir).count(); () }),
     "serve_insert_assign" -> (() => { serveInsertAssign(spark, dir).count(); () }),
     "ivf_serve_pq_codes" -> (() => { servePqCodesTable(spark, dir).count(); () }),
-    "ivf2_assign" -> (() => { ivf2AssignTable(spark, dir).count(); () }))
+    "ivf2_assign" -> (() => { ivf2AssignTable(spark, dir).count(); () }),
+    // round 20: the image-side IVF was the one memoized index NOT prewarmed
+    // — its build landed on whichever mm consumer ran first alphabetically
+    // (mm_cell_balance), distorting that query's floor exactly like the
+    // jaccard state once distorted dd_align's.
+    "mm_image_cells" -> (() => { imageCellAssign(spark, dir).count(); () }))
 
 
   // ----------------------------------------------------------------- maps

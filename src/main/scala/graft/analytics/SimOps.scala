@@ -251,15 +251,14 @@ private[analytics] trait SimOps {
     * so the lifecycle spec can drive read-back over it. */
   private[graft] def ivfServeAssignTable(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "ivf_serve_assign") {
+      // round 20: packed-fold assignment (foldAssignCell) — the build was
+      // an N × k crossJoin + row_number window whose Exchange/Sorts were
+      // the build's cost; the fold is map-only over the member scan.
       val e = Tables.embeddings(spark, dir)
         .filter(expr("vec_id % 4 <> 3"))
         .withColumn("nrm", dotF(col("embedding"), col("embedding")))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-      e.crossJoin(broadcast(serveCentroids(spark, dir)))
-        .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-        .withColumn("ark", row_number().over(wAssign))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("label"), col("cent_id").as("cell"))
+      foldAssignCell(e, serveCentroids(spark, dir))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("label"), col("cell"))
     }
 
 
@@ -276,17 +275,16 @@ private[analytics] trait SimOps {
     * deployed index stores per vector (cell id + the vector + its norm). */
   private[analytics] def ivfAssignTable(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "ivf_assign") {
+      // round 20: top-2 packed fold (foldAssignTop2) — rank-1 AND rank-2
+      // cells from one row-local fold + a Generate, replacing the N × k
+      // crossJoin + row_number window (same parity argument; ark <= 2).
       val k = ivfK(spark, dir)
       val e = Tables.embeddings(spark, dir)
         .withColumn("nrm", dotF(col("embedding"), col("embedding")))
       val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-        .withColumn("ark", row_number().over(wAssign))
-        .filter(col("ark") <= 2)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"), col("ark"))
+      foldAssignTop2(e, cents)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"), col("ark"))
     }
 
 
@@ -440,28 +438,38 @@ private[analytics] trait SimOps {
     * siblings (built once, queried many times). */
   private[analytics] def ivf2AssignTable(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "ivf2_assign") {
+      // round 20: both levels ride the packed fold. Level 1 is
+      // foldAssignCell verbatim; level 2 packs each cell's sub-centroids
+      // into ONE array row (per-cell collect over the k lowest-id members,
+      // the only keyed shuffle left — it builds the index side) and each
+      // member folds over its own cell's array after a broadcast equi-join
+      // on cell, replacing the N × ~k_sub row expansion + row_number
+      // window that dominated the build. Tie/NaN parity per foldAssignCell.
       val k = ivf2K(spark, dir)
       val e = Tables.embeddings(spark, dir)
         .withColumn("nrm", dotF(col("embedding"), col("embedding")))
       val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-      val w1 = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-      val l1 = e.crossJoin(broadcast(cents))
-        .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-        .withColumn("ark", row_number().over(w1))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      val l1 = foldAssignCell(e, cents)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       val wSub = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
       val subcents = l1.withColumn("srk", row_number().over(wSub))
         .filter(col("srk") <= k)
         .select(col("cell").as("scell"), col("vec_id").as("sub_id"),
           col("embedding").as("semb"), col("nrm").as("ssnrm"))
-      val w2 = Window.partitionBy(col("vec_id")).orderBy(col("cos_s").desc, col("sub_id"))
-      l1.join(broadcast(subcents), col("cell") === col("scell"))
-        .withColumn("cos_s", dotF(col("embedding"), col("semb")) / sqrt(col("nrm") * col("ssnrm")))
-        .withColumn("ark", row_number().over(w2))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"), col("sub_id").as("subcell"))
+      val packedSub = subcents
+        .groupBy(col("scell"))
+        .agg(sort_array(collect_list(struct(col("sub_id"), col("semb"), col("ssnrm"))))
+          .as("subs"))
+      val subSql =
+        s"""aggregate(
+          |  transform(subs, c -> named_struct(
+          |    'cos', dot_f(embedding, c.semb) / sqrt(nrm * c.ssnrm), 'cell', c.sub_id)),
+          |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+          |  (acc, s) -> CASE WHEN ${foldBeats("s", "acc")} THEN s ELSE acc END)""".stripMargin
+      l1.join(broadcast(packedSub), col("cell") === col("scell"))
+        .withColumn("subcell", expr(subSql).getField("cell"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"), col("subcell"))
     }
 
 
@@ -548,14 +556,9 @@ private[analytics] trait SimOps {
 
   /** One sampled-member assignment against integer Lloyd-sum centroids
     * (cell, svec, snrm): (vec_id, embedding, cell). */
-  private[analytics] def kmAssignSampled(e: DataFrame, cents: DataFrame): DataFrame = {
-    val wRef = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell"))
-    e.filter(expr("vec_id % 5 = 0")).crossJoin(broadcast(cents))
-      .withColumn("cos_c", dotFL(col("embedding"), col("svec")) / sqrt(col("nrm") * col("snrm")))
-      .withColumn("ark", row_number().over(wRef))
-      .filter(col("ark") === 1)
+  private[analytics] def kmAssignSampled(e: DataFrame, cents: DataFrame): DataFrame =
+    foldAssignCellL(e.filter(expr("vec_id % 5 = 0")), cents)
       .select(col("vec_id"), col("embedding"), col("cell"))
-  }
 
 
   /** Integer Lloyd update: per-cell quantized component sums over the
@@ -605,15 +608,15 @@ private[analytics] trait SimOps {
     // Each round's sampled assignment is CACHED (and tracked for
     // releaseCaches): the movement test is an action, and without the
     // cache every round's count — and the final full assignment — would
-    // re-execute the whole chain of prior N x k cross-join/argmin rounds
-    // from scratch (O(rounds²) full passes inside a TIMED state build).
-    val wInit = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-    var members = track(e.filter(expr("vec_id % 5 = 0")).crossJoin(broadcast(cents0))
-      .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-      .withColumn("ark", row_number().over(wInit))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      .cache())
+    // re-execute the whole chain of prior argmin rounds from scratch
+    // (O(rounds²) full passes inside a TIMED state build). Round 20: every
+    // assignment pass here rides the packed fold (foldAssignCell /
+    // foldAssignCellL / retrain-style) instead of the N × k crossJoin +
+    // row_number window — map-only, same argmax (tie/NaN parity pinned).
+    var members = track(
+      foldAssignCell(e.filter(expr("vec_id % 5 = 0")), cents0)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .cache())
     var cents = kmCentroids(members)
     var r = 1
     var converged = false
@@ -630,11 +633,7 @@ private[analytics] trait SimOps {
       converged = moved == 0
       r += 1
     }
-    val wRef = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("cos_c", dotFL(col("embedding"), col("svec")) / sqrt(col("nrm") * col("snrm")))
-      .withColumn("ark", row_number().over(wRef))
-      .filter(col("ark") === 1)
+    foldAssignCellL(e, cents)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
   }
 
@@ -1078,15 +1077,11 @@ private[analytics] trait SimOps {
     * once and accounted as a state build, not re-paid per query. */
   private[analytics] def serveInsertAssign(spark: SparkSession, dir: String): DataFrame =
     memoSig(spark, dir, "serve_insert_assign") {
+      // round 20: packed-fold assignment (see foldAssignCell) — map-only.
       val e = Tables.embeddings(spark, dir)
         .withColumn("nrm", dotF(col("embedding"), col("embedding")))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-      e.filter(expr("vec_id % 4 = 3"))
-        .crossJoin(broadcast(serveCentroids(spark, dir)))
-        .withColumn("cos_c", dotF(col("embedding"), col("cemb")) / sqrt(col("nrm") * col("cnrm")))
-        .withColumn("ark", row_number().over(wAssign))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      foldAssignCell(e.filter(expr("vec_id % 4 = 3")), serveCentroids(spark, dir))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     }
 
 
@@ -1304,6 +1299,126 @@ private[analytics] trait SimOps {
     * a degenerate vector has no meaningful nearest centroid, so "don't
     * move it" is the only assignment that cannot corrupt the before/after
     * occupancy census with a cell no centroid owns. */
+  /** Map-only nearest-centroid assignment over FLOAT centroids — the
+    * [[retrainReassign]] packed fold generalized to the index BUILDERS
+    * (round 20, guide §2.4): the k-row centroid table folds into ONE
+    * broadcast array-of-structs row (ascending `cent_id` via sort_array)
+    * and every member computes its argmax cell with a row-local SQL
+    * `aggregate` fold. This replaces the `crossJoin(broadcast(cents))` +
+    * `row_number` window the assignment tables were built with, whose
+    * N × k row expansion was shuffled AND double-sorted on vec_id just to
+    * take a per-row argmax — the Exchange and both Sorts are pure
+    * overhead, since the argmax never needs rows beyond the member's own.
+    * Appends `cell` to `members` (which must carry `embedding` + `nrm`
+    * and no `one`/`cents`/`cell` column); all other member columns pass
+    * through untouched, so each call site keeps its original projection.
+    *
+    * row_number PARITY, degenerate rows included: the windowed argmax
+    * ordered (cos_c DESC NULLS LAST, cent_id ASC). Three degenerate cos
+    * values exist and each must rank exactly as the window ranked it:
+    * a NaN cosine sorts FIRST (Spark treats NaN as the largest double),
+    * a NULL cosine sorts LAST (Spark's Divide returns NULL on a zero
+    * divisor — the zero-norm member case — and DESC ordering defaults to
+    * NULLS LAST), and exact real ties keep the lowest cent_id. The fold's
+    * replacement rule ([[foldBeats]]) mirrors that ordering term by term:
+    * a NULL-cos struct beats only the -1 sentinel (so an all-NULL member
+    * still lands on its lowest cent_id, never on the sentinel), any
+    * non-NULL beats a held NULL, NaN beats any real, and otherwise strict
+    * `>` keeps the FIRST (lowest-cent_id) struct on ties. PlanGuardSpec
+    * pins both the Exchange/Window-free member subtree and the
+    * tie/NULL/top-2 parity against the retired window formulation. */
+  private[graft] def foldAssignCell(members: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cemb"), col("cnrm"))))
+        .as("cents"))
+      .withColumn("one", lit(1))
+    val bestSql =
+      s"""aggregate(
+        |  transform(cents, c -> named_struct(
+        |    'cos', dot_f(embedding, c.cemb) / sqrt(nrm * c.cnrm), 'cell', c.cent_id)),
+        |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+        |  (acc, s) -> CASE WHEN ${foldBeats("s", "acc")} THEN s ELSE acc END)""".stripMargin
+    members.withColumn("one", lit(1))
+      .join(broadcast(packed), Seq("one"))
+      .withColumn("cell", expr(bestSql).getField("cell"))
+      .drop("one", "cents")
+  }
+
+
+  /** The fold's replacement predicate — "struct `s` outranks held `acc`"
+    * under the retired window's (cos DESC NULLS LAST, cent_id ASC) order,
+    * evaluated in ascending-cent_id fold order so keep-on-tie IS the
+    * ASC tie-break. NULL cos (zero divisor) beats only the -1 sentinel;
+    * any non-NULL beats a held NULL; NaN beats any real (Spark sorts NaN
+    * greatest); else strict `>`. NaN > NaN is false in Spark's comparison
+    * (NaN equals itself), so the first NaN also keeps its slot. */
+  private def foldBeats(s: String, acc: String): String =
+    s"""(CASE
+       |  WHEN isnull($s.cos) THEN $acc.cell = CAST(-1 AS BIGINT)
+       |  WHEN isnull($acc.cos) THEN true
+       |  WHEN isnan($s.cos) AND NOT isnan($acc.cos) THEN true
+       |  ELSE $s.cos > $acc.cos END)""".stripMargin
+
+
+  /** [[foldAssignCell]] over INTEGER Lloyd-sum centroids (cell, svec,
+    * snrm) — the k-means family's shape ([[kmCentroids]] output), scored
+    * through the same codegen'd `dot_fl` the window formulation called.
+    * Same packing, same NaN/tie parity contract. */
+  private[graft] def foldAssignCellL(members: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("cell"), col("svec"), col("snrm"))))
+        .as("cents"))
+      .withColumn("one", lit(1))
+    val bestSql =
+      s"""aggregate(
+        |  transform(cents, c -> named_struct(
+        |    'cos', dot_fl(embedding, c.svec) / sqrt(nrm * c.snrm), 'cell', c.cell)),
+        |  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+        |  (acc, s) -> CASE WHEN ${foldBeats("s", "acc")} THEN s ELSE acc END)""".stripMargin
+    members.withColumn("one", lit(1))
+      .join(broadcast(packed), Seq("one"))
+      .withColumn("cell", expr(bestSql).getField("cell"))
+      .drop("one", "cents")
+  }
+
+
+  /** The TOP-2 sibling of [[foldAssignCell]] for [[ivfAssignTable]]'s
+    * `ark <= 2` contract: one fold tracks (best, second) — replace best
+    * iff the struct beats it (same `>`/isnan rule), else the second slot
+    * — then the two cells unfold to two rows via a row-local explode (a
+    * Generate, not an Exchange). Parity with `row_number <= 2` under
+    * (cos_c DESC, cent_id ASC): best is the window's rank 1 by the
+    * [[foldAssignCell]] argument; second collects the best of the rest
+    * under the identical comparison, which IS rank 2. Appends
+    * (cell, ark). */
+  private[graft] def foldAssignTop2(members: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cemb"), col("cnrm"))))
+        .as("cents"))
+      .withColumn("one", lit(1))
+    val top2Sql =
+      s"""aggregate(
+        |  transform(cents, c -> named_struct(
+        |    'cos', dot_f(embedding, c.cemb) / sqrt(nrm * c.cnrm), 'cell', c.cent_id)),
+        |  named_struct(
+        |    'b',  named_struct('cos', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+        |    's2', named_struct('cos', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT))),
+        |  (acc, s) -> CASE
+        |    WHEN ${foldBeats("s", "acc.b")} THEN named_struct('b', s, 's2', acc.b)
+        |    WHEN ${foldBeats("s", "acc.s2")} THEN named_struct('b', acc.b, 's2', s)
+        |    ELSE acc END)""".stripMargin
+    members.withColumn("one", lit(1))
+      .join(broadcast(packed), Seq("one"))
+      .withColumn("t2", expr(top2Sql))
+      .withColumn("ac", explode(expr(
+        "array(named_struct('cell', t2.b.cell, 'ark', 1), " +
+          "named_struct('cell', t2.s2.cell, 'ark', 2))")))
+      .withColumn("cell", col("ac.cell"))
+      .withColumn("ark", col("ac.ark"))
+      .drop("one", "cents", "t2", "ac")
+  }
+
+
   private[graft] def retrainReassign(members: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents
       .agg(sort_array(collect_list(struct(col("ncell"), col("svec"), col("snrm"))))

@@ -291,4 +291,55 @@ class PlanGuardSpec extends SparkSpec {
     assert(folded == windowed, s"fold=$folded window=$windowed")
     assert(folded(4L) == 0L, "exact tie must keep the lowest ncell")
   }
+
+  test("builder fold assignment is map-only and row_number-exact (ties, NaN, top-2)") {
+    // Round-20: every index-build assignment (ivf/serve/insert/kmeans/
+    // two-level/image) rides foldAssignCell/foldAssignTop2 instead of the
+    // N x k crossJoin + row_number window. Pin (a) the member subtree
+    // never shuffles (only the k-row centroid packing may), (b) bit parity
+    // with the retired window formulation including an exact tie, a NaN
+    // (zero-norm) member, and the rank-2 cell of the top-2 variant.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val members = Seq(
+      (1L, Array(1.0f, 0.0f), 1.0),
+      (2L, Array(0.0f, 1.0f), 1.0),
+      (3L, Array(0.6f, 0.8f), 1.0),
+      (4L, Array(1.0f, 1.0f), 2.0),   // exact tie on both centroids
+      (5L, Array(0.0f, 0.0f), 0.0)    // zero norm: every cosine NULL (Divide by 0)
+    ).toDF("vec_id", "embedding", "nrm")
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f), 1.0),
+      (1L, Array(0.0f, 1.0f), 1.0)
+    ).toDF("cent_id", "cemb", "cnrm")
+    val folded = graft.analytics.LlmOps.foldAssignCell(members, cents)
+      .select(col("vec_id"), col("cell"))
+    val plan = folded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"fold must not plan a window:\n${plan.take(600)}")
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.forall(_.contains("SinglePartition")),
+      s"members must not shuffle — only the k-row centroid packing may:\n${shuffles.mkString("\n")}")
+    // reference: the retired window argmax (cos DESC, cent_id ASC) — NaN
+    // sorts first under DESC, exactly like the fold's isnan arm
+    val wRef = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val ref = members.crossJoin(broadcast(cents))
+      .withColumn("cos_c", expr("dot_f(embedding, cemb)") / sqrt(col("nrm") * col("cnrm")))
+      .withColumn("ark", row_number().over(wRef))
+    val refTop1 = ref.filter(col("ark") === 1)
+      .select(col("vec_id"), col("cent_id")).as[(Long, Long)].collect().toMap
+    assert(folded.as[(Long, Long)].collect().toMap == refTop1)
+    assert(refTop1(4L) == 0L, "exact tie must keep the lowest cent_id")
+    assert(refTop1(5L) == 0L,
+      "zero-norm member (NULL cos, NULLS LAST) must land on the lowest cent_id")
+    // top-2 variant: both ranks must match the window's ark <= 2 rows
+    val refTop2 = ref.filter(col("ark") <= 2)
+      .select(col("vec_id"), col("cent_id"), col("ark"))
+      .as[(Long, Long, Int)].collect().toSet
+    val folded2 = graft.analytics.LlmOps.foldAssignTop2(members, cents)
+      .select(col("vec_id"), col("cell"), col("ark"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(folded2 == refTop2, s"top2 fold=$folded2 window=$refTop2")
+  }
 }
