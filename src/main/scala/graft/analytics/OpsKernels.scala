@@ -62,6 +62,9 @@ private[analytics] trait OpsKernels {
       // their keys pin SparkSession references and regenerated dirs (new
       // fingerprint) append forever — release them with everything else.
       docCountMemo.clear()
+      // q38's broadcast-gate node count rides the same fingerprint spine
+      // and pins sessions the same way.
+      graft.analytics.Relational.pagerankNodeMemo.clear()
     }
   }
 

@@ -502,9 +502,12 @@ object Relational {
     // bug (the sf10 probe measured it: a ~3.5M-row broadcast next to the
     // cached edges exhausts executor memory), so the hint is DATA-AWARE:
     // large graphs fall back to shuffling both sides on the node key —
-    // the standard distributed PageRank round. The gate costs one count
-    // over the distinct-src projection of the memoized edge state.
-    val fitsBroadcast = ranks.count() <= broadcastNodeCap
+    // the standard distributed PageRank round. Round 20: the gate's node
+    // count is MEMOIZED on the same fingerprint spine as the edge state
+    // (the docCountMemo treatment) — it is a property of the memoized
+    // edge table, and every q38 call used to re-pay the distinct+count
+    // shuffle just to re-derive the same constant.
+    val fitsBroadcast = pagerankNodeCount(spark, dir) <= broadcastNodeCap
     for (_ <- 1 to 3) {
       ranks = e.join(if (fitsBroadcast) broadcast(ranks) else ranks,
           col("src") === col("node"))
@@ -534,6 +537,22 @@ object Relational {
     * table; the unrolled plan reads it three times, and exchange reuse
     * does not reliably dedupe the subtree under AQE — measured 3×
     * recompute without this). Prewarmed as explicitly-timed state. */
+  /** Node count of the memoized pagerank graph — the q38 broadcast gate's
+    * input, memoized per (session, dir, fingerprint) like
+    * [[graft.analytics.DedupOps]]'s docCountMemo (same rationale: the
+    * count is a property of the memoized edge state, and deriving it per
+    * call re-paid a distinct+count shuffle over the full edge table).
+    * Cleared by [[LlmOps.releaseCaches]] alongside the other memos — the
+    * keys pin SparkSession references. */
+  private[analytics] val pagerankNodeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), java.lang.Long]
+
+  private def pagerankNodeCount(spark: SparkSession, dir: String): Long =
+    pagerankNodeMemo.computeIfAbsent(
+      (spark, dir, LlmOps.dirFingerprint(spark, dir)),
+      _ => java.lang.Long.valueOf(
+        pagerankEdges(spark, dir).select(col("src")).distinct().count())).longValue
+
   private def pagerankEdges(spark: SparkSession, dir: String): DataFrame =
     LlmOps.memoRaw(spark, dir, "pagerank_edges") {
       val pairs = Tables.lineitem(spark, dir)
@@ -1047,7 +1066,9 @@ object Relational {
     * explicit pre-stage — see LlmOps.stateBuilders for the rationale. */
   def stateBuilders(spark: SparkSession, dir: String): Seq[(String, () => Unit)] =
     Seq("bucketed_facts" -> (() => { bucketedFactTables(spark, dir); () }),
-      "pagerank_edges" -> (() => { pagerankEdges(spark, dir).count(); () }))
+      // the node count is index state like the edge table itself — prewarm
+      // it here so q38's broadcast gate is a memo hit, not a shuffle
+      "pagerank_edges" -> (() => { pagerankNodeCount(spark, dir); () }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_bloom_prune" -> q33BloomPrune _,
