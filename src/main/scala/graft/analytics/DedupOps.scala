@@ -2011,6 +2011,47 @@ private[analytics] trait DedupOps {
   private[analytics] lazy val SimhashBucketCap = 64
 
 
+  /** Capped LSH bucket membership of the 16-bit simhash over the sampled
+    * half — (doc_id, simhash, band, bv) — memoized index state like the
+    * signature table it derives from (round 20): a deployed LSH index
+    * PERSISTS bucket membership (bucket → members IS the index), and the
+    * pairs query consumes the banded table on BOTH sides of its candidate
+    * self-join, which otherwise re-ran the band explode + bucket-cap
+    * window once per side (the formatted plan showed the whole
+    * Generate/Exchange/Sort/Window subtree twice). Cached, not
+    * checkpointed — the AQE-disengagement lesson in [[ddMinhashPairs]]'
+    * comment applies verbatim. */
+  private[analytics] def simhashBands16(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "sig16_bands") {
+      // the memoized full-corpus table filtered by the precomputed sample
+      // flag — no second tokenize pass for the sampled twin
+      simhashSig(spark, dir).filter(col("efp"))
+        .select(col("doc_id"), col("simhash"),
+          explode_outer(expr("sequence(0, 3)")).as("band"))
+        .filter(col("band").isNotNull)
+        .withColumn("bv", expr("(simhash div CAST(pow(16, band) AS BIGINT)) % 16"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= SimhashBucketCap).drop("rn")
+    }
+
+
+  /** The 60-bit sibling of [[simhashBands16]]: six 10-bit bands over the
+    * full corpus, capped per bucket — [[ddSimhashWidePairs]]' index
+    * state. */
+  private[analytics] def simhashBands60(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "sig60_bands") {
+      simhashWideSig(spark, dir)
+        .select(col("doc_id"), col("simhash"),
+          explode_outer(expr("sequence(0, 5)")).as("band"))
+        .filter(col("band").isNotNull)
+        .withColumn("bv", expr("(simhash div shiftleft(CAST(1 AS BIGINT), 10 * band)) % 1024"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= SimhashBucketCap).drop("rn")
+    }
+
+
   /** SimHash near-dup PAIRS: banded candidate generation + exact Hamming
     * verify. The 16-bit simhash splits into four 4-bit bands; two hashes
     * within Hamming distance 3 differ in at most 3 bands, so they agree
@@ -2026,16 +2067,7 @@ private[analytics] trait DedupOps {
     * in the oracle SQL) — candidates quarter while the banding/verify
     * plan under demonstration stays identical. */
   def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // the memoized full-corpus table filtered by the precomputed sample
-    // flag — no second tokenize pass for the sampled twin
-    val sig = simhashSig(spark, dir).filter(col("efp"))
-    val bands = sig.select(col("doc_id"), col("simhash"),
-        explode_outer(expr("sequence(0, 3)")).as("band"))
-      .filter(col("band").isNotNull)
-      .withColumn("bv", expr("(simhash div CAST(pow(16, band) AS BIGINT)) % 16"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= SimhashBucketCap).drop("rn")
+    val bands = simhashBands16(spark, dir)
     val cand = bands.toDF("ia", "ha", "band", "bv")
       .join(bands.toDF("ib", "hb", "band2", "bv2"),
         col("band") === col("band2") && col("bv") === col("bv2") && col("ia") < col("ib"))
@@ -2083,14 +2115,7 @@ private[analytics] trait DedupOps {
     * candidate set collapses to the near-dup pairs themselves — the
     * measured form of "widening the hash divides candidate volume". */
   def ddSimhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashWideSig(spark, dir) // memoized + cached table
-    val bands = sig.select(col("doc_id"), col("simhash"),
-        explode_outer(expr("sequence(0, 5)")).as("band"))
-      .filter(col("band").isNotNull)
-      .withColumn("bv", expr("(simhash div shiftleft(CAST(1 AS BIGINT), 10 * band)) % 1024"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= SimhashBucketCap).drop("rn")
+    val bands = simhashBands60(spark, dir)
     val cand = bands.toDF("ia", "ha", "band", "bv")
       .join(bands.toDF("ib", "hb", "band2", "bv2"),
         col("band") === col("band2") && col("bv") === col("bv2") && col("ia") < col("ib"))

@@ -52,6 +52,10 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "passage_windows_n8" -> (() => { passageWindows(spark, dir, 8).count(); () }),
     "simhash_sig" -> (() => { simhashSig(spark, dir).count(); () }),
     "simhash_wide_sig" -> (() => { simhashWideSig(spark, dir).count(); () }),
+    // round 20: the capped band-bucket memberships are index state (an LSH
+    // index persists bucket -> members); both pairs queries self-join them
+    "simhash_bands16" -> (() => { simhashBands16(spark, dir).count(); () }),
+    "simhash_bands60" -> (() => { simhashBands60(spark, dir).count(); () }),
     "minhash_sig" -> (() => { minhashSig(spark, dir).count(); () }),
     "minhash_wide_sig" -> (() => { minhashWideSig(spark, dir).count(); () }),
     "minhash_wide128_sig" -> (() => { minhashWide128Sig(spark, dir).count(); () }),
