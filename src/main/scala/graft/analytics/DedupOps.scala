@@ -787,12 +787,23 @@ private[analytics] trait DedupOps {
     // projection afterwards: `common` is symmetric, so the =!= formulation
     // would shuffle and aggregate every shared shingle twice for the same
     // answer — this halves the heaviest stage
-    val den = if (thinActive) nk else sizes
-    val sized = a.join(b,
+    // den is doc-count rows but referenced twice (na, nb) by a subtree the
+    // direction-union used to execute twice more — persist the KB-scale
+    // census instead of re-aggregating the cached shingle rows per
+    // reference (round 20; released below with the other build caches)
+    val den = (if (thinActive) nk else sizes).persist()
+    val sizedPlan = a.join(b,
         col("s") === col("s2") && col("la") === col("lb") && col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
       .join(den.toDF("ia", "na"), "ia")
       .join(den.toDF("ib", "nb"), "ib")
+    // checkpoint the unordered-pair table BEFORE the direction union: the
+    // union's two branches each contained the whole shingle self-join +
+    // aggregation subtree, and exchange reuse does not reliably dedupe it
+    // (the pagerank_edges lesson) — the halve-the-heaviest-stage comment
+    // above only holds when the join genuinely executes once (round 20).
+    // Pair-table-scale leaf, so the extra checkpoint is KB-sized.
+    val sized = checkpointLeaf(spark, sizedPlan)
     // thinned-universe noise floor: with few kept shingles a 1-2-shingle
     // doc trivially scores 1.0 against anything sharing them, so the
     // ACTIVE path requires the directed source to have ≥ CThinKeptFloor
@@ -816,6 +827,7 @@ private[analytics] trait DedupOps {
     trackRdd(rdd)
     sh.unpersist(blocking = true)
     kept.unpersist(blocking = true)
+    den.unpersist(blocking = true)
     spark.createDataFrame(rdd, plan.schema)
   }
 
@@ -1136,7 +1148,7 @@ private[analytics] trait DedupOps {
         case Some(held) => held
         case None =>
           val (sh, capped, sizes) = shingleState(spark, dir)
-          track(sh); track(capped)
+          track(sh); track(capped); track(sizes)
           val held = new ShingleHold(key, sh, capped, sizes)
           shingleHolds(key) = held
           // releaseCaches backstop: the frames' UNPERSISTS are tracked
@@ -1173,6 +1185,7 @@ private[analytics] trait DedupOps {
     if (done) {
       hold.sh.unpersist(blocking = true)
       hold.capped.unpersist(blocking = true)
+      hold.sizes.unpersist(blocking = true)
     }
   }
 
@@ -1188,8 +1201,13 @@ private[analytics] trait DedupOps {
     val sh = docs.select(col("doc_id"), col("lang"), col("bkt"), explode_outer(col("sharr")).as("s"))
       .filter(col("s").isNotNull)
       .persist()
+    // sizes is doc-count rows but each UNPERSISTED reference re-aggregated
+    // the multi-million-row cached shingle table — and the two pair
+    // builders reference it twice each (the na and nb denominator joins),
+    // four full sh scans per state stage for one KB-scale census (round 20)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .select(col("doc_id"), col("n"))
+      .persist()
     val rare = sh.groupBy(col("s"), col("lang"), col("bkt"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= StopShingleCap)
       .select(col("s"), col("lang"), col("bkt"))
