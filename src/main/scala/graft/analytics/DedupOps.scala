@@ -1679,7 +1679,16 @@ private[analytics] trait DedupOps {
     * [[minhashSig]] — the sig query, the wide-pairs query (three reads),
     * and re-runs share ONE build. */
   private[analytics] def minhashWideSig(spark: SparkSession, dir: String): DataFrame =
-    memoSig(spark, dir, "minhash_wide_sig") { buildMinhashWideSig(spark, dir) }
+    memoSig(spark, dir, "minhash_wide_sig") {
+      // the 64-perm signature is by construction the first 64 slices of
+      // the 128-perm table (same "w<d>:" seeds, same slice scheme — the
+      // buildMinhashWideSigN Scaladoc's own claim), so derive it from the
+      // memoized 128 table instead of paying a second full tokenize +
+      // shingle + digest pass over the corpus (round 20). The stand-alone
+      // builder stays for the spec that pins the equivalence.
+      minhashWide128Sig(spark, dir)
+        .select(col("doc_id") +: (0 until MinhashWidePerms).map(j => col(s"mh$j")): _*)
+    }
 
 
   private[analytics] def buildMinhashWideSig(spark: SparkSession, dir: String): DataFrame =
@@ -1691,7 +1700,7 @@ private[analytics] trait DedupOps {
     * the didactic path's md5(s) / md5('x'||s) family; the 64-perm
     * signature is by construction the first 64 slices of the 128-perm
     * one). One map-side-combinable min-aggregation whatever the width. */
-  private[analytics] def buildMinhashWideSigN(spark: SparkSession, dir: String, perms: Int): DataFrame = {
+  private[graft] def buildMinhashWideSigN(spark: SparkSession, dir: String, perms: Int): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))

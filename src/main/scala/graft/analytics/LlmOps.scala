@@ -45,6 +45,11 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     * only their own plan cost. */
   def stateBuilders(spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "jaccard_pairs" -> (() => { jaccardPairs(spark, dir).count(); () }),
+    // the wide signatures build BEFORE the banded pair state that consumes
+    // them (round 20: the 64-perm table is now a slice of the 128-perm
+    // one), so each entry's timing is its own build, not a dependency's
+    "minhash_wide128_sig" -> (() => { minhashWide128Sig(spark, dir).count(); () }),
+    "minhash_wide_sig" -> (() => { minhashWideSig(spark, dir).count(); () }),
     "jaccard_pairs_banded" -> (() => { bandedJaccardPairs(spark, dir).count(); () }),
     "jaccard_edges" -> (() => { jaccardEdges08(spark, dir).count(); () }),
     "containment_pairs" -> (() => { containmentPairs(spark, dir).count(); () }),
@@ -57,11 +62,13 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "simhash_bands16" -> (() => { simhashBands16(spark, dir).count(); () }),
     "simhash_bands60" -> (() => { simhashBands60(spark, dir).count(); () }),
     "minhash_sig" -> (() => { minhashSig(spark, dir).count(); () }),
-    "minhash_wide_sig" -> (() => { minhashWideSig(spark, dir).count(); () }),
-    "minhash_wide128_sig" -> (() => { minhashWide128Sig(spark, dir).count(); () }),
     "band_candidates" -> (() => { wideBandCandidates(spark, dir).count(); () }),
     "bpe_merges" -> (() => { bpeMergeTable(spark, dir).count(); () }),
     "rarity_tf" -> (() => { rarityTf(spark, dir).count(); () }),
+    // round 20: the two filter-verdict tables — each re-ran its
+    // interpreted-lambda text scan in 3-4 consumers before the memo
+    "gopher_scored" -> (() => { gopherScored(spark, dir).count(); () }),
+    "classifier_scored" -> (() => { classifierScored(spark, dir).count(); () }),
     "fingerprint_state" -> (() => { fingerprintTable(spark, dir); () }),
     "frontier_state" -> (() => { frontierTable(spark, dir); () }),
     "topk_cosine" -> (() => { bruteTruthTable(spark, dir).count(); () }),

@@ -110,25 +110,36 @@ private[analytics] trait TxtOps {
       .orderBy(col("doc_id"))
 
 
-  /** The classifier head's scoring SCAN — documents plus per-row count
-    * features and the linear score, shared by [[txtClassifier]] and
-    * [[ddDedupKeepBest]] (which ranks duplicate-cluster members by it).
-    * Pure per-row arithmetic over one text scan: no shuffle, so any
-    * consumer can fold the score into its own plan for free. */
-  private[analytics] def classifierScored(spark: SparkSession, dir: String): DataFrame = {
-    val stopsIn = classifierStops.map(w => s"'$w'").mkString(", ")
-    Tables.documents(spark, dir)
-      .withColumn("toks", expr(toksSpark))
-      .withColumn("n_toks", size(col("toks")).cast("long"))
-      .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($stopsIn)))").cast("long"))
-      .withColumn("n_short", expr("size(filter(toks, t -> length(t) <= 2))").cast("long"))
-      .withColumn("n_long", expr("size(filter(toks, t -> length(t) >= 12))").cast("long"))
-      .withColumn("n_rep", (size(col("toks")) - size(array_distinct(col("toks")))).cast("long"))
-      .withColumn("score",
-        (col("n_toks") + lit(4L) * col("n_stop") - lit(2L) * col("n_short")
-          - lit(3L) * col("n_long") - lit(2L) * col("n_rep"))
-          / nullif(col("n_toks"), lit(0L)))
-  }
+  /** The classifier head's scoring TABLE — per-doc count features + the
+    * linear score, shared by [[txtClassifier]], [[txtClassifierSweep]],
+    * [[ddDedupKeepBest]] and [[SimOps.ddSemdedupKeep]]. MEMOIZED as
+    * prewarmed index state (round 20): the scan itself is map-only, but
+    * its interpreted filter-lambda counters are the expensive part of any
+    * consumer's plan, and FOUR consumers re-ran them over the full text
+    * column. The memo keeps only the numeric feature columns (7 longs/
+    * doubles per doc — KB-scale at any corpus the cache serves; a 100 TB
+    * deployment materializes exactly this verdict table to storage). */
+  private[analytics] def classifierScored(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "classifier_scored") {
+      val stopsIn = classifierStops.map(w => s"'$w'").mkString(", ")
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", expr(toksSpark))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($stopsIn)))").cast("long"))
+        .withColumn("n_short", expr("size(filter(toks, t -> length(t) <= 2))").cast("long"))
+        .withColumn("n_long", expr("size(filter(toks, t -> length(t) >= 12))").cast("long"))
+        .withColumn("n_rep", (size(col("toks")) - size(array_distinct(col("toks")))).cast("long"))
+        .withColumn("score",
+          (col("n_toks") + lit(4L) * col("n_stop") - lit(2L) * col("n_short")
+            - lit(3L) * col("n_long") - lit(2L) * col("n_rep"))
+            / nullif(col("n_toks"), lit(0L)))
+        // doc metadata rides along (ddDedupKeepBest emits it with the
+        // keep verdict) — everything but the text/toks columns
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("n_toks"), col("n_stop"), col("n_short"),
+          col("n_long"), col("n_rep"), col("score"))
+    }
 
 
   /** CLASSIFIER THRESHOLD SWEEP — the calibration census a quality
@@ -413,7 +424,19 @@ private[analytics] trait TxtOps {
     * costs one scan plus one doc-keyed shuffle at any corpus size (the
     * shuffled rows are (doc, bigram, count) partial aggregates, never the
     * text). */
-  def txtGopher(spark: SparkSession, dir: String): DataFrame = {
+  def txtGopher(spark: SparkSession, dir: String): DataFrame =
+    gopherScored(spark, dir).orderBy(col("doc_id"))
+
+
+  /** The Gopher verdict TABLE behind [[txtGopher]] — MEMOIZED as prewarmed
+    * index state (round 20): three consumers re-ran the full stats scan
+    * ([[txtGopher]] itself, [[txtCleanCorpus]] and [[txtCurationFunnel]],
+    * which each need only (doc_id, passes)), and the scan's interpreted
+    * line/bigram lambdas are the expensive part. Per-doc numeric columns
+    * only — KB-scale cache; a production curation pipeline materializes
+    * exactly this per-stage verdict table. */
+  private[analytics] def gopherScored(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "gopher_scored") {
     val base = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", expr(toksSpark))
@@ -457,7 +480,6 @@ private[analytics] trait TxtOps {
           (col("n_dup") / nullif(col("n_lines"), lit(0))) <= 0.5 &&
           (col("top_n") / nullif(col("n_bigrams"), lit(0))) <= 0.3 &&
           (col("n_bullet") / nullif(col("n_lines"), lit(0))) <= 0.5).as("passes"))
-      .orderBy(col("doc_id"))
   }
 
 
@@ -780,7 +802,7 @@ private[analytics] trait TxtOps {
 
   def txtCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val passes = txtGopher(spark, dir).filter(col("passes")).select(col("doc_id"))
+    val passes = gopherScored(spark, dir).filter(col("passes")).select(col("doc_id"))
     val nearDrops = nearDropSet(spark, dir)
     docs.withColumn("f_x", exactKeepFlag)
       .filter(col("f_x"))
@@ -811,7 +833,7 @@ private[analytics] trait TxtOps {
     * 0 on an empty corpus, matching the Duck FILTER semantics. */
   def txtCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val passes = txtGopher(spark, dir).filter(col("passes"))
+    val passes = gopherScored(spark, dir).filter(col("passes"))
       .select(col("doc_id"), lit(1L).as("f_q"))
     val nearDrops = nearDropSet(spark, dir).withColumn("f_n", lit(1L))
     val counts = docs.select(col("doc_id"), exactKeepFlag.as("f_x"))

@@ -63,6 +63,18 @@ class LlmOpsSpec extends SparkSpec {
         assert(sig128(id).getAs[String](s"mh$j") == r64.getAs[String](s"mh$j"),
           s"128-perm slice mh$j drifted from the 64-perm signature for doc $id"))
     }
+    // round 20: the served 64-perm table IS a slice of the memoized 128
+    // table, so the check above became by-construction — pin the slice
+    // against the retired STAND-ALONE 64-perm build instead (the
+    // equivalence the derivation rests on)
+    val standalone = LlmOps.buildMinhashWideSigN(spark, dir, 64).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(standalone.keySet == sig.keySet)
+    standalone.foreach { case (id, rSa) =>
+      (0 until 64).foreach(j =>
+        assert(rSa.getAs[String](s"mh$j") == sig(id).getAs[String](s"mh$j"),
+          s"derived 64-perm signature drifted from the stand-alone build at mh$j, doc $id"))
+    }
     (0 until 128).foreach(j => assert(sig128(0).getAs[String](s"mh$j") == sig128(1).getAs[String](s"mh$j")))
     // planted dup triple: (0,1) exact, (0,2)/(1,2) one-word-off near dups
     val planted = Set((0L, 1L), (0L, 2L), (1L, 2L))
