@@ -1624,10 +1624,25 @@ private[analytics] trait DedupOps {
     * with a corpus match carries (match_id, est_sim) and drops at ≥ 0.5;
     * a sub-3-token doc has no shingles, cannot near-dup, and keeps with
     * a null match like any other unmatched doc. */
+  /** The CORPUS-side capped band index of the incremental probe —
+    * memoized + prewarmed like the sibling band tables (round 20): this
+    * IS the persistent LSH index a continuous-ingestion pipeline holds
+    * between batches (the streaming twin probes exactly it —
+    * [[graft.streaming.EventStream.nearDedupeAgainstCorpus]]'s
+    * "corpus-bands-only" contract), and deriving it inline paid the
+    * band explode + bucket-cap window on every probe. */
+  private[analytics] def incrCorpusBands(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "incr_corpus_bands") {
+      cappedWideBands(
+        minhashWideSig(spark, dir).filter(col("doc_id") < IncrementalSplit),
+        IncrementalProbeCap)
+    }
+
+
   def ddIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashWideSig(spark, dir)
     val half = IncrementalSplit
-    val cb = cappedWideBands(sig.filter(col("doc_id") < half), IncrementalProbeCap)
+    val cb = incrCorpusBands(spark, dir)
     val cand = wideBands(sig.filter(col("doc_id") >= half)).toDF("ia", "band", "bh")
       .join(cb.toDF("ib", "band2", "bh2"),
         col("band") === col("band2") && col("bh") === col("bh2"))

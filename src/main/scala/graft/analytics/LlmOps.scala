@@ -63,6 +63,8 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "simhash_bands60" -> (() => { simhashBands60(spark, dir).count(); () }),
     "minhash_sig" -> (() => { minhashSig(spark, dir).count(); () }),
     "band_candidates" -> (() => { wideBandCandidates(spark, dir).count(); () }),
+    // round 20: the incremental probe's persistent corpus-side LSH index
+    "incr_corpus_bands" -> (() => { incrCorpusBands(spark, dir).count(); () }),
     "bpe_merges" -> (() => { bpeMergeTable(spark, dir).count(); () }),
     "rarity_tf" -> (() => { rarityTf(spark, dir).count(); () }),
     // round 20: the two filter-verdict tables — each re-ran its
