@@ -1317,6 +1317,23 @@ private[analytics] trait DedupOps {
     jaccardEdges08(spark, dir).select(col("ib")).distinct()
 
 
+  /** The connected-components LABEL table over the Jaccard-0.8 edge set
+    * — (d, lbl) — memoized as prewarmed state (round 20): the pointer-
+    * doubling fixpoint is a deterministic function of the memoized edge
+    * table, and THREE query paths re-ran it per call ([[ddCluster]],
+    * [[ddClusterHist]] through it, and [[ddDedupKeepBest]]). A production
+    * dedup pipeline materializes exactly this cluster-assignment table
+    * once per corpus version. The CC loop already local-checkpoints its
+    * result, so memoRaw (no double-caching). */
+  private[analytics] def jaccardCcLabels(spark: SparkSession, dir: String): DataFrame =
+    memoRaw(spark, dir, "cc_labels_08") {
+      val edges = jaccardEdges08(spark, dir)
+        .select(col("ia").as("a"), col("ib").as("b"))
+      val (labels, _) = connectedComponents(spark, edges)
+      labels()
+    }
+
+
   /** The dedup ACTION: emit the kept corpus after dropping near-duplicates
     * (greedy keep-lowest-id: any doc that is the higher id of a pair with
     * Jaccard >= 0.8 is dropped). Anti-join — no doc² anywhere. */
@@ -1350,10 +1367,7 @@ private[analytics] trait DedupOps {
     * runtime size and picks broadcast when small, shuffle join when
     * not — degraded to a shuffle, never to a failure. */
   def ddDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val edges = jaccardEdges08(spark, dir)
-      .select(col("ia").as("a"), col("ib").as("b"))
-    val (labels, _) = connectedComponents(spark, edges)
-    val lbl = labels().toDF("doc_id", "cluster_id")
+    val lbl = jaccardCcLabels(spark, dir).toDF("doc_id", "cluster_id")
     val scored = classifierScored(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("score"))
     val wBest = Window.partitionBy(col("cluster_id"))
@@ -1383,14 +1397,12 @@ private[analytics] trait DedupOps {
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
     val debug = sys.env.contains("GRAFT_CLUSTER_DEBUG")
     val dbgT = System.nanoTime()
-    val jp = jaccardEdges08(spark, dir)
+    val lblTable = jaccardCcLabels(spark, dir)
     if (debug)
-      println(f"CLUSTER jaccardEdges-build ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
-    val edges = jp.select(col("ia").as("a"), col("ib").as("b"))
-    val (labels, _) = connectedComponents(spark, edges)
-    val sizes = labels().toDF("sd", "slbl")
+      println(f"CLUSTER labels-build ${(System.nanoTime() - dbgT) / 1e9}%.2fs")
+    val sizes = lblTable.toDF("sd", "slbl")
       .groupBy(col("slbl")).agg(count(lit(1)).as("cluster_size"))
-    val result = labels().join(sizes, col("lbl") === col("slbl"))
+    val result = lblTable.join(sizes, col("lbl") === col("slbl"))
       .select(col("d").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
     if (debug) {

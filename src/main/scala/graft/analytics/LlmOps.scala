@@ -52,6 +52,9 @@ object LlmOps extends OpsKernels with TxtOps with DedupOps with SimOps
     "minhash_wide_sig" -> (() => { minhashWideSig(spark, dir).count(); () }),
     "jaccard_pairs_banded" -> (() => { bandedJaccardPairs(spark, dir).count(); () }),
     "jaccard_edges" -> (() => { jaccardEdges08(spark, dir).count(); () }),
+    // round 20: the CC label table over those edges — three query paths
+    // re-ran the pointer-doubling fixpoint per call before the memo
+    "cc_labels_08" -> (() => { jaccardCcLabels(spark, dir).count(); () }),
     "containment_pairs" -> (() => { containmentPairs(spark, dir).count(); () }),
     "passage_windows_n4" -> (() => { passageWindows(spark, dir, 4).count(); () }),
     "passage_windows_n8" -> (() => { passageWindows(spark, dir, 8).count(); () }),
