@@ -618,8 +618,11 @@ private[analytics] trait TxtOps {
     * pay the same shape per round. */
   def txtBpeMerge(spark: SparkSession, dir: String): DataFrame = {
     val toks = bpeTokens(spark, dir)
-    val top1 = bpePairCensus(toks, "t")
-      .orderBy(col("n").desc, col("pair")).limit(1)
+    // round 20: the round-1 argmax IS the memoized merge table's first row
+    // (bpeMergeTable computes the identical census/argmax as its round 1),
+    // so the trainer-step query reads the 1-row leaf instead of re-paying
+    // a full tokenize + pair-census scan for it — one corpus scan total.
+    val top1 = bpeMergeTable(spark, dir).filter(col("round") === 1L)
       .select(col("pair").as("mp"))
     val merged = toks.crossJoin(broadcast(top1))
       .select(expr(s"replace(t, mp, '${bpeSentinel(0)}')").as("t2"))
