@@ -34,6 +34,13 @@ object Bench {
           warmLog.warn(s"warmup '$what' failed (continuing): " +
             s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").linesIterator.find(_.nonEmpty).getOrElse("")}")
       }
+    // Function registration is NOT warm-up: the assignment-fold kernels
+    // (round 20) reference dot_f/dot_fl as SQL text in 30+ query paths, so
+    // a skipped registration is a mass analysis failure, not a slow first
+    // query. Registered unconditionally, ahead of any failable warm body
+    // (it was previously inside the tokenize warm block, where a bad
+    // documents read would have silently skipped it).
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -43,7 +50,6 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
         .selectExpr(raw"explode(filter(split(lower(trim(text)), '\\s+'), t -> t != '')) AS t")
         .count()
-      org.apache.spark.sql.graft.GraftFunctions.register(spark)
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
         .selectExpr("dot_f(embedding, embedding)").count()
     }
